@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Spark-first replacement for the reference's hand-rolled worker topology
+  * (`/root/reference/serialize.py:403-407, 622-634`): all pipelining,
+  * parallel reads, batching and spill are delegated to Catalyst/Tungsten.
+  *
+  * Config choices are scale-oriented:
+  *  - AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  *  - shuffle.partitions sized to the local core count here; on a real
+  *    cluster this would be `2-3x totalCores` or left to AQE's
+  *    `coalescePartitions` with a high initial value.
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS) parquet — read as Long, convert in Tables.load
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) a session with engine defaults. */
+  def get(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,40 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Named-table catalog over Parquet directories.
+  *
+  * Spark-native successor of the reference's LMDB environment of named
+  * sub-DBs (`/root/reference/serialize.py:449-471`): each logical stream
+  * is a named columnar table; alignment across streams is an explicit
+  * `key` column instead of physical co-location (SURVEY §1.4).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from `<dir>/<name>.parquet`. Filters/projections
+    * applied downstream are pushed into this scan by Catalyst.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    * rejects by default; we read it as a nanos Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a µs
+    * timestamp with integer division (`div`, not `/`: ns-since-epoch
+    * ≈ 1.7e18 exceeds a double's 2^53 mantissa, so float division would
+    * corrupt low bits). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view (for the SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

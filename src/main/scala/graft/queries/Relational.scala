@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Relational operator surface (SURVEY §2.2), one declared query per
+  * category, each with a DuckDB-oracle SQL twin.
+  *
+  * Conventions for oracle hash-parity:
+  *  - double aggregates go through [[Det]] (exact decimal sums);
+  *  - computed integer columns are cast to BIGINT on both sides
+  *    (DuckDB's count/length/rank/year/... return BIGINT);
+  *  - every query ends in a total deterministic ORDER BY;
+  *  - timestamps never appear raw in output (DATE or formatted string
+  *    instead — parquet TIMESTAMP annotations differ between engines).
+  */
+object Relational {
+
+  final case class Q(impl: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- aggregation: TPC-H Q1-style pricing summary ------------------
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            Det.moneySum(col("l_quantity")).as("sum_qty"),
+            Det.moneySum(col("l_extendedprice")).as("sum_base_price"),
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))).as("sum_disc_price"),
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")) * Det.onePlus(col("l_tax"))).as("sum_charge"),
+            Det.moneyAvg(col("l_quantity")).as("avg_qty"),
+            Det.moneyAvg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${Det.sqlMoneySum("l_quantity")} AS sum_qty,
+        ${Det.sqlMoneySum("l_extendedprice")} AS sum_base_price,
+        ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS sum_disc_price,
+        ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount") + " * " + Det.sqlOnePlus("l_tax"))} AS sum_charge,
+        ${Det.sqlMoneyAvg("l_quantity")} AS avg_qty,
+        ${Det.sqlMoneyAvg("l_extendedprice")} AS avg_price,
+        COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- filter + projection (predicate pushdown surface) -------------
+    "q02_filter_project" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 49 && col("l_discount") > 0.05)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        l_extendedprice * (1.0 - l_discount) AS net_price
+        FROM lineitem WHERE l_quantity >= 49 AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- 3-way inner join + agg + deterministic top-k ------------------
+    "q03_topk_revenue" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1996-03-15 00:00:00")))
+        // customer is tiny relative to lineitem: broadcast it through orders.
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .agg(Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+        ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- left-semi join (EXISTS) ---------------------------------------
+    "q04_semi_join" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- left-anti join (NOT EXISTS) -----------------------------------
+    "q05_anti_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- highly selective scan-agg (TPC-H Q6-style) --------------------
+    "q06_forecast_revenue" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("l_shipdate") <  to_timestamp(lit("1997-01-01 00:00:00")) &&
+                  col("l_discount").between(0.02, 0.04) &&
+                  col("l_quantity") < 25)
+          .agg(
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.rate(col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlRate("l_discount"))} AS revenue,
+        COUNT(*) AS n_items FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25""")),
+
+    // ---- full outer join ------------------------------------------------
+    "q07_full_outer_nation" -> Q(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"), Det.moneySum(col("s_acctbal")).as("s_bal"))
+        val cus = t(s, dir, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"), Det.moneySum(col("c_acctbal")).as("c_bal"))
+        sup.join(cus, sup("s_nationkey") === cus("c_nationkey"), "full_outer")
+          .select(
+            coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+            col("n_suppliers"), col("s_bal"), col("n_customers"), col("c_bal"))
+          .orderBy("nationkey")
+      },
+      Some(s"""SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+        n_suppliers, s_bal, n_customers, c_bal
+        FROM (SELECT s_nationkey, COUNT(*) AS n_suppliers, ${Det.sqlMoneySum("s_acctbal")} AS s_bal
+              FROM supplier GROUP BY s_nationkey) s
+        FULL OUTER JOIN
+             (SELECT c_nationkey, COUNT(*) AS n_customers, ${Det.sqlMoneySum("c_acctbal")} AS c_bal
+              FROM customer GROUP BY c_nationkey) c
+        ON s.s_nationkey = c.c_nationkey
+        ORDER BY nationkey""")),
+
+    // ---- distinct aggregates -------------------------------------------
+    "q08_distinct_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer").groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            countDistinct(col("c_nationkey")).as("n_nations"),
+            Det.moneySum(col("c_acctbal")).as("total_bal"),
+            Det.moneyAvg(col("c_acctbal")).as("avg_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        COUNT(DISTINCT c_nationkey) AS n_nations,
+        ${Det.sqlMoneySum("c_acctbal")} AS total_bal,
+        ${Det.sqlMoneyAvg("c_acctbal")} AS avg_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- rollup + grouping id ------------------------------------------
+    "q09_rollup_revenue" -> Q(
+      (s, dir) => {
+        val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(Det.moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"),
+               grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(s"""SELECT r_name, n_name, ${Det.sqlMoneySum("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders, CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    // ---- cube -----------------------------------------------------------
+    "q10_cube_counts" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("l_quantity")).as("sum_qty"),
+               grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${Det.sqlMoneySum("l_quantity")} AS sum_qty,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- ranking window functions --------------------------------------
+    "q11_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+                  col("rn"), col("rnk"), col("drnk"))
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+            ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+          FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        WHERE rn <= 3 ORDER BY c_nationkey, rn""")),
+
+    // ---- running aggregates + lag --------------------------------------
+    "q12_window_running" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("run_cnt", count(lit(1)).over(w).cast("long"))
+          .withColumn("run_spend",
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .over(w).cast("double"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                  col("run_cnt"), col("run_spend"), col("prev_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          COUNT(*) OVER w AS run_cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend,
+          LAG(o_totalprice, 1) OVER w AS prev_price
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- set operations -------------------------------------------------
+    "q13_set_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+        val both = cn.intersect(sn).withColumn("tag", lit("both"))
+        val cOnly = cn.except(sn).withColumn("tag", lit("c_only"))
+        val sOnly = sn.except(cn).withColumn("tag", lit("s_only"))
+        both.unionByName(cOnly).unionByName(sOnly)
+          .select($"tag", $"k").orderBy("tag", "k")
+      },
+      Some("""SELECT 'both' AS tag, k FROM (
+            SELECT DISTINCT c_nationkey AS k FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier)
+          UNION ALL SELECT 'c_only' AS tag, k FROM (
+            SELECT DISTINCT c_nationkey AS k FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier)
+          UNION ALL SELECT 's_only' AS tag, k FROM (
+            SELECT DISTINCT s_nationkey AS k FROM supplier
+            EXCEPT SELECT DISTINCT c_nationkey AS k FROM customer)
+          ORDER BY tag, k""")),
+
+    // ---- string functions ----------------------------------------------
+    "q14_string_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "part").select(
+            col("p_partkey"),
+            length(col("p_name")).cast("long").as("name_len"),
+            upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+            regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("long").as("brand_num"),
+            element_at(split(col("p_type"), " "), 1).as("type_first"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+          CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+          UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+          CAST(REGEXP_EXTRACT(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+          SPLIT_PART(p_type, ' ', 1) AS type_first,
+          CONCAT_WS('-', p_brand, p_type) AS brand_type
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- date/time functions -------------------------------------------
+    "q15_date_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Det.moneySum(col("o_totalprice")).as("total"),
+            max(datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))))
+              .cast("long").as("max_days_since_epoch"),
+            min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("first_day"))
+          .orderBy("order_year")
+      },
+      Some(s"""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+          COUNT(*) AS n_orders, ${Det.sqlMoneySum("o_totalprice")} AS total,
+          CAST(MAX(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_epoch,
+          MIN(STRFTIME(o_orderdate, '%Y-%m-%d')) AS first_day
+        FROM orders GROUP BY 1 ORDER BY order_year""")),
+
+    // ---- JSON + CASE/COALESCE ------------------------------------------
+    "q16_json_case" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("kind",
+            when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+              .when(col("event_type") === "error", lit("failure"))
+              .otherwise(lit("engagement")))
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            Det.moneySum(col("value")).as("total_value"))
+          .orderBy("kind")
+      },
+      Some(s"""SELECT kind, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          ${Det.sqlMoneySum("value")} AS total_value
+        FROM (SELECT CAST(props->>'k' AS BIGINT) AS k,
+            CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                 WHEN event_type = 'error' THEN 'failure'
+                 ELSE 'engagement' END AS kind, value
+          FROM events)
+        GROUP BY kind ORDER BY kind""")),
+
+    // ---- event-time tumbling window (batch twin of the streaming op) ---
+    "q17_events_hourly" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("total_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+          COUNT(*) AS n, ${Det.sqlMoneySum("value")} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- sessionization (gap > 30 min ends a session) ------------------
+    "q18_sessionize" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+                 unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"))
+          .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
+            CASE WHEN LAG(epoch_us(ts), 1) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (SELECT user_id,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g)
+        SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM t GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- scalar subquery via broadcast join ----------------------------
+    "q19_above_avg_orders" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val thr = o.agg(Det.moneyAvg(col("o_totalprice")).as("thr"))
+        o.join(broadcast(thr))
+          .filter(col("o_totalprice") > col("thr"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), Det.moneySum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${Det.sqlMoneySum("o_totalprice")} AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT ${Det.sqlMoneyAvg("o_totalprice")} FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- array functions over embeddings --------------------------------
+    "q20_array_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "embeddings").select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            element_at(col("embedding"), 1).as("first_val"),
+            size(filter(col("embedding"), x => x > lit(0.0f))).cast("long").as("n_pos"),
+            col("label"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims,
+          embedding[1] AS first_val,
+          CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+          label
+        FROM embeddings ORDER BY vec_id"""))
+  )
+}
