@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data pipeline: tokenization,
+  * token counting (whitespace / regex / BPE-ish estimate), n-gram shingles,
+  * language-ID heuristics, quality scoring, and mod-p document
+  * fingerprinting.
+  *
+  * Lineage: the reference's only text op is a corpus-wide bag-of-words fit
+  * with token pattern `\b\w+\b` (`/root/reference/serialize.py:220-231`);
+  * we keep that token pattern and extend the surface for training-data
+  * curation. Everything here is a pure per-row expression (no UDF, no
+  * shuffle) so it stays inside whole-stage codegen and scales linearly.
+  *
+  * Determinism: every double is produced by a fixed-shape expression tree
+  * (single divisions / ordered folds), never a multi-row double SUM, so
+  * results are bit-identical across engines — see the DuckDB twins in
+  * [[graft.queries.LlmOps]].
+  */
+object TextAnalysis {
+
+  /** `\w+` tokens in order, with duplicates (multiset). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+"), lit(0))
+
+  /** Whitespace-delimited token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** Distinct word n-gram shingles ("w1 w2 ... wn"), from an ordered
+    * token array. Requires size(toks) >= n; callers guard. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(off => element_at(toks, i + off)): _*)))
+
+  /** BPE-ish subword count estimate: sum over tokens of ceil(len/4),
+    * as exact integer arithmetic ((len+3) div 4). */
+  def bpeEstimate(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / lit(4)))
+
+  // ---- language ID (stopword-hit heuristic) ---------------------------
+  // Tiny function-word lists; hit = token exactly equals a list entry.
+  // Multiset counts (repeats count) — same as the oracle's list_filter.
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopEs = Seq("el", "la", "de", "los", "es", "un")
+  val StopFr = Seq("le", "les", "et", "est", "un", "une")
+
+  def hits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t))).cast("long")
+  }
+
+  /** Predicted language with deterministic tie-break order en>de>es>fr. */
+  def predictedLang(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  // ---- quality scoring -------------------------------------------------
+  /** Ratio of ASCII-letter chars to all chars. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Mean token length (double, single division). */
+  def meanTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / size(toks).cast("double")
+
+  /** Stopword ratio against the EN list. */
+  def stopRatio(toks: Column): Column =
+    hits(toks, StopEn).cast("double") / size(toks).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·alpha + 0.2·min(1, stop/0.1) + 0.4·min(1, n_tokens/50). */
+  def qualityScore(text: Column, toks: Column): Column =
+    lit(0.4) * alphaRatio(text) +
+      lit(0.2) * least(lit(1.0), stopRatio(toks) / lit(0.1)) +
+      lit(0.4) * least(lit(1.0), size(toks).cast("double") / lit(50.0))
+
+  // ---- mod-p fingerprinting (winnowing-style content sampling) --------
+  /** Distinct 60-bit hashes of every 8-char gram whose hash ≡ 0 (mod 16):
+    * a content-defined ~1/16 sample of the document's k-gram space.
+    * Two documents share fingerprints iff they share 8-char substrings —
+    * the standard copy-detection sketch, as one per-row expression. */
+  def fingerprints(text: Column, k: Int = 8, modP: Int = 16): Column =
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => Hashing.h60(substring(text, lit(i), lit(k)))),
+      h => pmod(h, lit(modP)) === 0))
+
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextAnalysis}
+
+/** Deduplication operators for the LLM-data pipeline: exact (content-hash),
+  * MinHash+LSH near-dup, SimHash near-dup, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup groups on a 256-bit content hash, never on the raw text —
+  *    the shuffle carries 32 bytes + ids per row instead of whole documents.
+  *  - MinHash signatures and SimHash fingerprints are pure per-row
+  *    expressions (no shuffle, no UDF); the only shuffles are the
+  *    band-bucket join (tiny keys) and the final candidate verification
+  *    join. Candidate volume is controlled by (bands, rows-per-band), and
+  *    [[candidatePairs]] can cap pathological bucket sizes.
+  *  - SimHash pair generation is banded (pigeonhole): pairs within Hamming
+  *    distance h are guaranteed to share one of h+1 bands, so no full n²
+  *    self-join is ever materialized.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text, keeping the smallest id.
+    * Returns (id, n_copies). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("content_hash")
+
+  /** (id, shingles) with distinct word n-grams; rows with < n tokens drop. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(toks, n).as("shingles"))
+  }
+
+  /** (id, shingles, sig): k-minhash signature per row (map-only).
+    * Hashes each shingle ONCE (md5 is the dominant cost), then applies the
+    * k linear transforms over the cached hash array. */
+  def signatures(shingledDf: DataFrame, k: Int): DataFrame =
+    shingledDf
+      .withColumn("hs", transform(col("shingles"), t => Hashing.h28(t)))
+      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(col("hs"), h =>
+          pmod(Hashing.coefA(i) * h + Hashing.coefB(i), lit(Hashing.P31))))))
+      .drop("hs")
+
+  /** One row per (id, band) with the band's signature-slice as a join key. */
+  def bands(sigDf: DataFrame, b: Int, r: Int): DataFrame =
+    sigDf
+      .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
+      .select(col("id"), col("band"),
+        array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+          x => x.cast("string")), ",").as("bkey"))
+
+  /** Distinct candidate pairs (a < b) sharing at least one LSH bucket.
+    * `maxBucket`, when set, drops buckets larger than the cap — the
+    * standard guard against degenerate buckets exploding the join at
+    * scale (drops only pathological all-alike clusters). */
+  def candidatePairs(bandsDf: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val buckets = maxBucket match {
+      case Some(cap) =>
+        val ok = bandsDf.groupBy("band", "bkey").count().filter(col("count") <= cap)
+          .select("band", "bkey")
+        bandsDf.join(ok, Seq("band", "bkey"))
+      case None => bandsDf
+    }
+    val l = buckets.select(col("band"), col("bkey"), col("id").as("a"))
+    val r = buckets.select(col("band"), col("bkey"), col("id").as("b"))
+    l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets for given (a, b) pairs. */
+  def verifyJaccard(pairs: DataFrame, shingledDf: DataFrame): DataFrame = {
+    val ga = shingledDf.select(col("id").as("a"), col("shingles").as("sa"))
+    val gb = shingledDf.select(col("id").as("b"), col("shingles").as("sb"))
+    pairs.join(ga, "a").join(gb, "b")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+      .select("a", "b", "jac")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: pairs with shingle-Jaccard >= θ.
+    * Defaults tuned for near-dup detection at θ≈0.5 with word bigrams:
+    * k=32 hashes, 8 bands × 4 rows → recall ≈ 1-(1-θ^4)^8 (0.42 at θ=0.5,
+    * ≈1.0 at θ=0.9); background pairs at jac≈0.05 are ~5e-5 likely to
+    * become candidates. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                      theta: Double = 0.5,
+                      maxBucket: Option[Int] = None): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, ngram)
+    val cand = candidatePairs(bands(signatures(sh, k), b, r), maxBucket)
+    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+  }
+
+  /** 60-bit SimHash fingerprint per document over its word-bigram multiset.
+    *
+    * Declarative (oracle-mirrorable) formulation: explode shingle×bit and
+    * re-aggregate. The map-only fast path is
+    * [[graft.expressions.Simhash60]]; this version exists so the DuckDB
+    * gate can recompute the exact fingerprints. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .filter(size(toks) >= ngram)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wordNgrams(toks, ngram)).as("g"))
+      .withColumn("h", Hashing.h60(col("g")))
+    grams
+      .withColumn("j", explode(sequence(lit(0), lit(59))))
+      .withColumn("w", when(expr("shiftright(h, j) & 1") === 1, 1L).otherwise(-1L))
+      .groupBy("id", "j").agg(sum("w").as("sw"))
+      .groupBy("id")
+      .agg(sum(when(col("sw") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: Hamming(a,b) <= maxHam, found via banded
+    * join. With `nBands` > maxHam, pigeonhole guarantees exact recall:
+    * ≤ maxHam differing bits cannot touch all bands. 60-bit fp, 6 bands
+    * of 10 bits → exact for maxHam <= 5. */
+  def simhashPairs(fps: DataFrame, maxHam: Int = 5, nBands: Int = 6): DataFrame = {
+    val width = 60 / nBands
+    val banded = fps
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $width) & ${(1L << width) - 1}"))
+    val l = banded.select(col("band"), col("bkey"),
+      col("id").as("a"), col("simhash").as("fa"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(fa ^ fb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.{Hashing, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Relational.Q
+
+/** LLM-data-pipeline operators as declared queries: dedup (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard), similarity search (brute-force + SRP-LSH
+  * cosine top-k), and text analysis (token stats, quality, language-ID,
+  * fingerprinting) — each with a DuckDB oracle twin that recomputes the
+  * SAME hashes (md5-derived) and the SAME ordered float folds, so the
+  * correctness gate is a real hash-match, not a rows-only check.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // Shared DuckDB CTE fragments -----------------------------------------
+  private val H = Hashing
+  /** tokens + distinct word-bigram shingles per doc. */
+  private val SqlGrams =
+    """w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams
+      |      FROM w WHERE len(toks) >= 2)""".stripMargin
+  /** normalized embeddings: v as DOUBLE[], nrm via ordered fold. */
+  private val SqlNormed =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
+  /** SRP sketch (16 planes over floor(x*1e6) integer quantization). */
+  private def sqlSketch: String =
+    s"""qz AS (SELECT vec_id, [CAST(FLOOR(x * 1000000) AS BIGINT) for x in v] AS qv FROM e),
+       |pd AS (SELECT vec_id, p,
+       |         SUM(CASE WHEN ${H.sqlH28("'w' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 2 = 1
+       |                  THEN qv[i] ELSE -qv[i] END) AS s
+       |       FROM qz CROSS JOIN range(16) rp(p) CROSS JOIN range(1, 65) ri(i)
+       |       GROUP BY vec_id, p),
+       |sk AS (SELECT vec_id,
+       |         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sketch
+       |       FROM pd GROUP BY vec_id),
+       |bd AS (SELECT vec_id, band, (sketch >> (band * 8)) & 255 AS bkey
+       |       FROM sk CROSS JOIN range(2) rb(band))""".stripMargin
+  private val SqlCos =
+    "list_reduce([qn.v[i] * cn.v[i] for i in range(1, 65)], (a, b) -> a + b) / (qn.nrm * cn.nrm)"
+  private val SqlJac =
+    """CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+      |CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)""".stripMargin
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- exact dedup on content hash -----------------------------------
+    "q21_dedup_exact" -> Q(
+      (s, dir) => Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY doc_id""")),
+
+    // ---- token counting: whitespace / regex / distinct / BPE-estimate --
+    "q22_token_stats" -> Q(
+      (s, dir) => {
+        val t = TextAnalysis.tokens(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+            size(t).cast("long").as("n_re"),
+            size(array_distinct(t)).cast("long").as("n_uniq"),
+            (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("ttr"),
+            TextAnalysis.bpeEstimate(t).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+          CAST(len(toks) AS BIGINT) AS n_re,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+          CAST(list_sum([CAST(FLOOR((len(t) + 3) / 4) AS BIGINT) for t in toks]) AS BIGINT) AS n_bpe
+        FROM w ORDER BY doc_id""")),
+
+    // ---- quality scoring -------------------------------------------------
+    "q23_quality_score" -> Q(
+      (s, dir) => {
+        val t = TextAnalysis.tokens(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+            TextAnalysis.meanTokenLen(t).as("mean_tok_len"),
+            TextAnalysis.stopRatio(t).as("stop_ratio"),
+            TextAnalysis.qualityScore(col("text"), t).as("score"))
+          .withColumn("tier",
+            when(col("score") >= 0.75, "high")
+              .when(col("score") >= 0.5, "medium").otherwise("low"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS alpha_ratio,
+          CAST(list_sum([len(t) for t in toks]) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+          CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+          CAST(len(toks) AS DOUBLE) AS n_toks
+        FROM w),
+        sc AS (SELECT doc_id, n_chars, alpha_ratio, mean_tok_len, stop_ratio,
+          CAST(0.4 AS DOUBLE) * alpha_ratio
+            + CAST(0.2 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), stop_ratio / CAST(0.1 AS DOUBLE))
+            + CAST(0.4 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), n_toks / CAST(50 AS DOUBLE)) AS score
+        FROM m)
+        SELECT doc_id, n_chars, alpha_ratio, mean_tok_len, stop_ratio, score,
+          CASE WHEN score >= 0.75 THEN 'high' WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS tier
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- language ID (stopword-hit heuristic) ---------------------------
+    "q24_langid" -> Q(
+      (s, dir) => {
+        val t = TextAnalysis.tokens(col("text"))
+        val (en, de, es, fr) = (
+          TextAnalysis.hits(t, TextAnalysis.StopEn), TextAnalysis.hits(t, TextAnalysis.StopDe),
+          TextAnalysis.hits(t, TextAnalysis.StopEs), TextAnalysis.hits(t, TextAnalysis.StopFr))
+        docs(s, dir).select(
+            col("doc_id"), col("lang"),
+            en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+            TextAnalysis.predictedLang(en, de, es, fr).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\w+') AS toks FROM documents),
+        h AS (SELECT doc_id, lang,
+          CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS BIGINT) AS de_hits,
+          CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los','es','un'], t))) AS BIGINT) AS es_hits,
+          CAST(len(list_filter(toks, t -> list_contains(['le','les','et','est','un','une'], t))) AS BIGINT) AS fr_hits
+        FROM w)
+        SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+          CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+               WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+               WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS pred_lang
+        FROM h ORDER BY doc_id""")),
+
+    // ---- SimHash fingerprints (declarative; fast path = custom expr) ----
+    "q25_simhash" -> Q(
+      (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash")).orderBy("doc_id"),
+      Some(s"""WITH $SqlGrams,
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        h AS (SELECT doc_id, ${H.sqlH60("gram")} AS h FROM t),
+        b AS (SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS wgt
+              FROM h CROSS JOIN range(60) r(j)),
+        sb AS (SELECT doc_id, j, SUM(wgt) AS sw FROM b GROUP BY doc_id, j)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN sw >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sb GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- MinHash + LSH near-duplicate pairs ------------------------------
+    "q26_minhash_neardups" -> Q(
+      (s, dir) => Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        ngram = 2, k = 32, b = 8, r = 4, theta = 0.5),
+      Some(s"""WITH $SqlGrams,
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM t),
+        mh AS (SELECT doc_id, i,
+                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
+               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+                FROM sig CROSS JOIN range(8) rb(band)),
+        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+                 FROM bnd ba JOIN bnd bb
+                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
+        SELECT a, b, jac FROM p WHERE jac >= 0.5 ORDER BY a, b""")),
+
+    // ---- exact n-gram Jaccard similarity join (brute, subset) -----------
+    "q27_jaccard_brute" -> Q(
+      (s, dir) => {
+        val sh = Dedup.shingled(docs(s, dir).filter(col("doc_id") < 320), "doc_id", "text", 2)
+        val pairs = sh.select(col("id").as("a"))
+          .join(sh.select(col("id").as("b")), col("a") < col("b"))
+        Dedup.verifyJaccard(pairs, sh).filter(col("jac") >= 0.5).orderBy("a", "b")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+                 FROM documents WHERE doc_id < 320),
+        g AS (SELECT doc_id,
+                list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams
+              FROM w WHERE len(toks) >= 2),
+        p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, $SqlJac AS jac
+              FROM g ga JOIN g gb ON ga.doc_id < gb.doc_id)
+        SELECT a, b, jac FROM p WHERE jac >= 0.5 ORDER BY a, b""")),
+
+    // ---- brute-force cosine top-k similarity search ----------------------
+    "q28_cosine_topk" -> Q(
+      (s, dir) => {
+        val n = Similarity.normed(emb(s, dir), "vec_id", "embedding")
+        Similarity.bruteForceTopK(n.filter(col("id") < 10), n, 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $SqlNormed,
+        sc AS (SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id, $SqlCos AS cos
+               FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rank""")),
+
+    // ---- SRP-LSH approximate top-k (the scale path) ----------------------
+    "q29_ann_topk" -> Q(
+      (s, dir) => {
+        val n = Similarity.normed(emb(s, dir), "vec_id", "embedding")
+        Similarity.annTopK(n.filter(col("id") < 10), n, 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $SqlNormed,
+        $sqlSketch,
+        cand AS (SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+                 FROM bd bq JOIN bd bc ON bq.band = bc.band AND bq.bkey = bc.bkey
+                 WHERE bq.vec_id < 10 AND bc.vec_id != bq.vec_id),
+        sc AS (SELECT cand.query_id, cand.neighbor_id, $SqlCos AS cos
+               FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+                         JOIN n cn ON cn.vec_id = cand.neighbor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rank""")),
+
+    // ---- content fingerprinting (mod-p sampled 8-gram sketch) ------------
+    "q30_fingerprints" -> Q(
+      (s, dir) => {
+        val fp = TextAnalysis.fingerprints(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            size(fp).cast("long").as("n_fp"),
+            coalesce(array_min(fp), lit(-1L)).as("min_fp"),
+            coalesce(array_max(fp), lit(-1L)).as("max_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+          list_distinct(list_filter(
+            [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+            h -> h % 16 = 0)) AS fps
+        FROM documents)
+        SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+          COALESCE(list_min(fps), -1) AS min_fp,
+          COALESCE(list_max(fps), -1) AS max_fp
+        FROM f ORDER BY doc_id""")),
+
+    // ---- embedding near-dup pairs via SRP-LSH + cosine threshold ---------
+    "q31_embed_neardups" -> Q(
+      (s, dir) => Similarity.nearDupByCosine(
+        Similarity.normed(emb(s, dir), "vec_id", "embedding"), 0.45),
+      Some(s"""WITH $SqlNormed,
+        $sqlSketch,
+        cand AS (SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+                 FROM bd ba JOIN bd bb
+                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.vec_id < bb.vec_id),
+        sc AS (SELECT cand.a, cand.b,
+                 list_reduce([qn.v[i] * cn.v[i] for i in range(1, 65)], (x, y) -> x + y)
+                   / (qn.nrm * cn.nrm) AS cos
+               FROM cand JOIN n qn ON qn.vec_id = cand.a JOIN n cn ON cn.vec_id = cand.b)
+        SELECT a, b, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b"""))
+  )
+}
