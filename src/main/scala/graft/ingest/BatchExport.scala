@@ -1,0 +1,66 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** The deserialize/export contract (SURVEY §2.1 D1-D3, §3 EP3): aligned,
+  * batched, shape-annotated input/output streams for a training consumer.
+  *
+  * Reference behavior preserved:
+  *  - batches of exactly `batchSize`; the remainder beyond
+  *    `nSamples / batchSize * batchSize` rows is dropped
+  *    (`/root/reference/serialize.py:670, 744, 789`);
+  *  - infinite epoch iteration (`serialize.py:731-795`);
+  *  - shapes reported up front (`serialize.py:680-683`).
+  *
+  * Intentional fix: batches follow NUMERIC key order, not the reference's
+  * lexicographic string-key accident (SURVEY §1.1).
+  *
+  * Scale note: executors scan/sort; only one batch at a time crosses to
+  * the driver via `toLocalIterator` — the driver never holds the dataset.
+  */
+final case class BatchExport(df: DataFrame, keyCol: String,
+                             inputCols: Seq[String], outputCols: Seq[String],
+                             batchSize: Int) {
+
+  lazy val nSamples: Long = df.count()
+  lazy val nBatches: Long = nSamples / batchSize
+
+  /** Shapes from schema metadata — no data probe needed for fixed-width
+    * types; array lengths are probed from the first row (the reference's
+    * shape probe, D2, minus its early-return bug `serialize.py:728`). */
+  lazy val shapes: Map[String, Seq[Int]] = {
+    val probe = df.orderBy(col(keyCol)).limit(1).collect().headOption
+    (inputCols ++ outputCols).map { c =>
+      val shape = df.schema(c).dataType match {
+        case ArrayType(_, _) =>
+          probe.map(r => Seq(r.getAs[scala.collection.Seq[Any]](c).size)).getOrElse(Seq(0))
+        case st: StructType if Seq("height", "width", "channels").forall(f => st.fieldNames.contains(f)) =>
+          probe.map { r =>
+            val s = r.getAs[Row](c)
+            Seq(s.getAs[Int]("height"), s.getAs[Int]("width"), s.getAs[Int]("channels"))
+          }.getOrElse(Seq(0, 0, 0))
+        case _ => Seq(1)
+      }
+      c -> shape
+    }.toMap
+  }
+
+  /** One epoch: `nBatches` batches of `(inputs, outputs)` column-major
+    * row groups, in numeric key order. */
+  def epoch(): Iterator[(Map[String, IndexedSeq[Any]], Map[String, IndexedSeq[Any]])] = {
+    import scala.jdk.CollectionConverters._
+    val limited = df.orderBy(col(keyCol)).limit((nBatches * batchSize).toInt)
+    limited.toLocalIterator().asScala.grouped(batchSize).map { rows =>
+        val batch = rows.toIndexedSeq
+        def cols(cs: Seq[String]) = cs.map(c => c -> batch.map(_.getAs[Any](c))).toMap
+        (cols(inputCols), cols(outputCols))
+      }
+  }
+
+  /** Infinite generator over epochs (reference `batch_generator`). */
+  def batches(epochs: Int = -1): Iterator[(Map[String, IndexedSeq[Any]], Map[String, IndexedSeq[Any]])] =
+    if (epochs < 0) Iterator.continually(epoch()).flatten
+    else Iterator.range(0, epochs).flatMap(_ => epoch())
+}

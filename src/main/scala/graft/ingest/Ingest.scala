@@ -1,0 +1,153 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Reference-parity ingestion: the readers, key assignment, and stream
+  * splitting of the reference pipeline, re-expressed as lazy DataFrame
+  * transforms (SURVEY §2.1 S3-S7, P1-P2, K1; §3 EP1).
+  *
+  * The reference's 3-stage queue topology (reader → datum worker → LMDB
+  * writer, `/root/reference/serialize.py:403-407, 622-634`) collapses into
+  * one declarative chain: `read → withKey → split streams → write.parquet`.
+  * Catalyst pipelines the narrow ops; input-split parallelism replaces the
+  * (broken) thread-per-stream readers.
+  *
+  * Intentional fixes over the reference (SURVEY §2.1 bug list): keys are
+  * numeric and ordered numerically (not lexicographic strings); file lists
+  * are explicitly sorted (not os.listdir order); the text reader works.
+  */
+object Ingest {
+
+  // ---- K1: key assignment ----------------------------------------------
+  /** Dense 1-based key in the given order — exact reference parity
+    * (`serialize.py:30-32, 51-55`). Global row_number ⇒ single-partition
+    * window: correct at any scale but serializes one pass; use
+    * [[withScalableKey]] for bulk ingest where density matters but a
+    * global sort does not. */
+  def withDenseKey(df: DataFrame, order: Seq[Column], keyName: String = "key"): DataFrame =
+    df.withColumn(keyName, row_number().over(Window.orderBy(order: _*)).cast("long"))
+
+  /** Dense 1-based key without a global sort: per-partition counts are
+    * collected (a cheap count-only job), turned into offsets, and added to
+    * per-partition positions — the zipWithIndex construction, schema
+    * preserved. Order = partition order (deterministic for sorted file
+    * scans). This is the 100 TB path: two narrow passes, no shuffle. */
+  def withScalableKey(df: DataFrame, keyName: String = "key"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(keyName, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- S6/S7: tabular scans ---------------------------------------------
+  /** CSV scan, header + inferred schema (`serialize.py:118-123`). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** JSON scan: list-of-dicts, or `{dataKey: [dicts...]}` when `dataKey`
+    * is given (`serialize.py:124-141, 198-215`). The reference json.load()s
+    * whole documents, so multiLine mode is the faithful reading. */
+  def readJson(spark: SparkSession, path: String, dataKey: Option[String] = None): DataFrame =
+    dataKey match {
+      case None => spark.read.option("multiLine", "true").json(path)
+      case Some(k) =>
+        spark.read.option("multiLine", "true").json(path)
+          .select(explode(col(k)).as("_rec")).select(col("_rec.*"))
+    }
+
+  // ---- P1: label pop ------------------------------------------------------
+  /** Split a keyed table into (inputs, labels) on the label column
+    * (`serialize.py:146-154`). Both sides keep the key; alignment is by
+    * construction, no runtime join. */
+  def popLabel(df: DataFrame, labelCol: String, keyName: String = "key"): (DataFrame, DataFrame) =
+    (df.drop(labelCol), df.select(col(keyName), col(labelCol)))
+
+  // ---- P2: row → float32 vector -------------------------------------------
+  /** All given columns cast to float32 and packed into one array column —
+    * the reference's universal value coercion (`serialize.py:156-166, 304`).
+    * Pure expression: stays in whole-stage codegen. */
+  def toFeatureVector(df: DataFrame, cols: Seq[String], out: String = "features"): DataFrame =
+    df.withColumn(out, array(cols.map(c => col(c).cast("float")): _*))
+
+  // ---- S3: single-input image directory scan -------------------------------
+  /** `dir/<label>/<img>` layout: binary scan + label from the parent dir
+    * (`serialize.py:44-64`). Keys follow sorted (label, path) order. */
+  def readImageDir(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.format("binaryFile").load(s"$dir/*/*")
+      .select(
+        col("path"),
+        element_at(split(col("path"), "/"), -2).as("slabel"),
+        col("content"))
+    withDenseKey(df, Seq(col("slabel"), col("path")))
+      .select("key", "path", "slabel", "content")
+  }
+
+  /** S4: n-images-per-record: `dir/<stream>/<label>/<img>`; the i-th
+    * (sorted) file of each label in each stream forms one record
+    * (`serialize.py:66-113`, sorted zip at :91). One wide row per record:
+    * a struct column per stream. */
+  def readImageStreams(spark: SparkSession, dir: String): DataFrame = {
+    val scan = spark.read.format("binaryFile").load(s"$dir/*/*/*")
+      .select(
+        element_at(split(col("path"), "/"), -3).as("stream"),
+        element_at(split(col("path"), "/"), -2).as("slabel"),
+        col("path"), col("content"))
+    // position of the file within its (stream, label) bucket, sorted —
+    // this is the record-forming zip; a narrow per-bucket window.
+    val ranked = scan.withColumn("pos",
+      row_number().over(Window.partitionBy("stream", "slabel").orderBy("path")))
+    val wide = ranked.groupBy("slabel", "pos")
+      .pivot("stream")
+      .agg(first(struct(col("path"), col("content"))))
+    withDenseKey(wide, Seq(col("slabel"), col("pos"))).drop("pos")
+  }
+
+  /** S5: binding-driven scan: a binding table column holds the file stem
+    * per record per stream; path = `dir/<stem><ext>`
+    * (`serialize.py:28-40, 504-567`). Returns the keyed binding rows
+    * joined with each stream's binary content. */
+  def readWithBinding(spark: SparkSession, binding: DataFrame, streamCols: Seq[String],
+                      dir: String, ext: String): DataFrame = {
+    val keyed = withDenseKey(binding, streamCols.map(col))
+    streamCols.foldLeft(keyed) { (acc, c) =>
+      val scan = spark.read.format("binaryFile").load(s"$dir/*$ext")
+        .select(col("path").as(s"${c}_path"), col("content").as(s"${c}_content"))
+      acc.withColumn(s"${c}_path", concat_ws("/", lit(dir.stripSuffix("/")),
+          concat(col(c), lit(ext))))
+        .join(scan, s"${c}_path")
+    }
+  }
+
+  // ---- text corpus (S7 text branch + P4) -----------------------------------
+  /** Text column selection: `options['text']` else first column
+    * (`serialize.py:222-224`). */
+  def selectTextColumn(df: DataFrame, textCol: Option[String]): Column =
+    col(textCol.getOrElse(df.columns.head))
+
+  /** P4: bag-of-words — corpus-wide vocabulary fit, then per-doc dense
+    * term-count vectors (`serialize.py:220-231`, sklearn CountVectorizer
+    * with token pattern \b\w+\b). Two-pass global op, exactly as in the
+    * reference: pass 1 aggregates the distinct vocabulary (a distributed
+    * groupBy, NOT a driver-side fit); pass 2 is a map.
+    *
+    * Vocabulary order is lexicographic (sklearn semantics — documented
+    * SURVEY §7 risk; Spark ML's CountVectorizer would order by frequency).
+    * Returns (vocabulary, df + `bow: array<float>` dense counts). */
+  def bagOfWords(df: DataFrame, textCol: String, out: String = "bow"): (Seq[String], DataFrame) = {
+    val toks = graft.functions.TextAnalysis.tokens(lower(col(textCol)))
+    val vocab = df.select(explode(toks).as("t")).distinct()
+      .orderBy("t").collect().map(_.getString(0)).toSeq
+    val vocabLit = array(vocab.map(lit): _*)
+    // dense count vector: for each vocab term, count of occurrences.
+    val counted = df.withColumn("_toks", toks)
+      .withColumn(out, transform(vocabLit, v =>
+        size(filter(col("_toks"), t => t === v)).cast("float")))
+      .drop("_toks")
+    (vocab, counted)
+  }
+}

@@ -38,14 +38,15 @@ object Dedup {
   }
 
   /** (id, shingles, sig): k-minhash signature per row (map-only).
-    * Hashes each shingle ONCE (md5 is the dominant cost), then applies the
-    * k linear transforms over the cached hash array. */
+    * Hashes each shingle ONCE (md5 is the dominant cost), then computes
+    * all k mins in a single primitive pass via the custom Catalyst
+    * expression [[graft.expressions.MinhashSigExpr]] — identical values
+    * to the declarative [[graft.functions.Hashing.minhashSig]] (spec-
+    * checked), ~100x faster than the interpreted nested lambdas. */
   def signatures(shingledDf: DataFrame, k: Int): DataFrame =
     shingledDf
       .withColumn("hs", transform(col("shingles"), t => Hashing.h28(t)))
-      .withColumn("sig", transform(sequence(lit(0), lit(k - 1)), i =>
-        array_min(transform(col("hs"), h =>
-          pmod(Hashing.coefA(i) * h + Hashing.coefB(i), lit(Hashing.P31))))))
+      .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
       .drop("hs")
 
   /** One row per (id, band) with the band's signature-slice as a join key. */
@@ -99,13 +100,24 @@ object Dedup {
     verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
   }
 
-  /** 60-bit SimHash fingerprint per document over its word-bigram multiset.
-    *
-    * Declarative (oracle-mirrorable) formulation: explode shingle×bit and
-    * re-aggregate. The map-only fast path is
-    * [[graft.expressions.Simhash60]]; this version exists so the DuckDB
-    * gate can recompute the exact fingerprints. */
+  /** 60-bit SimHash fingerprint per document over its word-bigram set —
+    * MAP-ONLY: one custom-expression pass per row, no explode, no shuffle.
+    * Values are identical to [[simhashDeclarative]] (spec-checked) and to
+    * the DuckDB oracle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.filter(size(toks) >= ngram)
+      .select(col(idCol).as("id"),
+        graft.expressions.Sketches.simhash60(
+          transform(TextAnalysis.wordNgrams(toks, ngram), g => Hashing.h60(g)))
+          .as("simhash"))
+  }
+
+  /** Declarative SimHash (explode shingle×bit, re-aggregate): the
+    * oracle-shaped reference formulation, kept for cross-checking the
+    * fast expression; 60× row blowup + two shuffles — do not use at
+    * scale. */
+  def simhashDeclarative(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val grams = docs
       .filter(size(toks) >= ngram)

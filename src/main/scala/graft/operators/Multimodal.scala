@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque binary payloads with
+  * typed metadata structs, plus decode / feature-extract / resize /
+  * frame-sample operators (SURVEY §1.2 `ImgData`/`VideoData`,
+  * `/root/reference/datum.proto:10-31`; decode lineage
+  * `/root/reference/serialize.py:269-294`).
+  *
+  * Design: payloads stay `binary` end-to-end; metadata (dims, format) is
+  * columnar and prunable, so a query touching only `img.height` never
+  * deserializes pixels. Decoders run as typed `mapPartitions` batches —
+  * the JVM analogue of `mapInPandas`: per-partition setup cost is paid
+  * once, rows stream through in batches, and the operator composes with
+  * repartitioning for skew (a handful of 4K images must not pin one task).
+  *
+  * Codec availability: PNG/JPEG decode is REAL (JDK ImageIO — RGB channel
+  * order, an intentional, documented divergence from the reference's cv2
+  * BGR). Video/audio codecs are absent in this container, so
+  * [[sampleFrames]] and [[audioFeatures]] STUB the codec call behind a
+  * deterministic synthesizer — schema, batching and partitioning are real
+  * and tested; swap `stubDecode*` for a real codec in production.
+  */
+object Multimodal {
+
+  /** Decoded image record — mirrors `ImgData` (datum.proto:10-21). */
+  case class ImageRecord(key: Long, identifier: String, channels: Int,
+                         height: Int, width: Int, data: Array[Byte])
+
+  /** Raw binary row: (key, identifier, payload). */
+  case class BinaryRecord(key: Long, identifier: String, payload: Array[Byte])
+
+  private def decodeOne(key: Long, id: String, bytes: Array[Byte]): Option[ImageRecord] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      val (h, w) = (img.getHeight, img.getWidth)
+      val out = new Array[Byte](h * w * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      ImageRecord(key, id, 3, h, w, out)
+    }
+
+  /** Decode binary image payloads to (channels, height, width, RGB bytes).
+    * Typed mapPartitions batch op; undecodable payloads are dropped (and
+    * would be routed to a quarantine sink in production). */
+  def decodeImages(ds: Dataset[BinaryRecord]): Dataset[ImageRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => decodeOne(r.key, r.identifier, r.payload)))
+  }
+
+  /** Nearest-neighbour resize on decoded records — pure JVM arithmetic,
+    * bit-deterministic across machines (no Graphics2D filtering). */
+  def resize(ds: Dataset[ImageRecord], newH: Int, newW: Int): Dataset[ImageRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val out = new Array[Byte](newH * newW * r.channels)
+      var y = 0
+      while (y < newH) {
+        val sy = y * r.height / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x * r.width / newW
+          var c = 0
+          while (c < r.channels) {
+            out((y * newW + x) * r.channels + c) = r.data((sy * r.width + sx) * r.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      r.copy(height = newH, width = newW, data = out)
+    }
+  }
+
+  /** Per-channel mean pixel features (float32, reference's universal
+    * dtype), as a DataFrame (key, mean_r, mean_g, mean_b). */
+  def channelMeans(ds: Dataset[ImageRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val sums = new Array[Double](r.channels)
+      var i = 0
+      while (i < r.data.length) {
+        sums(i % r.channels) += (r.data(i) & 0xff)
+        i += 1
+      }
+      val n = (r.height * r.width).toDouble
+      (r.key, (sums(0) / n).toFloat,
+        (if (r.channels > 1) sums(1) / n else 0.0).toFloat,
+        (if (r.channels > 2) sums(2) / n else 0.0).toFloat)
+    }.toDF("key", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Video frame record; `VideoData` surface (datum.proto:23-31 — declared
+    * but never constructed in the reference). */
+  case class FrameRecord(key: Long, identifier: String, frameIdx: Int,
+                         height: Int, width: Int, channels: Int, data: Array[Byte])
+
+  /** STUB CODEC: no video codec ships in this container. Synthesizes
+    * deterministic frames from the payload hash so the operator's schema,
+    * batch shape and partitioning are fully exercisable. Replace with a
+    * real demuxer (e.g. JavaCV) in production. */
+  private def stubDecodeVideo(payload: Array[Byte], everyNth: Int): Seq[(Int, Array[Byte])] = {
+    val nFrames = 1 + math.abs(java.util.Arrays.hashCode(payload)) % 16
+    (0 until nFrames by everyNth).map { f =>
+      val px = new Array[Byte](4 * 4 * 3)
+      var i = 0
+      while (i < px.length) { px(i) = ((payload.length + f * 31 + i) & 0xff).toByte; i += 1 }
+      (f, px)
+    }
+  }
+
+  /** Sample every n-th frame of each video payload. Real Spark plumbing,
+    * stubbed codec (see above). */
+  def sampleFrames(ds: Dataset[BinaryRecord], everyNth: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => stubDecodeVideo(r.payload, everyNth).map {
+      case (idx, px) => FrameRecord(r.key, r.identifier, idx, 4, 4, 3, px)
+    })
+  }
+
+  /** STUB CODEC: deterministic pseudo-MFCC audio features from payload
+    * bytes; real batching/schema, fake DSP. */
+  def audioFeatures(ds: Dataset[BinaryRecord], nCoeffs: Int = 13): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val feats = Array.tabulate(nCoeffs) { i =>
+        val h = java.util.Arrays.hashCode(r.payload) * (i + 1)
+        (h % 1000) / 1000.0f
+      }
+      (r.key, feats)
+    }.toDF("key", "mfcc")
+  }
+}

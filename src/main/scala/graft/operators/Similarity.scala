@@ -52,21 +52,13 @@ object Similarity {
     }
   }
 
-  private def signLit: Column =
-    array(signMatrix.map(row => array(row.map(lit): _*)): _*)
-
   /** Adds `sketch`: a 16-bit SRP signature. Integer-exact: quantizes each
-    * component to floor(x·1e6) so the per-plane sum is order-independent. */
+    * component to floor(x·1e6) so the per-plane sum is order-independent —
+    * computed by the custom expression [[graft.expressions.SrpSketchExpr]]
+    * with the hyperplane matrix baked in at plan time (map-only). */
   def sketched(normedDf: DataFrame): DataFrame =
-    normedDf
-      .withColumn("qv", expr(s"transform(v, x -> CAST(floor(x * $Quant) AS BIGINT))"))
-      .withColumn("signs", signLit)
-      .withColumn("sketch",
-        expr(s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) ->
-          acc + IF(aggregate(sequence(1, $Dims), 0L, (a, i) ->
-                     a + element_at(element_at(signs, p + 1), i) * element_at(qv, i))
-                   >= 0, shiftleft(CAST(1 AS BIGINT), p), 0L))"""))
-      .drop("qv", "signs")
+    normedDf.withColumn("sketch",
+      graft.expressions.Sketches.srpSketch(col("v"), signMatrix))
 
   /** (id, v, nrm, band, bkey): two 8-bit bands per sketch. */
   def banded(sketchedDf: DataFrame): DataFrame =

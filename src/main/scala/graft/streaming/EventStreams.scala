@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the `events` stream (SURVEY §2.2
+  * streaming row). The reference's only streaming notion is a hand-rolled
+  * producer/consumer queue pipeline (`/root/reference/serialize.py:404-405,
+  * 622-634`) with no event time; these operators add the event-time
+  * semantics a training-data pipeline needs: watermarked tumbling windows,
+  * session windows, and late-data tolerance.
+  *
+  * Every transform takes a DataFrame and works identically on a batch
+  * frame or a `readStream` frame — the batch twins are oracle-checked as
+  * q17 (hourly) and q18 (sessionize); the streaming path is spec-tested
+  * with a MemoryStream source.
+  *
+  * Scale notes: state store size is bounded by the watermark horizon ×
+  * key cardinality; keys here are (window, event_type) and (user_id,
+  * session) — both small relative to input volume. Aggregations are
+  * partial-final (map-side combine) automatically.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time windows per event_type, tolerating 2 h of
+    * lateness. Works on stream or batch input. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows with a 30-minute inactivity gap per user — the
+    * streaming twin of q18's lag/gap sessionization. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** File-source streaming ingest of events parquet into hourly counts —
+    * the Structured-Streaming replacement of the reference's queue-driven
+    * ingest (EP1). Caller starts/stops the returned query. */
+  def fileStreamHourly(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    hourlyCounts(spark.readStream.schema(schema).parquet(inDir))
+}

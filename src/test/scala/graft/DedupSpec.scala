@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.Hashing
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one token changed
+  private def corpus = Seq(
+    (0L, base), (1L, nearDup), (2L, base), // 2 is an EXACT dup of 0
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles here"),
+    (4L, "another unrelated document mentioning parquet files and column pruning at scale"))
+    .toDF("doc_id", "text")
+
+  test("h60/h28 match a driver-side md5 computation") {
+    val got = corpus.select(Hashing.h60(col("text")), Hashing.h28(col("text")))
+      .as[(Long, Long)].collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(base.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got._1 == java.lang.Long.parseLong(hex.take(15), 16))
+    assert(got._2 == java.lang.Long.parseLong(hex.take(7), 16))
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", theta = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L))) // near dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs get identical fingerprints; near-dups are close") {
+    val fps = Dedup.simhash(corpus, "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one token of ~15 distinct bigrams changed -> ~2/15 of shingles differ
+    assert(ham(fps(0L), fps(1L)) <= 15)
+    assert(ham(fps(0L), fps(3L)) > 15)
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(3L)))
+  }
+
+  test("simhashPairs banded join finds low-hamming pairs exactly") {
+    val fps = Dedup.simhash(corpus, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(fps, maxHam = 5, nBands = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
+  }
+
+  test("fast custom expressions match the declarative formulations") {
+    val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
+    val fast = Dedup.signatures(sh, 32).select("id", "sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    val slow = sh.withColumn("sig", Hashing.minhashSig(col("shingles"), 32))
+      .select("id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(fast == slow)
+
+    val fastFp = Dedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val slowFp = Dedup.simhashDeclarative(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fastFp == slowFp)
+  }
+
+  test("signature banding recall: bands x rows covers whole signature") {
+    val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
+    val sig = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()
+    assert(sig.forall(_.size == 32))
+    // deterministic: same input, same signature
+    val sig2 = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+import graft.ingest.{BatchExport, Ingest}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("CSV scan + key + label pop + float32 vector (S6, K1, P1, P2)") {
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(dir, "data.csv"),
+      "f1,f2,f3,label\n1,2.5,3,0\n4,5.5,6,1\n7,8.5,9,0\n")
+    val raw = Ingest.readCsv(spark, s"$dir/data.csv")
+    val keyed = Ingest.withDenseKey(raw, Seq(col("f1")))
+    val (inputs, labels) = Ingest.popLabel(keyed, "label")
+    val vec = Ingest.toFeatureVector(inputs, Seq("f1", "f2", "f3"))
+    val rows = vec.select("key", "features").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.head._2.toSeq == Seq(1.0f, 2.5f, 3.0f))
+    val lab = labels.orderBy("key").as[(Long, Int)].collect()
+    assert(lab.map(_._2).toSeq == Seq(0, 1, 0))
+  }
+
+  test("JSON scan: list-of-dicts and {data_key: [...]} shapes (S7)") {
+    val dir = tmpDir("json")
+    Files.writeString(Paths.get(dir, "flat.json"),
+      """[{"x": 1, "y": 2}, {"x": 3, "y": 4}]""")
+    Files.writeString(Paths.get(dir, "wrapped.json"),
+      """{"data": [{"x": 5, "y": 6}, {"x": 7, "y": 8}]}""")
+    assert(Ingest.readJson(spark, s"$dir/flat.json").count() == 2)
+    val w = Ingest.readJson(spark, s"$dir/wrapped.json", Some("data"))
+    assert(w.columns.sorted.toSeq == Seq("x", "y"))
+    assert(w.count() == 2)
+  }
+
+  test("scalable dense key: 1-based, dense, order-stable (K1 at scale)") {
+    val df = spark.range(0, 1000).toDF("v").repartition(7)
+    val keyed = Ingest.withScalableKey(df)
+    val keys = keyed.select("key").as[Long].collect().sorted
+    assert(keys.toSeq == (1L to 1000L))
+  }
+
+  test("image dir scan: label from path, sorted key order (S3)") {
+    val dir = tmpDir("imgs")
+    for (label <- Seq("cat", "dog"); i <- 1 to 2) {
+      Files.createDirectories(Paths.get(dir, label))
+      val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000)
+      ImageIO.write(img, "png", Paths.get(dir, label, s"img$i.png").toFile)
+    }
+    val out = Ingest.readImageDir(spark, dir)
+      .select("key", "slabel").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq("cat", "cat", "dog", "dog"))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("n-stream image scan pivots aligned records (S4)") {
+    val dir = tmpDir("mimo")
+    for (stream <- Seq("rgb", "depth"); label <- Seq("a", "b"); i <- 1 to 2) {
+      Files.createDirectories(Paths.get(dir, stream, label))
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      ImageIO.write(img, "png", Paths.get(dir, stream, label, s"f$i.png").toFile)
+    }
+    val wide = Ingest.readImageStreams(spark, dir)
+    assert(wide.count() == 4) // 2 labels x 2 positions
+    assert(wide.columns.contains("rgb") && wide.columns.contains("depth"))
+    // aligned: same position index means same file rank in both streams
+    val r = wide.selectExpr("slabel", "rgb.path", "depth.path").as[(String, String, String)]
+      .collect()
+    r.foreach { case (_, rgbPath, depthPath) =>
+      assert(rgbPath.split("/").last == depthPath.split("/").last)
+    }
+  }
+
+  test("bag-of-words: corpus vocabulary + dense per-doc counts (P4)") {
+    val df = Seq((1L, "spark makes big data small"), (2L, "big data big plans"))
+      .toDF("key", "text")
+    val (vocab, out) = Ingest.bagOfWords(df, "text")
+    assert(vocab == vocab.sorted) // lexicographic, sklearn semantics
+    val m = out.select("key", "bow").as[(Long, Array[Float])].collect().toMap
+    val bigIdx = vocab.indexOf("big")
+    assert(m(1L)(bigIdx) == 1.0f && m(2L)(bigIdx) == 2.0f)
+    assert(m(1L).length == vocab.size)
+  }
+
+  test("batch export: remainder dropped, shapes from schema, epochs (D1-D3)") {
+    val df = (1L to 23L).map(k => (k, Array.fill(4)(k.toFloat), k % 2))
+      .toDF("key", "features", "label")
+    val be = BatchExport(df, "key", Seq("features"), Seq("label"), batchSize = 5)
+    assert(be.nSamples == 23 && be.nBatches == 4)
+    assert(be.shapes("features") == Seq(4) && be.shapes("label") == Seq(1))
+    val batches = be.epoch().toSeq
+    assert(batches.size == 4)
+    assert(batches.forall(_._1("features").size == 5))
+    // numeric key order: first batch is keys 1..5
+    assert(batches.head._2("label").size == 5)
+    val twoEpochs = be.batches(epochs = 2).toSeq
+    assert(twoEpochs.size == 8)
+  }
+}

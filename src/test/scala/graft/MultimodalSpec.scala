@@ -1,0 +1,61 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{BinaryRecord, ImageRecord}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real PNG decode to RGB bytes with dims") {
+    val ds = Seq(
+      BinaryRecord(1L, "red", pngBytes(4, 3, 0xff0000)),
+      BinaryRecord(2L, "blue", pngBytes(2, 2, 0x0000ff)),
+      BinaryRecord(3L, "garbage", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.decodeImages(ds).collect().sortBy(_.key)
+    assert(out.length == 2) // garbage dropped
+    val red = out.head
+    assert((red.height, red.width, red.channels) == (3, 4, 3))
+    assert((red.data(0) & 0xff, red.data(1) & 0xff, red.data(2) & 0xff) == (255, 0, 0))
+  }
+
+  test("resize: nearest-neighbour, deterministic") {
+    val rec = ImageRecord(1L, "x", 3, 4, 4, Array.tabulate(48)(_.toByte))
+    val out = Multimodal.resize(Seq(rec).toDS(), 2, 2).collect().head
+    assert(out.height == 2 && out.width == 2 && out.data.length == 12)
+    val out2 = Multimodal.resize(Seq(rec).toDS(), 2, 2).collect().head
+    assert(out.data.toSeq == out2.data.toSeq)
+  }
+
+  test("channelMeans: solid-colour image means are exact") {
+    val ds = Seq(BinaryRecord(1L, "red", pngBytes(4, 4, 0xff0000))).toDS()
+    val m = Multimodal.channelMeans(Multimodal.decodeImages(ds))
+      .as[(Long, Float, Float, Float)].collect().head
+    assert(m == ((1L, 255.0f, 0.0f, 0.0f)))
+  }
+
+  test("sampleFrames: stubbed codec, real schema and fan-out") {
+    val ds = Seq(BinaryRecord(1L, "vid", Array.fill[Byte](100)(7))).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frameIdx % 2 == 0 && f.data.length == 48))
+    val again = Multimodal.sampleFrames(ds, everyNth = 2).collect()
+    assert(frames.map(_.frameIdx).toSeq == again.map(_.frameIdx).toSeq)
+  }
+
+  test("audioFeatures: stubbed DSP, fixed coefficient count") {
+    val ds = Seq(BinaryRecord(1L, "wav", Array.fill[Byte](64)(3))).toDS()
+    val f = Multimodal.audioFeatures(ds).as[(Long, Array[Float])].collect().head
+    assert(f._2.length == 13)
+  }
+}

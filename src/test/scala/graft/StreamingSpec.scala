@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int) = new Timestamp(3600L * 1000 * 24 * 365 * 50 + m * 60000L)
+
+  test("hourlyCounts over a MemoryStream emits watermarked window aggregates") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Append).start()
+    mem.addData(
+      Ev(t(0), "click", 1, 1.0), Ev(t(10), "click", 1, 2.0), Ev(t(20), "buy", 2, 5.0))
+    q.processAllAvailable()
+    // advance watermark past the first hour so append-mode emits it
+    mem.addData(Ev(t(60 * 4), "click", 3, 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, total_value FROM hourly")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("buy", 1L, 5.0)))
+  }
+
+  test("sessions: 30-minute gap splits user activity into session windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessions(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    // user 1: two bursts separated by > 30 min -> two sessions
+    mem.addData(
+      Ev(t(0), "click", 1, 1.0), Ev(t(5), "click", 1, 1.0),
+      Ev(t(60), "click", 1, 1.0),
+      Ev(t(2), "click", 2, 9.0))
+    q.processAllAvailable()
+    mem.addData(Ev(t(60 * 8), "click", 9, 0.0)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, n_events FROM sess")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(rows(1L) == Seq(1L, 2L))
+    assert(rows(2L) == Seq(1L))
+  }
+
+  test("batch and streaming share the same transform (twin of q17)") {
+    val batch = Seq(
+      Ev(t(0), "click", 1, 1.0), Ev(t(10), "click", 1, 2.0), Ev(t(70), "buy", 2, 5.0))
+      .toDF()
+    val out = EventStreams.hourlyCounts(batch)
+      .selectExpr("event_type", "n").as[(String, Long)].collect().toSet
+    assert(out == Set(("click", 2L), ("buy", 1L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: regex vs whitespace vs distinct") {
+    val df = Seq((1L, "the cat  sat, on the mat!")).toDF("id", "text")
+    val t = TextAnalysis.tokens(col("text"))
+    val row = df.select(
+      size(t).cast("long"),
+      TextAnalysis.wsTokenCount(col("text")),
+      size(array_distinct(t)).cast("long"),
+      TextAnalysis.bpeEstimate(t)).as[(Long, Long, Long, Long)].collect().head
+    assert(row._1 == 6)      // the cat sat on the mat
+    assert(row._2 == 6)      // whitespace groups
+    assert(row._3 == 5)      // 'the' twice
+    assert(row._4 == 6)      // all tokens <= 4 chars -> 1 unit each
+  }
+
+  test("quality score is bounded and monotone in richness") {
+    val df = Seq(
+      (1L, "the of and to in is a " * 10 + "meaningful words appear here too"),
+      (2L, "@@@@ #### 1234 %%%% !!!!")).toDF("id", "text")
+    val t = TextAnalysis.tokens(col("text"))
+    val scores = df.select(col("id"), TextAnalysis.qualityScore(col("text"), t))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("language ID picks the list with most hits, tie-break order en>de>es>fr") {
+    val df = Seq(
+      (1L, "der hund und die katze ist ein tier"),
+      (2L, "el perro es un animal de la casa"),
+      (3L, "xyz qrs tuv")).toDF("id", "text")
+    val t = TextAnalysis.tokens(col("text"))
+    val (en, de, es, fr) = (TextAnalysis.hits(t, TextAnalysis.StopEn),
+      TextAnalysis.hits(t, TextAnalysis.StopDe),
+      TextAnalysis.hits(t, TextAnalysis.StopEs),
+      TextAnalysis.hits(t, TextAnalysis.StopFr))
+    val preds = df.select(col("id"), TextAnalysis.predictedLang(en, de, es, fr))
+      .as[(Long, String)].collect().toMap
+    assert(preds(1L) == "de")
+    assert(preds(2L) == "es")
+    assert(preds(3L) == "en") // zero hits everywhere -> tie-break
+  }
+
+  test("fingerprints: shared substrings produce shared fingerprints") {
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789" * 3
+    val df = Seq(
+      (1L, "PREFIX-" + shared),
+      (2L, shared + "-SUFFIX"),
+      (3L, "no overlap with anything else at all zzz")).toDF("id", "text")
+    val fp = TextAnalysis.fingerprints(col("text"))
+    val rows = df.select(col("id"), fp).as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L).toSet.intersect(rows(2L).toSet).nonEmpty)
+    assert(rows(1L).toSet.intersect(rows(3L).toSet).isEmpty)
+  }
+
+  test("word n-gram shingles are ordered and distinct") {
+    val df = Seq((1L, "a b c a b c")).toDF("id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = df.select(TextAnalysis.wordNgrams(toks, 2)).as[Seq[String]].collect().head
+    assert(grams.toSet == Set("a b", "b c", "c a"))
+  }
+}
