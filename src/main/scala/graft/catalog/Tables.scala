@@ -37,4 +37,16 @@ object Tables {
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Sink: persist a DataFrame as a named Parquet table (successor of the
+    * reference's per-stream LMDB write, `/root/reference/serialize.py:
+    * 342-387`). `partitionBy` gives partition pruning on read; pick
+    * low-cardinality columns (date, source) — at 100 TB a high-cardinality
+    * partition column means millions of tiny files. */
+  def save(df: DataFrame, dir: String, name: String,
+           partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/$name.parquet")
+  }
 }

@@ -95,8 +95,16 @@ object Dedup {
                       ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                       theta: Double = 0.5,
                       maxBucket: Option[Int] = None): DataFrame = {
+    // The shingle table feeds three joins (band self-join left/right +
+    // verification); materialize it once instead of re-tokenizing and
+    // re-hashing the corpus per branch. MEMORY_AND_DISK: at cluster scale
+    // this spills rather than OOMs, and is strictly cheaper than N full
+    // recomputes of scan → tokenize → md5.
     val sh = shingled(docs, idCol, textCol, ngram)
-    val cand = candidatePairs(bands(signatures(sh, k), b, r), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnd = bands(signatures(sh, k), b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bnd, maxBucket)
     verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
   }
 

@@ -250,6 +250,25 @@ object LlmOps {
           COALESCE(list_max(fps), -1) AS max_fp
         FROM f ORDER BY doc_id""")),
 
+    // ---- TF-IDF top terms (rational BM25-style idf, bit-exact) -----------
+    "q32_tfidf_topterms" -> Q(
+      (s, dir) => graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                 CAST(tf.tf AS DOUBLE) *
+                   ((CAST(n.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     / (CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS score
+               FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM sc)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""")),
+
     // ---- embedding near-dup pairs via SRP-LSH + cosine threshold ---------
     "q31_embed_neardups" -> Q(
       (s, dir) => Similarity.nearDupByCosine(
