@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   */
 object Sketches {
 
-  private[expressions] def md5PrefixLong(s: String, hexChars: Int): Long = {
+  def md5PrefixLong(s: String, hexChars: Int): Long = {
     val md = MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.take(hexChars), 16)

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextAnalysis}
+import graft.ingest.Ingest
+
+/** ScalaCheck invariants (SURVEY §5: property tests for codecs and key
+  * assignment). Runs against the shared local session. */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  property("withScalableKey assigns exactly 1..n") =
+    forAll(Gen.choose(0, 120), Gen.choose(1, 8)) { (n, parts) =>
+      val df = spark.range(n.toLong).toDF("v").repartition(parts)
+      val keys = Ingest.withScalableKey(df).select("key").as[Long].collect().sorted
+      keys.toSeq == (1L to n.toLong)
+    }
+
+  property("minhash signature is elementwise monotone under union") =
+    forAll(doc, doc) { (a, b) =>
+      val df = Seq((1L, a), (2L, a + " " + b)).toDF("id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val sigs = df.select(col("id"),
+          Hashing.minhashSig(array_distinct(toks), 16).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // shingles(1) ⊆ shingles(2) ⇒ sig(2) <= sig(1) elementwise
+      sigs(1L).zip(sigs(2L)).forall { case (s1, s2) => s2 <= s1 }
+    }
+
+  property("simhash of a single-element hash array is the hash's low 60 bits") =
+    forAll(Gen.choose(0L, (1L << 60) - 1)) { h =>
+      val fp = Seq(Tuple1(Seq(h))).toDF("hs")
+        .select(graft.expressions.Sketches.simhash60(col("hs")))
+        .as[Long].collect().head
+      fp == (h & ((1L << 60) - 1))
+    }
+
+  property("fingerprints are a subset of all 8-gram hashes") =
+    forAll(doc) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val fps = df.select(TextAnalysis.fingerprints(col("text")))
+        .as[Seq[Long]].collect().head.toSet
+      val all = (1 to math.max(text.length - 7, 1)).map { i =>
+        graft.expressions.Sketches.md5PrefixLong(
+          text.substring(i - 1, math.min(i + 7, text.length)), 15)
+      }.toSet
+      fps.subsetOf(all) && fps.forall(_ % 16 == 0)
+    }
+
+  property("exact dedup partitions the corpus: sum of copies = row count") =
+    forAll(Gen.listOfN(10, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.exactDedup(df, "doc_id", "text")
+      out.agg(sum("n_copies")).as[Long].collect().head == texts.size
+    }
+}
