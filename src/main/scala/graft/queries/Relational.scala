@@ -399,6 +399,22 @@ object Relational {
         WHERE o_totalprice > (SELECT ${Det.sqlMoneyAvg("o_totalprice")} FROM orders)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- approximate aggregates (HLL / quantile sketches) ---------------
+    // No oracle: sketch algorithms differ engine-to-engine by design, so
+    // the driver records the rows-only check. Exact twins of these
+    // aggregates are oracle-checked in q08 (countDistinct).
+    "q33_approx_stats" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // ---- array functions over embeddings --------------------------------
     "q20_array_funcs" -> Q(
       (s, dir) => {

@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == Seq(1L))
   }
 
+  test("file-source streaming ingest: parquet drops flow into hourly windows") {
+    val in = java.nio.file.Files.createTempDirectory("evstream").toString
+    val batch1 = Seq(Ev(t(0), "click", 1, 1.0), Ev(t(10), "click", 2, 2.0)).toDF()
+    batch1.write.mode("append").parquet(in)
+    val stream = EventStreams.fileStreamHourly(spark, in, batch1.schema)
+    val q = stream.writeStream.format("memory").queryName("filehourly")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second file drop advances the watermark past hour 1
+    Seq(Ev(t(60 * 5), "buy", 3, 9.0)).toDF().write.mode("append").parquet(in)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n FROM filehourly")
+      .as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains(("click", 2L)))
+  }
+
   test("batch and streaming share the same transform (twin of q17)") {
     val batch = Seq(
       Ev(t(0), "click", 1, 1.0), Ev(t(10), "click", 1, 2.0), Ev(t(70), "buy", 2, 5.0))
