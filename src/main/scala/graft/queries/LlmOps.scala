@@ -250,6 +250,18 @@ object LlmOps {
           COALESCE(list_max(fps), -1) AS max_fp
         FROM f ORDER BY doc_id""")),
 
+    // ---- IVF (KMeans-bucketed) ANN — second scale path -------------------
+    // No oracle: KMeans is not SQL-expressible; recall vs brute force and
+    // determinism are asserted in IvfSpec. Driver records rows-only.
+    "q34_ann_ivf" -> Q(
+      (s, dir) => {
+        val n = graft.operators.Similarity.normed(emb(s, dir), "vec_id", "embedding")
+        val model = graft.operators.Ivf.fit(n, k = 16)
+        graft.operators.Ivf.search(n.filter(col("id") < 10), n, model, k = 5, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- TF-IDF top terms (rational BM25-style idf, bit-exact) -----------
     "q32_tfidf_topterms" -> Q(
       (s, dir) => graft.operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 well-separated clusters of 64-dim vectors
+  private def clustered = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8, 64)(rnd.nextFloat() * 10 - 5)
+    (0L until 200L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.1f), (i % 8).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("IVF search: high recall vs brute force on clustered data, deterministic") {
+    val n = Similarity.normed(clustered, "vec_id", "embedding")
+    val model = Ivf.fit(n, k = 8)
+    val q = n.filter(col("id") < 8)
+    val brute = Similarity.bruteForceTopK(q, n, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.search(q, n, model, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+
+    val ivf2 = Ivf.search(q, n, model, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2)
+  }
+
+  test("bucket assignment covers the corpus and buckets are non-trivial") {
+    val n = Similarity.normed(clustered, "vec_id", "embedding")
+    val model = Ivf.fit(n, k = 8)
+    val counts = Ivf.assign(n, model).groupBy("bucket").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.values.sum == 200)
+    assert(counts.size >= 4) // clusters actually split the space
+  }
+}
