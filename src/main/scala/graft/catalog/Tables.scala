@@ -38,6 +38,18 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Sink: bucketed managed table for co-located joins. Two tables
+    * bucketed+sorted by the same key with the same bucket count join with
+    * NO shuffle exchange on either side — at 100 TB this is the difference
+    * between a join that moves nothing and one that moves both inputs.
+    * (Bucketed writes require the session catalog, hence saveAsTable.) */
+  def saveBucketed(df: DataFrame, tableName: String, buckets: Int,
+                   key: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Sink: persist a DataFrame as a named Parquet table (successor of the
     * reference's per-stream LMDB write, `/root/reference/serialize.py:
     * 342-387`). `partitionBy` gives partition pruning on read; pick

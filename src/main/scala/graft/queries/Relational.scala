@@ -399,6 +399,133 @@ object Relational {
         WHERE o_totalprice > (SELECT ${Det.sqlMoneyAvg("o_totalprice")} FROM orders)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- 6-way join: regional supplier volume (TPC-H Q5 shape) ----------
+    "q35_regional_volume" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                  col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        // lineitem is the fact side; everything else broadcasts inward.
+        // Q5's signature constraint: supplier and customer in the SAME nation.
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem, orders, customer, supplier, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- returned-item report (TPC-H Q10 shape) --------------------------
+    "q36_returned_items" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))).as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS revenue
+        FROM lineitem, orders, customer, nation
+        WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- conditional aggregation: promo revenue share (Q14 shape) --------
+    "q37_promo_share" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-06-01 00:00:00")) &&
+                  col("l_shipdate") < to_timestamp(lit("1996-09-01 00:00:00")))
+        val p = t(s, dir, "part")
+        val net = Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            Det.sumD(when(col("p_type").startsWith("PROMO"), net)
+              .otherwise(lit(0).cast(Det.Money))).as("promo_revenue"),
+            Det.sumD(net).as("total_revenue"),
+            count(lit(1)).as("n_items"))
+          .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+      },
+      Some(s"""SELECT
+          ${Det.sqlSumD(s"CASE WHEN p_type LIKE 'PROMO%' THEN ${Det.sqlMoney("l_extendedprice")} * ${Det.sqlOneMinus("l_discount")} ELSE CAST(0 AS DECIMAL(12,2)) END")} AS promo_revenue,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS total_revenue,
+          COUNT(*) AS n_items,
+          ${Det.sqlSumD(s"CASE WHEN p_type LIKE 'PROMO%' THEN ${Det.sqlMoney("l_extendedprice")} * ${Det.sqlOneMinus("l_discount")} ELSE CAST(0 AS DECIMAL(12,2)) END")}
+            / ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS promo_share
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'""")),
+
+    // ---- correlated subquery: customers above their nation's average ----
+    "q38_above_nation_avg" -> Q(
+      (s, dir) => {
+        // decorrelated as a window: one pass, no per-row subquery.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("c_nationkey")
+        t(s, dir, "customer")
+          .withColumn("nation_avg",
+            sum(Det.money(col("c_acctbal"))).over(w).cast("double") /
+              count(col("c_acctbal")).over(w))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_above"),
+               Det.moneySum(col("c_acctbal")).as("total_above"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_above,
+          ${Det.sqlMoneySum("c_acctbal")} AS total_above
+        FROM customer c1
+        WHERE c_acctbal > (
+          SELECT ${Det.sqlSumD(Det.sqlMoney("c_acctbal"))} / COUNT(c_acctbal)
+          FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- static pivot: order counts by status x priority ----------------
+    "q39_pivot_status" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"), col("F").as("n_f"),
+            col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_f,
+          CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_o,
+          CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- approximate aggregates (HLL / quantile sketches) ---------------
     // No oracle: sketch algorithms differ engine-to-engine by design, so
     // the driver records the rows-only check. Exact twins of these

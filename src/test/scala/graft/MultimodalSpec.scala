@@ -44,6 +44,21 @@ class MultimodalSpec extends SparkSpec {
     assert(m == ((1L, 255.0f, 0.0f, 0.0f)))
   }
 
+  test("codec round-trip: image records survive parquet write/read intact") {
+    val recs = Seq(
+      ImageRecord(1L, "a", 3, 2, 2, Array.tabulate(12)(_.toByte)),
+      ImageRecord(2L, "b", 3, 1, 4, Array.tabulate(12)(i => (255 - i).toByte)))
+    val dir = java.nio.file.Files.createTempDirectory("roundtrip").toString
+    recs.toDS().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[ImageRecord].collect().sortBy(_.key)
+    assert(back.length == 2)
+    recs.zip(back).foreach { case (a, b) =>
+      assert(a.key == b.key && a.identifier == b.identifier &&
+        a.channels == b.channels && a.height == b.height && a.width == b.width)
+      assert(a.data.toSeq == b.data.toSeq)
+    }
+  }
+
   test("sampleFrames: stubbed codec, real schema and fan-out") {
     val ds = Seq(BinaryRecord(1L, "vid", Array.fill[Byte](100)(7))).toDS()
     val frames = Multimodal.sampleFrames(ds, everyNth = 2).collect()
