@@ -3,7 +3,7 @@ package graft.expressions
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   * Measured effect: q26 minhash at sf0.1 drops from 518 s (interpreted
   * lambdas, md5 re-derived per (i, shingle)) to seconds.
   *
-  * They extend UnaryExpression + CodegenFallback: one virtual call per row
-  * from generated code into `nullSafeEval` — the loop itself is already
-  * monomorphic JVM code, so full `doGenCode` would only save the call.
+  * `doGenCode` emits a call into the expression instance (via
+  * `addReferenceObj`) rather than falling back to the interpreter — the
+  * containing operator stays inside ONE WholeStageCodegen span, and the
+  * per-row loop runs as monomorphic JVM code.
   */
 object Sketches {
 
@@ -52,7 +53,7 @@ object Sketches {
   * sig[i] = min_h (a_i·h + b_i) mod (2^31-1). One pass over the hashes,
   * all k mins updated per element. Empty/absent input → null. */
 case class MinhashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L
   @transient private lazy val (as, bs) = Sketches.coefficients(k)
@@ -79,6 +80,14 @@ case class MinhashSigExpr(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinhashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }""")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -86,7 +95,7 @@ case class MinhashSigExpr(child: Expression, k: Int)
 /** 60-bit SimHash over an array of 60-bit element hashes: bit j of the
   * result is set iff Σ_h (2·bit_j(h) − 1) >= 0. */
 case class Simhash60Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -114,6 +123,11 @@ case class Simhash60Expr(child: Expression)
     fp
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[Simhash60Expr].getName)
+    defineCodeGen(ctx, ev, c => s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -123,7 +137,7 @@ case class Simhash60Expr(child: Expression)
   * quantized to floor(x·1e6) so the sums are exact integers — identical
   * to the declarative/oracle formulation regardless of evaluation order. */
 case class SrpSketchExpr(child: Expression, signs: Array[Array[Int]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -151,6 +165,11 @@ case class SrpSketchExpr(child: Expression, signs: Array[Array[Int]])
       p += 1
     }
     sketch
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpSketchExpr].getName)
+    defineCodeGen(ctx, ev, c => s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

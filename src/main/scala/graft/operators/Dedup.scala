@@ -108,6 +108,25 @@ object Dedup {
     verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
   }
 
+  /** Production-tier near-dup pipeline: identical structure to
+    * [[minhashNearDups]] but shingle hashes come from xxhash64
+    * ([[graft.functions.FastHashing.h28Fast]]) instead of md5 prefixes —
+    * fully codegen'd hashing, no hex parsing. Different hash family ⇒ not
+    * oracle-comparable; same duplicate sets on real data (spec-checked). */
+  def minhashNearDupsFast(docs: DataFrame, idCol: String, textCol: String,
+                          ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                          theta: Double = 0.5,
+                          maxBucket: Option[Int] = None): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh
+      .withColumn("hs", transform(col("shingles"), t => graft.functions.FastHashing.h28Fast(t)))
+      .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
+      .drop("hs")
+    val cand = candidatePairs(bands(sig, b, r), maxBucket)
+    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+  }
+
   /** 60-bit SimHash fingerprint per document over its word-bigram set —
     * MAP-ONLY: one custom-expression pass per row, no explode, no shuffle.
     * Values are identical to [[simhashDeclarative]] (spec-checked) and to

@@ -250,6 +250,11 @@ object LlmOps {
           COALESCE(list_max(fps), -1) AS max_fp
         FROM f ORDER BY doc_id""")),
 
+    // ---- production-tier near-dup (xxhash64) — rows-only ----------------
+    "q40_neardups_fast" -> Q(
+      (s, dir) => Dedup.minhashNearDupsFast(docs(s, dir), "doc_id", "text"),
+      None),
+
     // ---- IVF (KMeans-bucketed) ANN — second scale path -------------------
     // No oracle: KMeans is not SQL-expressible; recall vs brute force and
     // determinism are asserted in IvfSpec. Driver records rows-only.

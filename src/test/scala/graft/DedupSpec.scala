@@ -38,6 +38,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
   }
 
+  test("fast (xxhash64) near-dup pipeline finds the same duplicate pairs") {
+    val md5Pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", theta = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val fastPairs = Dedup.minhashNearDupsFast(corpus, "doc_id", "text", theta = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(fastPairs == md5Pairs)
+  }
+
   test("simhash: identical docs get identical fingerprints; near-dups are close") {
     val fps = Dedup.simhash(corpus, "doc_id", "text")
       .orderBy("id").as[(Long, Long)].collect().toMap
