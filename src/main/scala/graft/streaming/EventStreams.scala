@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * session) — both small relative to input volume. Aggregations are
   * partial-final (map-side combine) automatically.
   */
+/** Running per-user aggregate state for [[EventStreams.userRunningTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
+
 object EventStreams {
 
   /** Tumbling 1-hour event-time windows per event_type, tolerating 2 h of
@@ -41,6 +44,41 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Per-user running state via flatMapGroupsWithState — the custom-state
+    * escape hatch for semantics window functions can't express. Emits an
+    * updated (user_id, n_events, n_purchases, total_value) row per batch
+    * per active user; state is dropped after 1 h of processing-time
+    * inactivity so the store cannot grow beyond the active-user set. */
+  def userRunningTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                        timeout: org.apache.spark.sql.streaming.GroupStateTimeout =
+                          org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout)
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (user: Long, rows: Iterator[(Long, String, Double)], state: GroupState[UserTotals]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0L, 0.0))
+            val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
+              UserTotals(user, acc.n_events + 1,
+                acc.n_purchases + (if (typ == "purchase") 1 else 0),
+                acc.total_value + v)
+            }
+            state.update(next)
+            if (useTimeout) state.setTimeoutDuration("1 hour")
+            Iterator.single(next)
+          }
+        })
+  }
 
   /** File-source streaming ingest of events parquet into hourly counts —
     * the Structured-Streaming replacement of the reference's queue-driven

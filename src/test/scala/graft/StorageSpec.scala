@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+
+/** Storage-layout behaviours that matter at 100 TB: partition pruning on
+  * partitioned sinks, and column pruning + filter pushdown on plain ones. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitionBy sink + filter reads only the matching partition") {
+    val dir = java.nio.file.Files.createTempDirectory("parts").toString
+    val df = (1 to 300).map(i => (i.toLong, s"2024-01-${i % 3 + 1}", i * 1.5))
+      .toDF("id", "day", "v")
+    Tables.save(df, dir, "byday", partitionBy = Seq("day"))
+
+    val read = spark.read.parquet(s"$dir/byday.parquet").filter(col("day") === "2024-01-2")
+    assert(read.count() == 100)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-2"),
+      s"expected partition pruning in:\n$scan")
+  }
+
+  test("projection + predicate reach the parquet scan (pushdown, pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("push").toString
+    (1 to 100).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
+      .toDF("id", "name", "v", "pad").write.parquet(s"$dir/t.parquet")
+    val q = spark.read.parquet(s"$dir/t.parquet")
+      .filter(col("id") > 50).select("id", "v")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(id,50)"), s"pushed filter missing:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"column pruning missing:\n$scan")
+  }
+}

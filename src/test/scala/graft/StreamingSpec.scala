@@ -67,6 +67,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 2L)))
   }
 
+  test("flatMapGroupsWithState: running per-user totals across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // NoTimeout in the test: processing-time timeouts keep the engine
+    // triggering timeout-check batches, so processAllAvailable never idles.
+    val q = EventStreams.userRunningTotals(mem.toDF(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    mem.addData(Ev(t(0), "click", 1, 1.0), Ev(t(1), "purchase", 1, 10.0))
+    q.processAllAvailable()
+    mem.addData(Ev(t(2), "purchase", 1, 5.0), Ev(t(3), "click", 2, 0.5))
+    q.processAllAvailable()
+    // memory sink in update mode appends each update; take the LAST row per user
+    val rows = spark.sql("SELECT * FROM totals")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    q.stop()
+    assert(rows(1L) == ((1L, 3L, 2L, 16.0))) // state carried across batches
+    assert(rows(2L) == ((2L, 1L, 0L, 0.5)))
+  }
+
   test("batch and streaming share the same transform (twin of q17)") {
     val batch = Seq(
       Ev(t(0), "click", 1, 1.0), Ev(t(10), "click", 1, 2.0), Ev(t(70), "buy", 2, 5.0))
