@@ -42,11 +42,61 @@ object Sketches {
   def minhashSig(hashes28: Column, k: Int): Column =
     GraftBridge.column(MinhashSigExpr(GraftBridge.expression(hashes28), k))
 
+  /** md5-prefix hash of every string in an array — identical values to
+    * mapping [[graft.functions.Hashing.h28]]/[[h60]] over the array, in
+    * one digest loop instead of interpreted md5→hex→conv per element. */
+  def md5PrefixArray(strings: Column, hexChars: Int): Column =
+    GraftBridge.column(Md5PrefixArrayExpr(GraftBridge.expression(strings), hexChars))
+
   def simhash60(hashes60: Column): Column =
     GraftBridge.column(Simhash60Expr(GraftBridge.expression(hashes60)))
 
   def srpSketch(vec: Column, signs: Array[Array[Int]]): Column =
     GraftBridge.column(SrpSketchExpr(GraftBridge.expression(vec), signs))
+}
+
+/** Array-wide md5-prefix hashing: array<string> → array<long>, where each
+  * element is the first `hexChars` hex digits of its md5 as an integer —
+  * byte-identical to the SQL formulation `CAST(CONV(SUBSTRING(MD5(x),1,n),
+  * 16,10) AS BIGINT)` used by the DuckDB oracle. */
+case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    val nibbles = hexChars // one hex char = 4 bits
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < nibbles) {
+        val b = digest(j / 2) & 0xff
+        val nib = if (j % 2 == 0) b >> 4 else b & 0xf
+        v = (v << 4) | nib
+        j += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5arr", this, classOf[Md5PrefixArrayExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** k-element MinHash signature over an array of 28-bit shingle hashes:

@@ -29,13 +29,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("content_hash")
 
-  /** (id, shingles) with distinct word n-grams; rows with < n tokens drop. */
-  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+  /** (id, shingles) with distinct word n-grams; rows with < n tokens drop.
+    * The token array is STAGED as a column before the n-gram lambda:
+    * Spark does no common-subexpression elimination inside higher-order-
+    * function lambdas, so an inlined `tokens(text)` would re-run the
+    * tokenizer regex per shingle element (measured ~5x slowdown). */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .filter(size(toks) >= n)
-      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(toks, n).as("shingles"))
-  }
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), TextAnalysis.wordNgrams(col("toks"), n).as("shingles"))
 
   /** (id, shingles, sig): k-minhash signature per row (map-only).
     * Hashes each shingle ONCE (md5 is the dominant cost), then computes
@@ -45,7 +48,7 @@ object Dedup {
     * checked), ~100x faster than the interpreted nested lambdas. */
   def signatures(shingledDf: DataFrame, k: Int): DataFrame =
     shingledDf
-      .withColumn("hs", transform(col("shingles"), t => Hashing.h28(t)))
+      .withColumn("hs", graft.expressions.Sketches.md5PrefixArray(col("shingles"), 7))
       .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
       .drop("hs")
 
@@ -131,14 +134,12 @@ object Dedup {
     * MAP-ONLY: one custom-expression pass per row, no explode, no shuffle.
     * Values are identical to [[simhashDeclarative]] (spec-checked) and to
     * the DuckDB oracle. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    docs.filter(size(toks) >= ngram)
-      .select(col(idCol).as("id"),
+  def simhash(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame =
+    shingled(docs, idCol, textCol, ngram)
+      .select(col("id"),
         graft.expressions.Sketches.simhash60(
-          transform(TextAnalysis.wordNgrams(toks, ngram), g => Hashing.h60(g)))
+          graft.expressions.Sketches.md5PrefixArray(col("shingles"), 15))
           .as("simhash"))
-  }
 
   /** Declarative SimHash (explode shingle×bit, re-aggregate): the
     * oracle-shaped reference formulation, kept for cross-checking the
