@@ -113,12 +113,16 @@ object Ingest {
     * joined with each stream's binary content. */
   def readWithBinding(spark: SparkSession, binding: DataFrame, streamCols: Seq[String],
                       dir: String, ext: String): DataFrame = {
+    val absDir = new java.io.File(dir).getAbsolutePath.stripSuffix("/")
     val keyed = withDenseKey(binding, streamCols.map(col))
     streamCols.foldLeft(keyed) { (acc, c) =>
+      // binaryFile reports URIs (file:/…); strip the scheme so the join key
+      // matches the filesystem path derived from the binding stem.
       val scan = spark.read.format("binaryFile").load(s"$dir/*$ext")
-        .select(col("path").as(s"${c}_path"), col("content").as(s"${c}_content"))
-      acc.withColumn(s"${c}_path", concat_ws("/", lit(dir.stripSuffix("/")),
-          concat(col(c), lit(ext))))
+        .select(regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+            .as(s"${c}_path"),
+          col("content").as(s"${c}_content"))
+      acc.withColumn(s"${c}_path", concat(lit(s"$absDir/"), col(c), lit(ext)))
         .join(scan, s"${c}_path")
     }
   }

@@ -78,6 +78,22 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("binding-driven scan associates per-stream files by stem (S5)") {
+    val dir = tmpDir("binding")
+    for (stem <- Seq("x1", "x2", "y1")) {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      ImageIO.write(img, "png", Paths.get(dir, s"$stem.png").toFile)
+    }
+    Files.writeString(Paths.get(dir, "bindings.csv"), "in0,out0\nx1,x2\ny1,x1\n")
+    val binding = Ingest.readCsv(spark, s"$dir/bindings.csv")
+    val out = Ingest.readWithBinding(spark, binding, Seq("in0", "out0"), dir, ".png")
+    assert(out.count() == 2)
+    val row = out.orderBy("key").selectExpr("key", "in0_path", "out0_path")
+      .as[(Long, String, String)].collect()
+    assert(row(0)._2.endsWith("x1.png") && row(0)._3.endsWith("x2.png"))
+    assert(row(1)._2.endsWith("y1.png") && row(1)._3.endsWith("x1.png"))
+  }
+
   test("bag-of-words: corpus vocabulary + dense per-doc counts (P4)") {
     val df = Seq((1L, "spark makes big data small"), (2L, "big data big plans"))
       .toDF("key", "text")
