@@ -9,7 +9,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Tables_warmup(spark, sfDir)
+    warmTables(spark, sfDir)
     // dev aid: SPARK_GRAFT_ONLY=q26_minhash_neardups,q25_simhash times a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
@@ -26,7 +26,7 @@ object Bench {
   }
 
   /** Touch every table's footer so scans don't pay first-read costs. */
-  private def Tables_warmup(spark: SparkSession, sfDir: String): Unit =
+  private def warmTables(spark: SparkSession, sfDir: String): Unit =
     graft.catalog.Tables.names.foreach { n =>
       try graft.catalog.Tables.load(spark, sfDir, n).limit(1).collect()
       catch { case _: Throwable => () }

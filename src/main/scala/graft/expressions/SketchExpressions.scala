@@ -2,7 +2,7 @@ package graft.expressions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -53,6 +53,43 @@ object Sketches {
 
   def srpSketch(vec: Column, signs: Array[Array[Int]]): Column =
     GraftBridge.column(SrpSketchExpr(GraftBridge.expression(vec), signs))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Ordered-fold dot product of two array<double> columns: Σ a[i]·b[i]
+  * accumulated left to right from 0.0 — bit-identical to the declarative
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,p) -> acc+p)` and to
+  * DuckDB's `list_reduce([a[i]*b[i] ...], (x,y) -> x+y)`, so it is safe
+  * inside oracle-checked queries. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += va.getDouble(i) * vb.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this, classOf[DotProductExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"((java.lang.Double) $ref.nullSafeEval($a, $b)).doubleValue()")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Array-wide md5-prefix hashing: array<string> → array<long>, where each

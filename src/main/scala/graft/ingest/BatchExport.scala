@@ -51,7 +51,11 @@ final case class BatchExport(df: DataFrame, keyCol: String,
     * row groups, in numeric key order. */
   def epoch(): Iterator[(Map[String, IndexedSeq[Any]], Map[String, IndexedSeq[Any]])] = {
     import scala.jdk.CollectionConverters._
-    val limited = df.orderBy(col(keyCol)).limit((nBatches * batchSize).toInt)
+    val takeN = nBatches * batchSize
+    require(takeN <= Int.MaxValue,
+      s"epoch of $takeN rows exceeds a single driver-side iteration; " +
+        "export epochs this large should be written to storage per-batch instead")
+    val limited = df.orderBy(col(keyCol)).limit(takeN.toInt)
     limited.toLocalIterator().asScala.grouped(batchSize).map { rows =>
         val batch = rows.toIndexedSeq
         def cols(cs: Seq[String]) = cs.map(c => c -> batch.map(_.getAs[Any](c))).toMap

@@ -25,10 +25,16 @@ object Ivf {
 
   /** Fit k centroids over the `v` column of a normed corpus
     * ([[Similarity.normed]] output). Deterministic for a fixed seed. */
-  def fit(normedDf: DataFrame, k: Int, seed: Long = 42L): KMeansModel =
-    new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+  def fit(normedDf: DataFrame, k: Int, seed: Long = 42L): KMeansModel = {
+    // KMeans iterates over its input; materialize once instead of
+    // recomputing the scan+norm chain per iteration.
+    val feats = normedDf.withColumn("features", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try new KMeans().setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("bucket")
-      .fit(normedDf.withColumn("features", array_to_vector(col("v"))))
+      .fit(feats)
+    finally feats.unpersist()
+  }
 
   /** Corpus with its IVF bucket id. At scale, write this out partitioned
     * or bucketed by `bucket` so search prunes at the storage layer. */

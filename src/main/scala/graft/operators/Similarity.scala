@@ -32,13 +32,14 @@ object Similarity {
   /** (id, v: array<double>, nrm) — normalized-read corpus. */
   def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, y) -> acc + y))"))
+      .withColumn("nrm", sqrt(graft.expressions.Sketches.dotProduct(col("v"), col("v"))))
 
-  /** Ordered-fold cosine of two double-array columns with precomputed norms. */
+  /** Ordered-fold cosine of two double-array columns with precomputed
+    * norms — [[graft.expressions.DotProductExpr]] is bit-identical to the
+    * declarative aggregate/zip_with fold (and the oracle's list_reduce),
+    * evaluated as one primitive loop. */
   def cosineExpr(va: String, vb: String, na: String, nb: String): Column =
-    expr(s"aggregate(zip_with($va, $vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)" +
-      s" / ($na * $nb)")
+    graft.expressions.Sketches.dotProduct(col(va), col(vb)) / (col(na) * col(nb))
 
   /** md5-derived ±1 hyperplane matrix, computed once at plan time.
     * sign(p,d) = +1 iff the first 7 md5 hex chars of "w<p>_<d>" are odd —
