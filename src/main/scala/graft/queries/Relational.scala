@@ -111,13 +111,14 @@ object Relational {
     "q05_anti_join" -> Q(
       (s, dir) => {
         val c = t(s, dir, "customer")
-        val o = t(s, dir, "orders")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         ORDER BY c_custkey""")),
 
     // ---- highly selective scan-agg (TPC-H Q6-style) --------------------
