@@ -286,6 +286,42 @@ object LlmOps {
         SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
         FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- end-to-end curation pipeline: quality → exact → near-dup --------
+    "q41_curation_stats" -> Q(
+      (s, dir) => graft.operators.Curate.run(docs(s, dir), "doc_id", "text").stats,
+      Some(s"""WITH t0 AS (SELECT doc_id, text, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+        q AS (SELECT doc_id, text, toks FROM t0 WHERE
+            CAST(0.4 AS DOUBLE) * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE))
+          + CAST(0.2 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE),
+              (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) / CAST(0.1 AS DOUBLE))
+          + CAST(0.4 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(50 AS DOUBLE))
+          >= CAST(0.6 AS DOUBLE)),
+        ed AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        e AS (SELECT q.* FROM q JOIN ed USING (doc_id)),
+        g AS (SELECT doc_id,
+                list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams
+              FROM e WHERE len(toks) >= 2),
+        tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM tg),
+        mh AS (SELECT doc_id, i,
+                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
+               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+                FROM sig CROSS JOIN range(8) rb(band)),
+        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+                 FROM bnd ba JOIN bnd bb
+                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
+        dropb AS (SELECT DISTINCT b FROM p WHERE jac >= 0.5),
+        fin AS (SELECT e.doc_id FROM e WHERE e.doc_id NOT IN (SELECT b FROM dropb))
+        SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+               (SELECT COUNT(*) FROM q) AS n_quality,
+               (SELECT COUNT(*) FROM e) AS n_exact,
+               (SELECT COUNT(*) FROM fin) AS n_final""")),
+
     // ---- embedding near-dup pairs via SRP-LSH + cosine threshold ---------
     "q31_embed_neardups" -> Q(
       (s, dir) => Similarity.nearDupByCosine(
