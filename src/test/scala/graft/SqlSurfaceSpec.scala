@@ -1,0 +1,29 @@
+package graft
+
+import graft.catalog.Tables
+
+/** The `spark.sql(...)` surface over the registered named-table catalog. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registerAll exposes every table as a view; SQL matches DataFrame results") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    Tables.names.foreach { n =>
+      assert(spark.catalog.tableExists(n), s"view $n missing")
+    }
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      .as[(String, Long)].collect().toSeq
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, dir, "customer")
+        .join(Tables.load(spark, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
+    }
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+}
