@@ -157,6 +157,27 @@ object LlmOps {
           CAST(SUM(CASE WHEN sw >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
         FROM sb GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- SimHash near-dup pairs via banded join (pigeonhole recall) ------
+    "q42_simhash_dups" -> Q(
+      (s, dir) => Dedup.simhashPairs(
+        Dedup.simhash(docs(s, dir), "doc_id", "text"), maxHam = 5, nBands = 6),
+      Some(s"""WITH $SqlGrams,
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        h AS (SELECT doc_id, ${H.sqlH60("gram")} AS h FROM t),
+        b AS (SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS wgt
+              FROM h CROSS JOIN range(60) r(j)),
+        sb AS (SELECT doc_id, j, SUM(wgt) AS sw FROM b GROUP BY doc_id, j),
+        fp AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN sw >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS bkey
+               FROM fp CROSS JOIN range(6) rb(band)),
+        pr AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b,
+                 CAST(bit_count(xor(ba.simhash, bb.simhash)) AS BIGINT) AS hamming
+               FROM bd ba JOIN bd bb
+               ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id)
+        SELECT a, b, hamming FROM pr WHERE hamming <= 5 ORDER BY a, b""")),
+
     // ---- MinHash + LSH near-duplicate pairs ------------------------------
     "q26_minhash_neardups" -> Q(
       (s, dir) => Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
