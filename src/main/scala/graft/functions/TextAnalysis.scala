@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Text-analysis column builders for the LLM-data pipeline: tokenization,
   * token counting (whitespace / regex / BPE-ish estimate), n-gram shingles,
   * language-ID heuristics, quality scoring, and mod-p document
-  * fingerprinting.
+  * fingerprinting (mod-p k-gram sampling, the winnowing family --
+  * Schleimer/Wilkerson/Aiken, SIGMOD 2003).
   *
   * Lineage: the reference's only text op is a corpus-wide bag-of-words fit
   * with token pattern `\b\w+\b` (`/root/reference/serialize.py:220-231`);

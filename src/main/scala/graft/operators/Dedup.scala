@@ -7,6 +7,11 @@ import graft.functions.{Hashing, TextAnalysis}
 /** Deduplication operators for the LLM-data pipeline: exact (content-hash),
   * MinHash+LSH near-dup, SimHash near-dup, and exact n-gram Jaccard.
   *
+  * Literature: MinHash resemblance sketches (Broder 1997); banded LSH
+  * (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3); SimHash
+  * (Charikar, STOC 2002) and its web-scale dedup deployment (Manku et al.,
+  * WWW 2007).
+  *
   * Scale design (100 TB):
   *  - Exact dedup groups on a 256-bit content hash, never on the raw text —
   *    the shuffle carries 32 bytes + ids per row instead of whole documents.

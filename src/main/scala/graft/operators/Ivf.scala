@@ -6,7 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** IVF (inverted-file) approximate nearest-neighbour search: partition the
+/** IVF (inverted-file) approximate nearest-neighbour search (the coarse
+  * quantizer of Jegou et al., TPAMI 2011): partition the
   * corpus into k centroid buckets (KMeans), search only the `nProbe`
   * buckets nearest to each query.
   *

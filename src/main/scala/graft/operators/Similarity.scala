@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns: brute-force cosine top-k
   * (the correctness baseline) and sign-random-projection (SRP) LSH
+  * (random-hyperplane rounding, Charikar STOC 2002; Goemans-Williamson)
   * bucketed search (the scale path), plus cosine near-dup pairing.
   *
   * Scale design (100 TB):

@@ -10,7 +10,8 @@ import graft.functions.TextAnalysis
   * `/root/reference/serialize.py:220-231`, is the same two-pass shape —
   * global term statistics, then a per-doc map).
   *
-  * The idf is the BM25 rational form idf = (N - df + 0.5)/(df + 0.5)
+  * The idf is the BM25 rational form (Robertson/Zaragoza 2009)
+  * idf = (N - df + 0.5)/(df + 0.5)
   * rather than a logarithm: division is a single IEEE operation, so the
   * scores are bit-identical in every engine (libm `log` implementations
   * are not), keeping this operator oracle-checkable.
