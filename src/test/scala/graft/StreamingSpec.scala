@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("click", 2L)))
   }
 
+  test("streaming exact dedup drops repeated event_ids across batches") {
+    implicit val sq = spark.sqlContext
+    case class E2(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupedEvents(df)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData((1L, t(0), 1L, "click", 1.0), (2L, t(1), 1L, "click", 2.0),
+      (1L, t(0), 1L, "click", 1.0)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData((2L, t(1), 1L, "click", 2.0), (3L, t(2), 2L, "buy", 3.0)) // cross-batch dup
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState: running per-user totals across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
