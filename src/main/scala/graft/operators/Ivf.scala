@@ -46,7 +46,7 @@ object Ivf {
   /** Squared-L2 distances from `v` to each centroid, as a map-only
     * expression over a plan-time centroid literal. */
   private def centroidDists(model: KMeansModel) = {
-    val cents = model.clusterCenters.map(c => array(c.toArray.map(lit): _*))
+    val cents = model.clusterCenters.toIndexedSeq.map(c => array(c.toArray.toIndexedSeq.map(lit): _*))
     array(cents.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
