@@ -166,6 +166,40 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — every doc in a component gets the
+    * component's smallest id as `cluster`. Greedy drop-the-b misses
+    * transitive chains (a~b, b~c but a≁c); this is the exhaustive rule.
+    *
+    * Iterations = graph diameter (near-dup components are shallow —
+    * typically pairs/triples, so 2-4 rounds). Each round is one join +
+    * one min-aggregate over the EDGE set, not the corpus. At extreme
+    * scale swap for the large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014); the
+    * fixpoint loop shape is identical. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select("id", "cluster").union(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.orderBy("id")
+  }
+
   /** Near-dup pairs by SimHash: Hamming(a,b) <= maxHam, found via banded
     * join. With `nBands` > maxHam, pigeonhole guarantees exact recall:
     * ≤ maxHam differing bits cannot touch all bands. 60-bit fp, 6 bands

@@ -198,6 +198,35 @@ object LlmOps {
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
         SELECT a, b, jac FROM p WHERE jac >= 0.5 ORDER BY a, b""")),
 
+    // ---- duplicate clusters: connected components over near-dup pairs ---
+    "q43_dup_clusters" -> Q(
+      (s, dir) => Dedup.dupClusters(
+        Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)),
+      Some(s"""WITH RECURSIVE $SqlGrams,
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM t),
+        mh AS (SELECT doc_id, i,
+                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
+               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+                FROM sig CROSS JOIN range(8) rb(band)),
+        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+                 FROM bnd ba JOIN bnd bb
+                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
+        pairs AS (SELECT a, b FROM p WHERE jac >= 0.5),
+        sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        reach AS (SELECT src, dst FROM sym
+                  UNION
+                  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        nodes AS (SELECT DISTINCT src AS id FROM sym)
+        SELECT id, LEAST(id, MIN(dst)) AS cluster
+        FROM nodes LEFT JOIN reach ON reach.src = id
+        GROUP BY id ORDER BY id""")),
+
     // ---- exact n-gram Jaccard similarity join (brute, subset) -----------
     "q27_jaccard_brute" -> Q(
       (s, dir) => {

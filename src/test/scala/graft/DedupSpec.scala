@@ -80,6 +80,13 @@ class DedupSpec extends SparkSpec {
     assert(fastFp == slowFp)
   }
 
+  test("dupClusters: connected components catch transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val clusters = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("signature banding recall: bands x rows covers whole signature") {
     val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
     val sig = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Dedup, Similarity}
+
+/** Operators must degrade to empty results — not crash — on empty input
+  * (a filter that matches nothing upstream is routine at scale). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup operators on an empty corpus") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashNearDups(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhash(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
+  test("similarity operators on an empty corpus") {
+    val n = Similarity.normed(noVecs, "vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(n, n, 5).count() == 0)
+    assert(Similarity.annTopK(n, n, 5).count() == 0)
+    assert(Similarity.nearDupByCosine(n, 0.5).count() == 0)
+  }
+
+  test("curation of an empty corpus yields zero stats") {
+    val st = Curate.run(noDocs, "doc_id", "text").stats
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st == ((0L, 0L, 0L, 0L)))
+  }
+}
