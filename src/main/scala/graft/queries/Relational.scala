@@ -279,6 +279,48 @@ object Relational {
             EXCEPT SELECT DISTINCT c_nationkey AS k FROM customer)
           ORDER BY tag, k""")),
 
+    // ---- multiset set operations (ALL variants) --------------------------
+    "q44_set_ops_all" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // nation-key multisets: customers vs suppliers per nation, WITH
+        // multiplicity — intersectAll/exceptAll keep duplicate cardinality.
+        val cn = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k"))
+        val inter = cn.intersectAll(sn).groupBy("k").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        val exc = cn.exceptAll(sn).groupBy("k").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        inter.unionByName(exc).select($"op", $"k", $"n").orderBy("op", "k")
+      },
+      Some("""SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k
+          UNION ALL
+          SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL SELECT s_nationkey AS k FROM supplier) GROUP BY k
+          ORDER BY op, k""")),
+
+    // ---- explicit GROUPING SETS via the SQL surface -----------------------
+    "q45_grouping_sets" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${Det.sqlMoneySum("l_quantity")} AS sum_qty,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // ---- string functions ----------------------------------------------
     "q14_string_funcs" -> Q(
       (s, dir) => {
