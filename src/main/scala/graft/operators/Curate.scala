@@ -29,6 +29,7 @@ object Curate {
     val toks = TextAnalysis.tokens(col(textCol))
     val quality = docs
       .filter(TextAnalysis.qualityScore(col(textCol), toks) >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepIds = Dedup.exactDedup(quality, idCol, textCol).select(idCol)
     val exact = quality.join(keepIds, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

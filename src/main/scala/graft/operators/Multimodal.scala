@@ -55,6 +55,30 @@ object Multimodal {
       ImageRecord(key, id, 3, h, w, out)
     }
 
+  /** Deterministic synthetic corpus: one real PNG per input row, pixels
+    * derived from the identifier hash. Exists so the full decode →
+    * transform → feature pipeline can run as a declared query against the
+    * text-only test tables (no binary columns ship in the fixtures). */
+  def syntheticImages(ds: Dataset[(Long, String)], side: Int = 8): Dataset[BinaryRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { case (key, id) =>
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+      val h = id.hashCode
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          img.setRGB(x, y, (h * (x + 1) * (y + 31)) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      BinaryRecord(key, id, bos.toByteArray)
+    }
+  }
+
   /** Decode binary image payloads to (channels, height, width, RGB bytes).
     * Typed mapPartitions batch op; undecodable payloads are dropped (and
     * would be routed to a quarantine sink in production). */

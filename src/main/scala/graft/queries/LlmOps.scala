@@ -300,6 +300,23 @@ object LlmOps {
           COALESCE(list_max(fps), -1) AS max_fp
         FROM f ORDER BY doc_id""")),
 
+    // ---- multimodal pipeline: synth PNG → decode → resize → features ----
+    // Rows-only: image bytes are synthesized (fixtures ship no binary
+    // columns) and PNG encoding is library-dependent, so no SQL oracle;
+    // decode/resize/feature values are asserted exactly in MultimodalSpec.
+    "q46_multimodal_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+          .as[(Long, String)]
+        val imgs = graft.operators.Multimodal.syntheticImages(src)
+        val decoded = graft.operators.Multimodal.decodeImages(imgs)
+        val small = graft.operators.Multimodal.resize(decoded, 4, 4)
+        graft.operators.Multimodal.channelMeans(small)
+          .orderBy("key")
+      },
+      None),
+
     // ---- production-tier near-dup (xxhash64) — rows-only ----------------
     "q40_neardups_fast" -> Q(
       (s, dir) => Dedup.minhashNearDupsFast(docs(s, dir), "doc_id", "text"),
