@@ -256,6 +256,57 @@ object Relational {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ---- RANGE window frame: rolling 30-day activity per customer -------
+    "q47_window_range" -> Q(
+      (s, dir) => {
+        val days = datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("day", days)
+          .withColumn("n_30d", count(lit(1)).over(w).cast("long"))
+          .withColumn("spend_30d",
+            sum(Det.money(col("o_totalprice"))).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            col("n_30d"), col("spend_30d"))
+          .orderBy("o_custkey", "day", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, day, n_30d, spend_30d FROM (
+          SELECT o_custkey, o_orderkey,
+            CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+            COUNT(*) OVER w AS n_30d,
+            CAST(SUM(${Det.sqlMoney("o_totalprice")}) OVER w AS DOUBLE) AS spend_30d
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+            ORDER BY CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))
+        ORDER BY o_custkey, day, o_orderkey""")),
+
+    // ---- window navigation: ntile / first / last / nth -------------------
+    "q48_window_navigation" -> Q(
+      (s, dir) => {
+        val order = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .withColumn("quartile", ntile(4).over(order).cast("long"))
+          .withColumn("richest", first(col("c_custkey")).over(full))
+          .withColumn("poorest", last(col("c_custkey")).over(full))
+          .withColumn("second", nth_value(col("c_custkey"), 2).over(full))
+          .select(col("c_nationkey"), col("c_custkey"), col("quartile"),
+            col("richest"), col("poorest"), col("second"))
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          FIRST_VALUE(c_custkey) OVER wf AS richest,
+          LAST_VALUE(c_custkey) OVER wf AS poorest,
+          NTH_VALUE(c_custkey, 2) OVER wf AS second
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+          wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY c_nationkey, c_custkey""")),
+
     // ---- set operations -------------------------------------------------
     "q13_set_ops" -> Q(
       (s, dir) => {
