@@ -183,6 +183,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -193,6 +194,9 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
+      // `changed` materialized `next`; the previous round's cache is dead.
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(next)
       labels = next
       converged = changed == 0
       i += 1

@@ -54,6 +54,27 @@ object PropertySpec extends Properties("graft") {
       fps.subsetOf(all) && fps.forall(_ % 16 == 0)
     }
 
+  property("DotProductExpr is bit-identical to the declarative ordered fold") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))) { xs =>
+      val df = Seq((xs.toArray, xs.reverse.toArray)).toDF("a", "b")
+      val fast = df.select(graft.expressions.Sketches.dotProduct(col("a"), col("b")))
+        .as[Double].collect().head
+      val slow = df.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+        .as[Double].collect().head
+      java.lang.Double.doubleToRawLongBits(fast) == java.lang.Double.doubleToRawLongBits(slow)
+    }
+
+  property("Md5PrefixArrayExpr matches per-element h60/h28 hashing") =
+    forAll(Gen.listOfN(5, word)) { ws =>
+      val df = Seq(Tuple1(ws)).toDF("ss")
+      def arr(hex: Int) = df.select(
+        graft.expressions.Sketches.md5PrefixArray(col("ss"), hex)).as[Seq[Long]].collect().head
+      val h60s = df.select(transform(col("ss"), s => Hashing.h60(s))).as[Seq[Long]].collect().head
+      val h28s = df.select(transform(col("ss"), s => Hashing.h28(s))).as[Seq[Long]].collect().head
+      arr(15) == h60s && arr(7) == h28s
+    }
+
   property("exact dedup partitions the corpus: sum of copies = row count") =
     forAll(Gen.listOfN(10, doc)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
