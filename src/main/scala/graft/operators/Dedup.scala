@@ -146,6 +146,16 @@ object Dedup {
           graft.expressions.Sketches.md5PrefixArray(col("shingles"), 15))
           .as("simhash"))
 
+  /** Production-tier SimHash: xxhash64 shingle hashes (codegen'd) into
+    * the same [[graft.expressions.Simhash60Expr]]; not oracle-comparable
+    * (different hash family), same near-dup behaviour. */
+  def simhashFast(docs: DataFrame, idCol: String, textCol: String, ngram: Int = 2): DataFrame =
+    shingled(docs, idCol, textCol, ngram)
+      .select(col("id"),
+        graft.expressions.Sketches.simhash60(
+          transform(col("shingles"), s => graft.functions.FastHashing.h60Fast(s)))
+          .as("simhash"))
+
   /** Declarative SimHash (explode shingle×bit, re-aggregate): the
     * oracle-shaped reference formulation, kept for cross-checking the
     * fast expression; 60× row blowup + two shuffles — do not use at

@@ -80,6 +80,14 @@ class DedupSpec extends SparkSpec {
     assert(fastFp == slowFp)
   }
 
+  test("fast simhash tier separates dups from unrelated docs like the md5 tier") {
+    val fps = Dedup.simhashFast(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(0L) == fps(2L))
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(3L)))
+  }
+
   test("dupClusters: connected components catch transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val clusters = Dedup.dupClusters(pairs)
