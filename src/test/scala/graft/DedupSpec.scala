@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
   }
 
+  test("maxBucket cap suppresses pairs from oversized buckets") {
+    val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
+    val bnd = Dedup.bands(Dedup.signatures(sh, 32), 8, 4)
+    val uncapped = Dedup.candidatePairs(bnd).count()
+    val capped = Dedup.candidatePairs(bnd, maxBucket = Some(1)).count()
+    assert(uncapped > 0 && capped == 0)
+  }
+
   test("fast custom expressions match the declarative formulations") {
     val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
     val fast = Dedup.signatures(sh, 32).select("id", "sig")

@@ -44,6 +44,22 @@ class MultimodalSpec extends SparkSpec {
     assert(m == ((1L, 255.0f, 0.0f, 0.0f)))
   }
 
+  test("S3 scan → P3 decode: image dir flows into typed decode end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("s3p3").toString
+    for (label <- Seq("cat", "dog")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, label))
+      val img = new BufferedImage(5, 4, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x00ff00)
+      ImageIO.write(img, "png", java.nio.file.Paths.get(dir, label, "a.png").toFile)
+    }
+    val scanned = graft.ingest.Ingest.readImageDir(spark, dir)
+    val recs = scanned.selectExpr("key", "path", "content").as[(Long, String, Array[Byte])]
+      .map { case (k, p, c) => BinaryRecord(k, p, c) }
+    val decoded = Multimodal.decodeImages(recs).collect().sortBy(_.key)
+    assert(decoded.length == 2)
+    assert(decoded.forall(r => r.height == 4 && r.width == 5 && r.channels == 3))
+  }
+
   test("codec round-trip: image records survive parquet write/read intact") {
     val recs = Seq(
       ImageRecord(1L, "a", 3, 2, 2, Array.tabulate(12)(_.toByte)),
