@@ -56,6 +56,21 @@ object Sketches {
 
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Expose the sketch expressions to the SQL surface as temp functions
+    * (graft_minhash_sig / graft_simhash60 / graft_md5_prefix /
+    * graft_dot). Idempotent per session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      exprs => Simhash60Expr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinhashSigExpr(exprs.head, 32), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_md5_prefix",
+      exprs => Md5PrefixArrayExpr(exprs.head, 15), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+  }
 }
 
 /** Ordered-fold dot product of two array<double> columns: Σ a[i]·b[i]

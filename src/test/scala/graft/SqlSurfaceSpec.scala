@@ -26,4 +26,20 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(viaSql == viaDf && viaSql.nonEmpty)
   }
+
+  test("custom sketch expressions are callable from SQL") {
+    graft.expressions.Sketches.registerSql(spark)
+    val fp = spark.sql(
+      """SELECT graft_simhash60(graft_md5_prefix(array('a b', 'b c'))) AS fp,
+                graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""")
+      .as[(Long, Double)].collect().head
+    assert(fp._2 == 11.0)
+    // same value as the Column API
+    val viaCol = Seq(Tuple1(Seq("a b", "b c"))).toDF("g")
+      .select(graft.expressions.Sketches.simhash60(
+        graft.expressions.Sketches.md5PrefixArray(
+          org.apache.spark.sql.functions.col("g"), 15)))
+      .as[Long].collect().head
+    assert(fp._1 == viaCol)
+  }
 }
