@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each left row, attach the LATEST right
+  * row with the same key and rightTime <= leftTime — the standard
+  * time-series enrichment Spark has no native operator for.
+  *
+  * Built by composition (preference tier (a), SURVEY §4): tag and union
+  * both inputs, sort per key by (time, side) — right rows first at equal
+  * timestamps, giving inclusive `<=` — and carry the right payload
+  * forward with `last(_, ignoreNulls)` over a running frame. ONE shuffle
+  * on the key, no range cross-product: at 100 TB this beats any
+  * range-condition join, which would explode to |left|x|right| per key
+  * before filtering. Matches DuckDB's native ASOF JOIN semantics
+  * (oracle-checked as q49, including no-match nulls).
+  *
+  * Requirement: right rows are unique per (key, time) — pre-aggregate
+  * ties away (the caller chooses the tie-break; q49 keeps max id).
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, lKey: String, lTime: String,
+           right: DataFrame, rKey: String, rTime: String,
+           carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lp = left
+      .withColumn("_k", col(lKey)).withColumn("_t", col(lTime))
+      .withColumn("_side", lit(1))
+      .select(Seq(col("_k"), col("_t"), col("_side")) ++
+        leftCols.map(col) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_c_$c")): _*)
+    val rp = right
+      .select(Seq(col(rKey).as("_k"), col(rTime).as("_t"), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carry.map(c => col(c).as(s"_c_$c")): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(lp.unionByName(rp)) { (df, c) =>
+      df.withColumn(s"_c_$c", last(col(s"_c_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ carry.map(c => col(s"_c_$c").as(c)): _*)
+  }
+}

@@ -620,6 +620,28 @@ object Relational {
           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_p
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- as-of (point-in-time) join --------------------------------------
+    // For each event, the user's most recent order at or before the event.
+    // Spark has no native as-of operator; ours is composed from built-ins
+    // (operators.AsOfJoin) and checked against DuckDB's native ASOF JOIN.
+    "q49_asof_join" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val od = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.operators.AsOfJoin.asOf(
+            e, "user_id", "ts", od, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, od.o_orderkey
+        FROM events e ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        ORDER BY event_id""")),
+
     // ---- approximate aggregates (HLL / quantile sketches) ---------------
     // No oracle: sketch algorithms differ engine-to-engine by design, so
     // the driver records the rows-only check. Exact twins of these
