@@ -642,6 +642,24 @@ object Relational {
           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         ORDER BY event_id""")),
 
+    // ---- banded range join: follow-up events within 30 min, per event ----
+    "q50_range_join" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+        val follow = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+          col("event_id").as("follow_id"))
+        graft.operators.RangeJoin.within(e, "user_id", "ts", follow, "u2", "ts2", 1800L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_follow"), max(col("follow_id")).as("last_follow"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+        SELECT a.event_id, COUNT(*) AS n_follow, MAX(b.event_id) AS last_follow
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        GROUP BY a.event_id ORDER BY a.event_id""")),
+
     // ---- approximate aggregates (HLL / quantile sketches) ---------------
     // No oracle: sketch algorithms differ engine-to-engine by design, so
     // the driver records the rows-only check. Exact twins of these
