@@ -34,6 +34,14 @@ object Tables {
     else df
   }
 
+  /** Interchange sinks (CSV with header / JSON lines). Parquet is the
+    * engine-native format; these exist for export interoperability. */
+  def saveCsv(df: DataFrame, dir: String, name: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(s"$dir/$name.csv")
+
+  def saveJson(df: DataFrame, dir: String, name: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(s"$dir/$name.json")
+
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -21,6 +21,19 @@ class StorageSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("csv/json sinks round-trip through the matching readers") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks").toString
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "s", "v")
+    Tables.saveCsv(df, dir, "t")
+    Tables.saveJson(df, dir, "t")
+    val csvBack = graft.ingest.Ingest.readCsv(spark, s"$dir/t.csv")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val jsonBack = spark.read.json(s"$dir/t.json")
+      .select("id", "s", "v").orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(csvBack == Seq((1L, "a", 2.5), (2L, "b", 3.5)))
+    assert(jsonBack == csvBack)
+  }
+
   test("projection + predicate reach the parquet scan (pushdown, pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("push").toString
     (1 to 100).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
