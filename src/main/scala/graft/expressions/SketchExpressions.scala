@@ -68,6 +68,10 @@ object Sketches {
       exprs => MinhashSigExpr(exprs.head, 32), "scala_udf")
     reg.createOrReplaceTempFunction("graft_md5_prefix",
       exprs => Md5PrefixArrayExpr(exprs.head, 15), "scala_udf")
+    // 28-bit variant — the correct feed for graft_minhash_sig (60-bit
+    // inputs would be masked; use this to match the Scala pipeline)
+    reg.createOrReplaceTempFunction("graft_md5_prefix28",
+      exprs => Md5PrefixArrayExpr(exprs.head, 7), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
   }
@@ -83,6 +87,7 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null-element inputs → null
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
@@ -91,6 +96,7 @@ case class DotProductExpr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
       acc += va.getDouble(i) * vb.getDouble(i)
       i += 1
     }
@@ -99,8 +105,10 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dot", this, classOf[DotProductExpr].getName)
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"((java.lang.Double) $ref.nullSafeEval($a, $b)).doubleValue()")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.nullSafeEval($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -117,6 +125,10 @@ case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // null elements make the whole result null (documented; never occurs in
+  // the engine's own pipelines, guards the SQL surface)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -125,6 +137,7 @@ case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
     val nibbles = hexChars // one hex char = 4 bits
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       md.reset()
       val digest = md.digest(arr.getUTF8String(i).getBytes)
       var v = 0L
@@ -144,7 +157,9 @@ case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("md5arr", this, classOf[Md5PrefixArrayExpr].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);""")
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -158,10 +173,13 @@ case class MinhashSigExpr(child: Expression, k: Int)
     extends UnaryExpression {
 
   private val P = 2147483647L
+  private val Mask28 = (1L << 28) - 1
   @transient private lazy val (as, bs) = Sketches.coefficients(k)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // empty or null-element inputs yield null regardless of child nullability
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -170,7 +188,10 @@ case class MinhashSigExpr(child: Expression, k: Int)
     val out = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
+      if (hs.isNullAt(j)) return null
+      // mask to 28 bits: no-op for the intended h28 inputs, keeps the
+      // a_i*h multiply overflow-free for any input fed via SQL
+      val h = hs.getLong(j) & Mask28
       var i = 0
       while (i < k) {
         val v = (as(i) * h + bs(i)) % P
@@ -201,6 +222,7 @@ case class Simhash60Expr(child: Expression)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null-element inputs → null
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -208,6 +230,7 @@ case class Simhash60Expr(child: Expression)
     val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
+      if (hs.isNullAt(i)) return null
       val h = hs.getLong(i)
       var j = 0
       while (j < 60) {
@@ -227,7 +250,10 @@ case class Simhash60Expr(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simhash", this, classOf[Simhash60Expr].getName)
-    defineCodeGen(ctx, ev, c => s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) r).longValue(); }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -62,19 +62,24 @@ object TextAnalysis {
       .otherwise("fr")
 
   // ---- quality scoring -------------------------------------------------
-  /** Ratio of ASCII-letter chars to all chars. */
+  /** NULL (not NaN/exception) when the denominator is zero — Spark's x/0
+    * is NULL but DuckDB's float 0/0 is NaN, so ratios must be explicitly
+    * guarded on BOTH sides for empty/token-less documents to keep oracle
+    * parity. The SQL twins carry the matching CASE WHEN. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+
+  /** Ratio of ASCII-letter chars to all chars; NULL for empty text. */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
-      length(text).cast("double")
+    safeDiv(length(regexp_replace(text, "[^A-Za-z]", "")), length(text))
 
-  /** Mean token length (double, single division). */
+  /** Mean token length; NULL for token-less text. */
   def meanTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-      .cast("double") / size(toks).cast("double")
+    safeDiv(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), size(toks))
 
-  /** Stopword ratio against the EN list. */
+  /** Stopword ratio against the EN list; NULL for token-less text. */
   def stopRatio(toks: Column): Column =
-    hits(toks, StopEn).cast("double") / size(toks).cast("double")
+    safeDiv(hits(toks, StopEn), size(toks))
 
   /** Composite quality score in [0,1]:
     * 0.4·alpha + 0.2·min(1, stop/0.1) + 0.4·min(1, n_tokens/50). */

@@ -25,23 +25,28 @@ object AsOfJoin {
   def asOf(left: DataFrame, lKey: String, lTime: String,
            right: DataFrame, rKey: String, rTime: String,
            carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
+    // The right payload travels as ONE struct: the struct itself is
+    // non-null for every right row, so `last(ignoreNulls)` skips only the
+    // left-row padding — a legitimately NULL carry FIELD survives, and
+    // all carried fields always come from the same right row.
+    val carryType = StructType(carry.map(c => right.schema(c)))
     val lp = left
       .withColumn("_k", col(lKey)).withColumn("_t", col(lTime))
       .withColumn("_side", lit(1))
       .select(Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"_c_$c")): _*)
+        leftCols.map(col) :+
+        lit(null).cast(carryType).as("_c"): _*)
     val rp = right
       .select(Seq(col(rKey).as("_k"), col(rTime).as("_t"), lit(0).as("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"_c_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carry.map(col): _*).as("_c"): _*)
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(lp.unionByName(rp)) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_c_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ carry.map(c => col(s"_c_$c").as(c)): _*)
+    lp.unionByName(rp)
+      .withColumn("_c", last(col("_c"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ carry.map(c => col(s"_c.$c").as(c)): _*)
   }
 }

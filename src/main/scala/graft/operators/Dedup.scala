@@ -211,6 +211,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // wrong labels are worse than no labels: a component with diameter
+    // beyond maxIter would silently split into several clusters
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — raise maxIter " +
+          "or switch to large-star/small-star for deep components")
     labels.orderBy("id")
   }
 

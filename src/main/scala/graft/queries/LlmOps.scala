@@ -70,7 +70,7 @@ object LlmOps {
             TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
             size(t).cast("long").as("n_re"),
             size(array_distinct(t)).cast("long").as("n_uniq"),
-            (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("ttr"),
+            when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t).cast("double")).as("ttr"),
             TextAnalysis.bpeEstimate(t).as("n_bpe"))
           .orderBy("doc_id")
       },
@@ -79,8 +79,8 @@ object LlmOps {
           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
           CAST(len(toks) AS BIGINT) AS n_re,
           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-          CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
-          CAST(list_sum([CAST(FLOOR((len(t) + 3) / 4) AS BIGINT) for t in toks]) AS BIGINT) AS n_bpe
+          CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ttr,
+          CAST(COALESCE(list_sum([CAST(FLOOR((len(t) + 3) / 4) AS BIGINT) for t in toks]), 0) AS BIGINT) AS n_bpe
         FROM w ORDER BY doc_id""")),
 
     // ---- quality scoring -------------------------------------------------
@@ -102,10 +102,10 @@ object LlmOps {
       Some("""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents),
         m AS (SELECT doc_id,
           CAST(len(text) AS BIGINT) AS n_chars,
-          CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS alpha_ratio,
-          CAST(list_sum([len(t) for t in toks]) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
-          CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
-            / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+          CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+          CASE WHEN len(toks) > 0 THEN CAST(list_sum([len(t) for t in toks]) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+          CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
           CAST(len(toks) AS DOUBLE) AS n_toks
         FROM w),
         sc AS (SELECT doc_id, n_chars, alpha_ratio, mean_tok_len, stop_ratio,
@@ -360,10 +360,10 @@ object LlmOps {
       (s, dir) => graft.operators.Curate.run(docs(s, dir), "doc_id", "text").stats,
       Some(s"""WITH t0 AS (SELECT doc_id, text, regexp_extract_all(text, '\\w+') AS toks FROM documents),
         q AS (SELECT doc_id, text, toks FROM t0 WHERE
-            CAST(0.4 AS DOUBLE) * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE))
+            CAST(0.4 AS DOUBLE) * (CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END)
           + CAST(0.2 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE),
-              (CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
-                / CAST(len(toks) AS DOUBLE)) / CAST(0.1 AS DOUBLE))
+              (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) END) / CAST(0.1 AS DOUBLE))
           + CAST(0.4 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(50 AS DOUBLE))
           >= CAST(0.6 AS DOUBLE)),
         ed AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),

@@ -46,13 +46,14 @@ object EventStreams {
         col("sess.end").as("session_end"), col("n_events"), col("session_value"))
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
-    * within the watermark horizon. State = one entry per distinct id
-    * inside the horizon — bounded, and the standard first-stage dedup for
-    * an event firehose (exactly-once-ish delivery upstream of aggregation). */
+    * within the watermark horizon. Uses dropDuplicatesWithinWatermark so
+    * per-id state is actually EVICTED once the watermark passes — plain
+    * dropDuplicates(id) would keep every id ever seen (unbounded state,
+    * the key column doesn't include event time). */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Per-user running state via flatMapGroupsWithState — the custom-state
     * escape hatch for semantics window functions can't express. Emits an
