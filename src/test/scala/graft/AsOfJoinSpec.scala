@@ -23,4 +23,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map(100L -> Some(7.0), 101L -> Some(8.0),
       102L -> None, 200L -> Some(9.0)))
   }
+
+  test("a NULL carry field in the matched right row survives (no stale resurrection)") {
+    val quotes = Seq(
+      (1L, t(10), Some(5.0), "m1"), (1L, t(20), None, "m2"))
+      .toDF("k", "qt", "px", "mkt")
+    val trades = Seq((1L, t(25), 100L)).toDF("k", "tt", "trade_id")
+    val out = AsOfJoin.asOf(trades, "k", "tt", quotes, "k", "qt", Seq("px", "mkt"))
+      .select("trade_id", "px", "mkt")
+      .as[(Long, Option[Double], String)].collect().head
+    // matched row is t(20): px is genuinely NULL there, mkt is m2 —
+    // both fields must come from that SAME row
+    assert(out == ((100L, None, "m2")))
+  }
 }
