@@ -20,8 +20,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop caches persisted inside operators (minhash/curation/clustering)
+      // so later queries aren't taxed by earlier queries' leftover blocks
+      spark.catalog.clearCache()
       // failed queries report -1 so they can't read as fast successes
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
