@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.{FastHashing, TextAnalysis}
+
+/** A near-duplicate detection between an arriving document and one already
+  * held in its LSH bucket. `est_jac` is the MinHash signature-agreement
+  * estimate of Jaccard similarity (unbiased; variance 1/k). */
+case class NearDupHit(a: Long, b: Long, est_jac: Double)
+
+/** One remembered document inside a bucket's state. */
+case class BucketDoc(id: Long, sig: Seq[Long])
+
+/** Per-(band, bucket) streaming state: the most recent documents hashed
+  * into this LSH bucket, newest first, capped at `maxPerBucket`. */
+case class BucketState(docs: List[BucketDoc])
+
+/** Streaming twin of [[graft.operators.Dedup.minhashNearDupsFast]]: detect
+  * near-duplicate documents ON ARRIVAL instead of in a batch self-join
+  * (SURVEY §2.2 streaming + the LLM-ops dedup family). An incoming
+  * document is sketched map-side (tokens → word n-grams → xxhash64 →
+  * k-MinHash via the custom Catalyst expression), banded into b LSH
+  * buckets, and compared only against the documents its buckets have seen
+  * — the streaming replacement of the batch band self-join.
+  *
+  * Scale design (continuous 100 TB-class ingest):
+  *  - All sketching is per-row projection — the only shuffle is the
+  *    groupByKey on (band, bucket), whose key cardinality LSH keeps high
+  *    (small groups), so state lookups distribute evenly.
+  *  - State per bucket is bounded two ways: `maxPerBucket` newest docs
+  *    (FIFO eviction — a degenerate all-alike bucket cannot grow without
+  *    bound) and a processing-time timeout that drops buckets idle for
+  *    an hour (the hot working set stays, the long tail is evicted).
+  *  - A pair sharing multiple bands can be emitted once per shared band;
+  *    at-least-once emission is the streaming contract — run
+  *    `.dropDuplicates("a","b")` downstream if exactly-once pairs matter.
+  *  - The b-way band explode recomputes the signature per band row
+  *    (projection collapse; no persist() in a streaming plan). Micro-
+  *    batches amortize this; the alternative — a pre-shuffle
+  *    materialization — would cost more than the recompute.
+  *
+  * Literature: MinHash (Broder 1997); banded LSH (Leskovec/Rajaraman/
+  * Ullman ch.3). Reference analogue: the batch-only dedup pass at
+  * `/root/reference/dedup.py` — the reference has no streaming dedup.
+  */
+object DocStreams {
+
+  /** Emit [[NearDupHit]]s for documents whose estimated Jaccard against a
+    * bucket-mate is >= `theta`. Works on a `readStream` frame; batch
+    * frames flow through the same sketch/band stages via
+    * [[graft.operators.Dedup]]. Pass `GroupStateTimeout.NoTimeout` in
+    * tests (processing-time timeouts keep `processAllAvailable` from
+    * idling). */
+  def nearDupHits(docs: DataFrame, idCol: String, textCol: String,
+                  ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                  theta: Double = 0.5, maxPerBucket: Int = 64,
+                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    require(b * r <= k, s"b*r (${b * r}) must be <= k ($k)")
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= ngram)
+      .select(col("id"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"))
+      .withColumn("hs", transform(col("shingles"), t => FastHashing.h28Fast(t)))
+      .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
+      .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
+      .select(col("id"), col("band"),
+        array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+          x => x.cast("string")), ",").as("bkey"),
+        col("sig"))
+      .as[(Long, Int, String, Seq[Long])]
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey { case (_, band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (_: (Int, String), rows: Iterator[(Long, Int, String, Seq[Long])],
+         state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            rows.foreach { case (id, _, _, sig) =>
+              if (!seen.exists(_.id == id)) { // re-delivery of a known doc is not a dup
+                seen.foreach { d =>
+                  val agree = d.sig.iterator.zip(sig.iterator).count { case (x, y) => x == y }
+                  val est = agree.toDouble / sig.length
+                  if (est >= theta)
+                    hits += (if (id < d.id) NearDupHit(id, d.id, est)
+                             else NearDupHit(d.id, id, est))
+                }
+                seen = (BucketDoc(id, sig.toList) :: seen).take(maxPerBucket)
+              }
+            }
+            state.update(BucketState(seen))
+            if (useTimeout) state.setTimeoutDuration("1 hour")
+            hits.iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.streaming.DocStreams
+
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // one token differs -> jac ~ 0.9
+  private val unrelated =
+    "completely different subject matter about spark query engines and distributed shuffle planning"
+
+  test("streaming near-dup: a doc arriving later pairs with its earlier twin") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupHits(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        timeout = GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("neardup").outputMode("update").start()
+    mem.addData((1L, base), (3L, unrelated))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM neardup").count() == 0) // nothing similar yet
+    mem.addData((2L, nearDup)) // cross-batch: must hit the state from batch 1
+    q.processAllAvailable()
+    val hits = spark.sql("SELECT a, b, est_jac FROM neardup")
+      .as[(Long, Long, Double)].collect()
+    q.stop()
+    val pairs = hits.map(h => (h._1, h._2)).toSet
+    assert(pairs == Set((1L, 2L))) // twin found, unrelated doc never paired
+    assert(hits.forall(_._3 >= 0.5))
+  }
+
+  test("streaming near-dup: in-batch pair detected and re-delivery is not a dup") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupHits(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        timeout = GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("neardup2").outputMode("update").start()
+    mem.addData((10L, base), (11L, nearDup)) // same micro-batch
+    q.processAllAvailable()
+    mem.addData((10L, base)) // at-least-once re-delivery of doc 10
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT a, b FROM neardup2")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((10L, 11L))) // no self-pair from the re-delivery
+  }
+
+  test("bucket state is capped at maxPerBucket") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // cap of 1: with three identical docs only the newest is remembered,
+    // so doc 3 pairs with doc 2 (still in state) but never doc 1 (evicted)
+    val q = DocStreams.nearDupHits(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxPerBucket = 1, timeout = GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("neardup3").outputMode("update").start()
+    mem.addData((1L, base))
+    q.processAllAvailable()
+    mem.addData((2L, base))
+    q.processAllAvailable()
+    mem.addData((3L, base))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT a, b FROM neardup3")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+}
