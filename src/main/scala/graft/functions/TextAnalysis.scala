@@ -61,6 +61,48 @@ object TextAnalysis {
       .when(es >= fr, "es")
       .otherwise("fr")
 
+  // ---- language ID (char-trigram profiles) -----------------------------
+  // The stopword heuristic above fails on short text with no function
+  // words; character-trigram profile overlap (Cavnar & Trenkle 1994,
+  // "N-Gram-Based Text Categorization") is the standard fix. Profiles are
+  // the most characteristic trigrams per language (boundary spaces
+  // included), small enough to inline as literals — scoring stays one
+  // codegen'd per-row expression, no lookup join.
+  val TriEn = Seq(" th", "the", "he ", "ing", "ng ", " an", "and", "nd ",
+    "ed ", " of", "of ", "ion", " to", "to ", " in", "is ", "at ", "ent",
+    "ith", "wit")
+  val TriDe = Seq("der", " de", "die", "ie ", "und", " un", "ein", " ei",
+    "ich", "sch", "ch ", "ung", "das", "as ", "ten", "ine", "ber", "gen",
+    "cht", "eit")
+  val TriEs = Seq(" de", "de ", "os ", " la", "la ", " el", "el ", "ión",
+    "ón ", "que", " qu", "ado", "nte", "con", " co", "los", "las", "ara",
+    "par", "ien")
+  val TriFr = Seq(" de", "de ", " le", "le ", "les", "des", "ent", "nt ",
+    "que", " qu", "une", " un", "eur", "ais", "ait", "our", " pa", "par",
+    "ur ", "men")
+
+  /** Distinct char trigrams of lowercased text, padded with one boundary
+    * space each side so word-initial/final trigrams (" th", "he ") exist. */
+  def charTrigrams(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    array_distinct(transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      i => substring(t, i, lit(3))))
+  }
+
+  /** Number of profile trigrams present in the document's trigram set. */
+  def trigramScore(tris: Column, profile: Seq[String]): Column =
+    size(array_intersect(tris, array(profile.map(lit): _*))).cast("long")
+
+  /** Trigram-profile language ID over en/de/es/fr — robust where
+    * [[predictedLang]]'s stopword hits are absent (short text, titles).
+    * Same deterministic tie-break order. */
+  def predictedLangTrigram(text: Column): Column = {
+    val tris = charTrigrams(text)
+    predictedLang(
+      trigramScore(tris, TriEn), trigramScore(tris, TriDe),
+      trigramScore(tris, TriEs), trigramScore(tris, TriFr))
+  }
+
   // ---- quality scoring -------------------------------------------------
   /** NULL (not NaN/exception) when the denominator is zero — Spark's x/0
     * is NULL but DuckDB's float 0/0 is NaN, so ratios must be explicitly

@@ -404,6 +404,42 @@ object LlmOps {
                  list_reduce([qn.v[i] * cn.v[i] for i in range(1, 65)], (x, y) -> x + y)
                    / (qn.nrm * cn.nrm) AS cos
                FROM cand JOIN n qn ON qn.vec_id = cand.a JOIN n cn ON cn.vec_id = cand.b)
-        SELECT a, b, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b"""))
+        SELECT a, b, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""")),
+
+    // ---- language ID (char-trigram profiles, Cavnar-Trenkle 1994) --------
+    // Robust where q24's stopword heuristic has zero hits (short text);
+    // the SQL profile literals are generated from the SAME Scala constants
+    // so the two engines cannot drift.
+    "q51_langid_trigram" -> Q(
+      (s, dir) => {
+        val tris = TextAnalysis.charTrigrams(col("text"))
+        docs(s, dir).select(
+            col("doc_id"),
+            TextAnalysis.trigramScore(tris, TextAnalysis.TriEn).as("en_score"),
+            TextAnalysis.trigramScore(tris, TextAnalysis.TriDe).as("de_score"),
+            TextAnalysis.trigramScore(tris, TextAnalysis.TriEs).as("es_score"),
+            TextAnalysis.trigramScore(tris, TextAnalysis.TriFr).as("fr_score"))
+          .withColumn("pred_lang", TextAnalysis.predictedLang(
+            col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        g AS (SELECT doc_id, list_distinct([substring(t, CAST(i AS INT), 3)
+                for i in generate_series(1, greatest(len(t)-2, 0))]) AS tris FROM p),
+        sc AS (SELECT doc_id,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriEn)})) AS BIGINT) AS en_score,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriDe)})) AS BIGINT) AS de_score,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriEs)})) AS BIGINT) AS es_score,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriFr)})) AS BIGINT) AS fr_score
+        FROM g)
+        SELECT doc_id, en_score, de_score, es_score, fr_score,
+          CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+               WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+               WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END AS pred_lang
+        FROM sc ORDER BY doc_id"""))
   )
+
+  /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
 }

@@ -20,6 +20,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._4 == 6)      // all tokens <= 4 chars -> 1 unit each
   }
 
+  test("trigram language ID classifies full sentences in all four languages") {
+    val df = Seq(
+      (1L, "The committee published the findings of the investigation this morning."),
+      (2L, "Die Untersuchung wurde von der Regierung durchgeführt und veröffentlicht."),
+      (3L, "La investigación fue publicada por el gobierno de la nación esta semana."),
+      (4L, "Les résultats de l'enquête ont été publiés par le gouvernement.")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.predictedLangTrigram(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
+  }
+
+  test("trigram language ID works on short text where stopword hits are zero") {
+    // no function words at all -> the stopword heuristic defaults to en
+    val df = Seq((1L, "Durchführung wichtiger Entscheidungen")).toDF("id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val (tri, stop) = df.select(
+      TextAnalysis.predictedLangTrigram(col("text")),
+      TextAnalysis.predictedLang(
+        TextAnalysis.hits(toks, TextAnalysis.StopEn),
+        TextAnalysis.hits(toks, TextAnalysis.StopDe),
+        TextAnalysis.hits(toks, TextAnalysis.StopEs),
+        TextAnalysis.hits(toks, TextAnalysis.StopFr))).as[(String, String)].collect().head
+    assert(stop == "en") // zero hits everywhere, tie-break picks en
+    assert(tri == "de")  // trigram profiles see sch/ung/ich/eit
+  }
+
+  test("charTrigrams pads boundaries and dedups") {
+    val tris = Seq(Tuple1("aba")).toDF("text")
+      .select(TextAnalysis.charTrigrams(col("text"))).as[Seq[String]].collect().head
+    assert(tris == Seq(" ab", "aba", "ba ")) // from " aba "
+  }
+
   test("quality score is bounded and monotone in richness") {
     val df = Seq(
       (1L, "the of and to in is a " * 10 + "meaningful words appear here too"),
