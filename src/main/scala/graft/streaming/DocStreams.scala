@@ -52,31 +52,52 @@ object DocStreams {
     * frames flow through the same sketch/band stages via
     * [[graft.operators.Dedup]]. Pass `GroupStateTimeout.NoTimeout` in
     * tests (processing-time timeouts keep `processAllAvailable` from
-    * idling). */
+    * idling).
+    *
+    * `eventTime = Some((tsCol, horizon))` switches bucket eviction from
+    * wall-clock to the watermark: a bucket idle past the horizon in EVENT
+    * time is dropped, which makes state size replay-deterministic
+    * (reprocessing a backlog evicts at the same points regardless of how
+    * fast the replay runs — processing-time eviction would not). */
   def nearDupHits(docs: DataFrame, idCol: String, textCol: String,
                   ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                   theta: Double = 0.5, maxPerBucket: Int = 64,
-                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                  eventTime: Option[(String, String)] = None)
       : Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     require(b * r <= k, s"b*r (${b * r}) must be <= k ($k)")
-    val banded = docs
-      .select(col(idCol).cast("long").as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    // the watermark tag lives in the event-time ATTRIBUTE's metadata, so
+    // that attribute must flow through every projection down to the
+    // stateful operator UNTOUCHED — an alias or cast strips the tag;
+    // processing-time mode carries a null literal to keep one tuple shape
+    val (watermarked, evtCol, evtName) = eventTime match {
+      case Some((tsCol, horizon)) =>
+        (docs.withWatermark(tsCol, horizon), col(tsCol), tsCol)
+      case None => (docs, lit(null).cast("timestamp").as("evt"), "evt")
+    }
+    val banded = watermarked
+      .select(col(idCol).cast("long").as("id"), TextAnalysis.tokens(col(textCol)).as("toks"),
+        evtCol)
       .filter(size(col("toks")) >= ngram)
-      .select(col("id"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"))
+      .select(col("id"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"),
+        col(evtName))
       .withColumn("hs", transform(col("shingles"), t => FastHashing.h28Fast(t)))
       .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
       .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .select(col("id"), col("band"),
         array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
           x => x.cast("string")), ",").as("bkey"),
-        col("sig"))
-      .as[(Long, Int, String, Seq[Long])]
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+        col("sig"), col(evtName))
+      .as[(Long, Int, String, Seq[Long], java.sql.Timestamp)]
+    val effTimeout =
+      if (eventTime.isDefined) GroupStateTimeout.EventTimeTimeout else timeout
+    val horizonOpt = eventTime.map(_._2)
+    val useProcTimeout = eventTime.isEmpty && timeout != GroupStateTimeout.NoTimeout
     banded
-      .groupByKey { case (_, band, bkey, _) => (band, bkey) }
-      .flatMapGroupsWithState(OutputMode.Update, timeout)(
-        (_: (Int, String), rows: Iterator[(Long, Int, String, Seq[Long])],
+      .groupByKey { case (_, band, bkey, _, _) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Update, effTimeout)(
+        (_: (Int, String), rows: Iterator[(Long, Int, String, Seq[Long], java.sql.Timestamp)],
          state: GroupState[BucketState]) => {
           if (state.hasTimedOut) {
             state.remove()
@@ -84,7 +105,9 @@ object DocStreams {
           } else {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
             val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-            rows.foreach { case (id, _, _, sig) =>
+            var maxEvtMs = Long.MinValue
+            rows.foreach { case (id, _, _, sig, evt) =>
+              if (evt != null && evt.getTime > maxEvtMs) maxEvtMs = evt.getTime
               if (!seen.exists(_.id == id)) { // re-delivery of a known doc is not a dup
                 seen.foreach { d =>
                   val agree = d.sig.iterator.zip(sig.iterator).count { case (x, y) => x == y }
@@ -97,7 +120,16 @@ object DocStreams {
               }
             }
             state.update(BucketState(seen))
-            if (useTimeout) state.setTimeoutDuration("1 hour")
+            horizonOpt match {
+              case Some(h) =>
+                // evict when the watermark passes horizon beyond this
+                // bucket's newest EVENT time — not the current watermark,
+                // which lags a batch behind (and is 0 on the first batch,
+                // which would expire everything immediately)
+                state.setTimeoutTimestamp(
+                  math.max(maxEvtMs, state.getCurrentWatermarkMs()), h)
+              case None => if (useProcTimeout) state.setTimeoutDuration("1 hour")
+            }
             hits.iterator
           }
         })

@@ -50,6 +50,33 @@ class DocStreamsSpec extends SparkSpec {
     assert(pairs == Set((10L, 11L))) // no self-pair from the re-delivery
   }
 
+  test("event-time mode: buckets evict when the watermark passes the horizon") {
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = DocStreams.nearDupHits(
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        eventTime = Some(("ts", "30 minutes")))
+      .writeStream.format("memory").queryName("neardup_et").outputMode("update").start()
+    mem.addData((1L, ts(0), base))
+    q.processAllAvailable()
+    mem.addData((2L, ts(5), nearDup)) // within horizon: pairs with doc 1
+    q.processAllAvailable()
+    // advance the watermark far past doc 1/2's buckets, firing their timeout
+    mem.addData((99L, ts(600), unrelated))
+    q.processAllAvailable()
+    mem.addData((98L, ts(601), // extra batch so timeouts definitely fire;
+      // distinct text from doc 99 so the two advancers don't pair
+      "entirely separate words about benchmark harness oracle comparisons and parquet readers"))
+    q.processAllAvailable()
+    mem.addData((3L, ts(602), base)) // state evicted: must NOT pair with doc 1
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT a, b FROM neardup_et")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("bucket state is capped at maxPerBucket") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
