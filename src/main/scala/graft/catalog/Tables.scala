@@ -17,8 +17,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from `<dir>/<name>.parquet`. Filters/projections
-    * applied downstream are pushed into this scan by Catalyst.
+  /** Physical-layout policy for the fact tables: bucket+sort keys for
+    * co-located joins. lineitem⋈orders is the one fact-fact join in the
+    * workload; bucketing both on orderkey with the same bucket count makes
+    * it exchange-free. customer is bucketed on custkey for the (rare)
+    * non-broadcast customer join. At 100 TB this layout is the storage
+    * story: the big join moves nothing instead of shuffling both inputs
+    * per query. */
+  val bucketSpecs: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders"   -> "o_orderkey",
+    "customer" -> "c_custkey")
+
+  /** (dir, name) → registered bucketed catalog table. Populated by
+    * [[ensureBucketed]]; consulted transparently by [[load]] so every
+    * declared query benefits without changing its text. */
+  private val bucketedFor =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def bucketTableName(dir: String, name: String): String =
+    "graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_') + "_" + name
+
+  /** One-time bucketed ingest of the fact tables for `dir` (idempotent per
+    * catalog). Repartitioning by the bucket key into exactly `buckets`
+    * partitions yields ONE file per bucket, which is what lets Spark trust
+    * the per-bucket sort order and skip both the exchange AND the sort in
+    * downstream sort-merge joins. */
+  def ensureBucketed(spark: SparkSession, dir: String, buckets: Int = 32): Unit =
+    bucketSpecs.foreach { case (name, key) =>
+      val tbl = bucketTableName(dir, name)
+      if (!spark.catalog.tableExists(tbl)) {
+        val df = loadPlain(spark, dir, name)
+        saveBucketed(df.repartition(buckets, expr(key)), tbl, buckets, key)
+      }
+      bucketedFor((dir, name)) = tbl
+    }
+
+  /** Forget bucketed registrations (queries fall back to raw parquet). */
+  def clearBucketed(): Unit = bucketedFor.clear()
+
+  /** Load one table — from the bucketed catalog layout when
+    * [[ensureBucketed]] has been run for this dir, else from
+    * `<dir>/<name>.parquet`. Filters/projections applied downstream are
+    * pushed into either scan by Catalyst. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    bucketedFor.get((dir, name)) match {
+      case Some(tbl) if spark.catalog.tableExists(tbl) => spark.table(tbl)
+      case _ => loadPlain(spark, dir, name)
+    }
+
+  /** Raw parquet scan.
     *
     * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark
     * rejects by default; we read it as a nanos Long
@@ -26,7 +74,7 @@ object Tables {
     * timestamp with integer division (`div`, not `/`: ns-since-epoch
     * ≈ 1.7e18 exceeds a double's 2^53 mantissa, so float division would
     * corrupt low bits). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)

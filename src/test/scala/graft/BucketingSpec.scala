@@ -36,4 +36,32 @@ class BucketingSpec extends SparkSpec {
     assert(plain.queryExecution.executedPlan.toString.contains("Exchange") ||
       plain.queryExecution.executedPlan.toString.contains("Broadcast"))
   }
+
+  test("bench join queries run shuffle-free on the bucketed fact tables") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    // disable auto-broadcast so the lineitem⋈orders edge manifests as a
+    // join that would NEED a shuffle without the bucketed layout (explicit
+    // broadcast() hints on the dimension tables still apply — those are
+    // BroadcastExchange, not shuffles)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.ensureBucketed(spark, dir)
+      for (q <- Seq("q03_topk_revenue", "q35_regional_volume", "q36_returned_items",
+                    "q04_semi_join")) {
+        val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q: expected a non-broadcast fact join in:\n$plan")
+        for (key <- Seq("l_orderkey", "o_orderkey"))
+          assert(!plan.contains(s"Exchange hashpartitioning($key"),
+            s"$q: shuffle exchange on bucketed key $key:\n$plan")
+        // rows still flow (plan isn't degenerate)
+        assert(SparkEntry.queries(q)(spark, dir).count() > 0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      Tables.clearBucketed()
+    }
+  }
 }
