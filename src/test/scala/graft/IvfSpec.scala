@@ -32,6 +32,27 @@ class IvfSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("persisted index: ensureIndex idempotent, searchAssigned over the inverted file matches search") {
+    val n = Similarity.normed(clustered, "vec_id", "embedding")
+    val key = "ivfspec-fixture"
+    val cents = Ivf.ensureIndex(spark, key, n, k = 8, maxIter = 10)
+    // second call must not re-fit: the by-name corpus would throw if forced
+    val cents2 = Ivf.ensureIndex(spark, key,
+      sys.error("ensureIndex re-fit an existing index"), k = 8, maxIter = 10)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+
+    val corpus = Ivf.indexedCorpus(spark, key, k = 8, maxIter = 10)
+    assert(corpus.count() == 200)
+    assert(corpus.columns.contains("bucket"))
+
+    val q = n.filter(col("id") < 8)
+    val live = Ivf.search(q, n, cents, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val persisted = Ivf.searchAssigned(q, corpus, cents, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(live == persisted)
+  }
+
   test("bucket assignment covers the corpus and buckets are non-trivial") {
     val n = Similarity.normed(clustered, "vec_id", "embedding")
     val model = Ivf.fit(n, k = 8)
