@@ -29,4 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = one JVM; heap is the only memory knob that matters.
   // 32g leaves ample room for shingle/label caches at sf0.1 on a 128g box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq

@@ -38,17 +38,38 @@ object Tables {
   private def bucketTableName(dir: String, name: String): String =
     "graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_') + "_" + name
 
-  /** One-time bucketed ingest of the fact tables for `dir` (idempotent per
-    * catalog). Repartitioning by the bucket key into exactly `buckets`
-    * partitions yields ONE file per bucket, which is what lets Spark trust
+  /** One-time bucketed ingest of the fact tables for `dir` (idempotent
+    * ACROSS JVMs). The in-memory catalog forgets tables on restart but the
+    * bucketed files survive in the warehouse; a complete layout (_SUCCESS
+    * marker) is RE-REGISTERED as an external bucketed table — never
+    * rewritten. This is the 100 TB semantics: the bucketed layout is the
+    * table's storage format, written once at ingest; sessions re-attach to
+    * it. A partial layout (no _SUCCESS) is cleaned and rebuilt.
+    *
+    * Repartitioning by the bucket key into exactly `buckets` partitions at
+    * write time yields ONE file per bucket, which is what lets Spark trust
     * the per-bucket sort order and skip both the exchange AND the sort in
     * downstream sort-merge joins. */
   def ensureBucketed(spark: SparkSession, dir: String, buckets: Int = 32): Unit =
     bucketSpecs.foreach { case (name, key) =>
       val tbl = bucketTableName(dir, name)
       if (!spark.catalog.tableExists(tbl)) {
-        val df = loadPlain(spark, dir, name)
-        saveBucketed(df.repartition(buckets, expr(key)), tbl, buckets, key)
+        val loc = java.nio.file.Paths.get("spark-warehouse", tbl).toAbsolutePath
+        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+          val schema = spark.read.parquet(loc.toString).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tbl ($schema) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+               |LOCATION '$loc'""".stripMargin)
+        } else {
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+          val df = loadPlain(spark, dir, name)
+          saveBucketed(df.repartition(buckets, expr(key)), tbl, buckets, key)
+        }
       }
       bucketedFor((dir, name)) = tbl
     }
