@@ -82,11 +82,17 @@ object TextAnalysis {
     "ur ", "men")
 
   /** Distinct char trigrams of lowercased text, padded with one boundary
-    * space each side so word-initial/final trigrams (" th", "he ") exist. */
+    * space each side so word-initial/final trigrams (" th", "he ") exist.
+    * Guarded for <3-char padded text: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0] (it would yield bogus sub-3-char "trigrams"), while
+    * the DuckDB twin's generate_series(1, 0) is empty — both engines must
+    * produce the empty set. */
   def charTrigrams(text: Column): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
-    array_distinct(transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
-      i => substring(t, i, lit(3))))
+    when(length(t) >= 3,
+      array_distinct(transform(sequence(lit(1), length(t) - 2),
+        i => substring(t, i, lit(3)))))
+      .otherwise(typedLit(Seq.empty[String]))
   }
 
   /** Number of profile trigrams present in the document's trigram set. */

@@ -65,15 +65,27 @@ object Dedup {
         array_join(transform(slice(col("sig"), col("band") * r + 1, lit(r)),
           x => x.cast("string")), ",").as("bkey"))
 
+  /** Default LSH bucket cap: one degenerate all-alike bucket of n docs
+    * yields n²/2 candidate pairs — at 100 TB that is THE failure mode, so
+    * the guard is on unless a caller explicitly passes `None`. */
+  val DefaultMaxBucket: Option[Int] = Some(1000)
+
   /** Distinct candidate pairs (a < b) sharing at least one LSH bucket.
     * `maxBucket`, when set, drops buckets larger than the cap — the
     * standard guard against degenerate buckets exploding the join at
-    * scale (drops only pathological all-alike clusters). */
-  def candidatePairs(bandsDf: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    * scale (drops only pathological all-alike clusters). Dropped-bucket
+    * counts are surfaced as the observed metric `lsh_bucket_cap`
+    * (Dataset.observe — readable from a QueryExecutionListener or
+    * StreamingQueryListener at zero extra job cost). */
+  def candidatePairs(bandsDf: DataFrame, maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     val buckets = maxBucket match {
       case Some(cap) =>
-        val ok = bandsDf.groupBy("band", "bkey").count().filter(col("count") <= cap)
-          .select("band", "bkey")
+        val counts = bandsDf.groupBy("band", "bkey").count()
+          .observe("lsh_bucket_cap",
+            sum(when(col("count") > cap, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_buckets"),
+            max(col("count")).as("max_bucket"))
+        val ok = counts.filter(col("count") <= cap).select("band", "bkey")
         bandsDf.join(ok, Seq("band", "bkey"))
       case None => bandsDf
     }
@@ -98,11 +110,17 @@ object Dedup {
     * Defaults tuned for near-dup detection at θ≈0.5 with word bigrams:
     * k=32 hashes, 8 bands × 4 rows → recall ≈ 1-(1-θ^4)^8 (0.42 at θ=0.5,
     * ≈1.0 at θ=0.9); background pairs at jac≈0.05 are ~5e-5 likely to
-    * become candidates. */
+    * become candidates.
+    *
+    * Caching contract: the shingle/signature/band intermediates stay
+    * persisted (MEMORY_AND_DISK) until the session caches are cleared —
+    * they back the returned LAZY frame, so the operator cannot unpersist
+    * them itself. Long-lived sessions issuing many dedup calls should
+    * `spark.catalog.clearCache()` between corpora (as Bench does). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                       theta: Double = 0.5,
-                      maxBucket: Option[Int] = None): DataFrame = {
+                      maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     // The shingle table feeds three joins (band self-join left/right +
     // verification); materialize it once instead of re-tokenizing and
     // re-hashing the corpus per branch. MEMORY_AND_DISK: at cluster scale
@@ -128,7 +146,7 @@ object Dedup {
   def minhashNearDupsFast(docs: DataFrame, idCol: String, textCol: String,
                           ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                           theta: Double = 0.5,
-                          maxBucket: Option[Int] = None): DataFrame = {
+                          maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     val sh = shingled(docs, idCol, textCol, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh
@@ -203,6 +221,7 @@ object Dedup {
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist() // collected — the cache has served its purpose
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -250,6 +269,12 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds — raise maxIter " +
           "or switch to large-star/small-star for deep components")
+    // the final `labels` cache is already materialized (the convergence
+    // count forced it), so the upstream caches are dead weight — release
+    // them now; if labels' blocks are later evicted the lineage still
+    // recomputes correctly, just without the cache assist
+    sym.unpersist()
+    edges.unpersist()
     labels.orderBy("id")
   }
 

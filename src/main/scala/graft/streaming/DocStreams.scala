@@ -14,8 +14,11 @@ case class NearDupHit(a: Long, b: Long, est_jac: Double)
 case class BucketDoc(id: Long, sig: Seq[Long])
 
 /** Per-(band, bucket) streaming state: the most recent documents hashed
-  * into this LSH bucket, newest first, capped at `maxPerBucket`. */
-case class BucketState(docs: List[BucketDoc])
+  * into this LSH bucket, newest first, capped at `maxPerBucket`; plus the
+  * running max event time ever seen (Long.MinValue in processing-time
+  * mode), which anchors event-time eviction — it must survive batches so
+  * a batch of only LATE rows cannot regress the eviction deadline. */
+case class BucketState(docs: List[BucketDoc], maxEvtMs: Long = Long.MinValue)
 
 /** Streaming twin of [[graft.operators.Dedup.minhashNearDupsFast]]: detect
   * near-duplicate documents ON ARRIVAL instead of in a batch self-join
@@ -42,8 +45,8 @@ case class BucketState(docs: List[BucketDoc])
   *    materialization — would cost more than the recompute.
   *
   * Literature: MinHash (Broder 1997); banded LSH (Leskovec/Rajaraman/
-  * Ullman ch.3). Reference analogue: the batch-only dedup pass at
-  * `/root/reference/dedup.py` — the reference has no streaming dedup.
+  * Ullman ch.3). The reference has no dedup operator at all (SURVEY
+  * §2.3) — this is a target-only capability, streaming twin included.
   */
 object DocStreams {
 
@@ -105,7 +108,9 @@ object DocStreams {
           } else {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
             val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-            var maxEvtMs = Long.MinValue
+            // seed from persisted state: a batch of only LATE rows must
+            // not regress the eviction deadline below the historical max
+            var maxEvtMs = state.getOption.map(_.maxEvtMs).getOrElse(Long.MinValue)
             rows.foreach { case (id, _, _, sig, evt) =>
               if (evt != null && evt.getTime > maxEvtMs) maxEvtMs = evt.getTime
               if (!seen.exists(_.id == id)) { // re-delivery of a known doc is not a dup
@@ -119,13 +124,13 @@ object DocStreams {
                 seen = (BucketDoc(id, sig.toList) :: seen).take(maxPerBucket)
               }
             }
-            state.update(BucketState(seen))
+            state.update(BucketState(seen, maxEvtMs))
             horizonOpt match {
               case Some(h) =>
                 // evict when the watermark passes horizon beyond this
-                // bucket's newest EVENT time — not the current watermark,
-                // which lags a batch behind (and is 0 on the first batch,
-                // which would expire everything immediately)
+                // bucket's newest-ever EVENT time — not the current
+                // watermark, which lags a batch behind (and is 0 on the
+                // first batch, which would expire everything immediately)
                 state.setTimeoutTimestamp(
                   math.max(maxEvtMs, state.getCurrentWatermarkMs()), h)
               case None => if (useProcTimeout) state.setTimeoutDuration("1 hour")
