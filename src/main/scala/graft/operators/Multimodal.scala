@@ -79,6 +79,46 @@ object Multimodal {
     }
   }
 
+  /** Pixel value of the ORACLE-SHARED synthetic image formula:
+    * first 7 md5 hex chars of `"<id>:<x>,<y>,<c>"` mod 256 — the plain-JVM
+    * twin of [[graft.functions.Hashing.h28]] (and DuckDB
+    * `CAST('0x'||substr(md5(..),1,7) AS BIGINT)`), so feature queries over
+    * [[syntheticDecoded]] corpora have an exact cross-engine oracle. */
+  def pixel(id: String, x: Int, y: Int, c: Int,
+            md: java.security.MessageDigest =
+              java.security.MessageDigest.getInstance("MD5")): Int = {
+    val hex = md.digest(s"$id:$x,$y,$c".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % 256).toInt
+  }
+
+  /** Synthetic DECODED corpus from the pure [[pixel]] formula — no codec
+    * in the loop, so downstream resize/feature queries are exactly
+    * reproducible in SQL (the PNG encode→decode path stays covered by
+    * [[syntheticImages]] + MultimodalSpec, where codec bytes are the
+    * point, not the gate). */
+  def syntheticDecoded(ds: Dataset[(Long, String)], side: Int = 8): Dataset[ImageRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (key, id) =>
+        val out = new Array[Byte](side * side * 3)
+        var i = 0
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            var c = 0
+            while (c < 3) { out(i) = pixel(id, x, y, c, md).toByte; i += 1; c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageRecord(key, id, 3, side, side, out)
+      }
+    }
+  }
+
   /** Decode binary image payloads to (channels, height, width, RGB bytes).
     * Typed mapPartitions batch op; undecodable payloads are dropped (and
     * would be routed to a quarantine sink in production). */

@@ -319,22 +319,33 @@ object LlmOps {
           COALESCE(list_max(fps), -1) AS max_fp
         FROM f ORDER BY doc_id""")),
 
-    // ---- multimodal pipeline: synth PNG → decode → resize → features ----
-    // Rows-only: image bytes are synthesized (fixtures ship no binary
-    // columns) and PNG encoding is library-dependent, so no SQL oracle;
-    // decode/resize/feature values are asserted exactly in MultimodalSpec.
+    // ---- multimodal pipeline: synthetic decode → resize → features ------
+    // The corpus is the md5-formula synthetic DECODED table (fixtures ship
+    // no binary columns; PNG codec bytes are library business, covered by
+    // MultimodalSpec's exact-value decode/resize asserts). With the codec
+    // out of the declared loop, nearest-neighbour resize 8→4 samples
+    // pixels (2x, 2y) and the channel means have an exact DuckDB twin:
+    // 16 integer pixels per channel summed in a double is order-free.
     "q46_multimodal_features" -> Q(
       (s, dir) => {
         import s.implicits._
         val src = docs(s, dir).select(col("doc_id"), col("source"))
           .as[(Long, String)]
-        val imgs = graft.operators.Multimodal.syntheticImages(src)
-        val decoded = graft.operators.Multimodal.decodeImages(imgs)
+        val decoded = graft.operators.Multimodal.syntheticDecoded(src)
         val small = graft.operators.Multimodal.resize(decoded, 4, 4)
         graft.operators.Multimodal.channelMeans(small)
           .orderBy("key")
       },
-      None),
+      Some(s"""WITH g AS (SELECT doc_id, source, x, y
+                 FROM documents CROSS JOIN range(4) rx(x) CROSS JOIN range(4) ry(y)),
+        p AS (SELECT doc_id,
+                CAST(${H.sqlH28("source || ':' || CAST(2*x AS VARCHAR) || ',' || CAST(2*y AS VARCHAR) || ',0'")} % 256 AS DOUBLE) AS pr,
+                CAST(${H.sqlH28("source || ':' || CAST(2*x AS VARCHAR) || ',' || CAST(2*y AS VARCHAR) || ',1'")} % 256 AS DOUBLE) AS pg,
+                CAST(${H.sqlH28("source || ':' || CAST(2*x AS VARCHAR) || ',' || CAST(2*y AS VARCHAR) || ',2'")} % 256 AS DOUBLE) AS pb
+              FROM g)
+        SELECT doc_id AS key, CAST(AVG(pr) AS REAL) AS mean_r,
+               CAST(AVG(pg) AS REAL) AS mean_g, CAST(AVG(pb) AS REAL) AS mean_b
+        FROM p GROUP BY doc_id ORDER BY key""")),
 
     // ---- production-tier near-dup (xxhash64) — rows-only ----------------
     "q40_neardups_fast" -> Q(
