@@ -35,16 +35,46 @@ object Tables {
   private val bucketedFor =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def bucketTableName(dir: String, name: String): String =
-    "graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_') + "_" + name
+  /** Sanitized dir + a short digest of the RAW dir string: sanitization
+    * alone is not injective (`/data/sf0.1` and `/data/sf0_1` collide), and
+    * a collision would silently serve one dir's rows for the other. */
+  private def bucketTableName(dir: String, name: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    "graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_') +
+      "_" + digest + "_" + name
+  }
+
+  /** Cheap content fingerprint of a source parquet path: sorted
+    * (file, size, mtime) lines. Detects regenerated fixtures without
+    * reading data; written as a sidecar next to derived layouts so a stale
+    * copy is rebuilt instead of silently served. */
+  def sourceFingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return "missing"
+    val files =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      else Seq(p)
+    files.map(f => s"${p.relativize(f.toAbsolutePath.normalize)}:" +
+        s"${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+      .sorted.mkString("\n")
+  }
+
+  private val FpFile = "_graft_src_fingerprint"
 
   /** One-time bucketed ingest of the fact tables for `dir` (idempotent
     * ACROSS JVMs). The in-memory catalog forgets tables on restart but the
     * bucketed files survive in the warehouse; a complete layout (_SUCCESS
-    * marker) is RE-REGISTERED as an external bucketed table — never
-    * rewritten. This is the 100 TB semantics: the bucketed layout is the
-    * table's storage format, written once at ingest; sessions re-attach to
-    * it. A partial layout (no _SUCCESS) is cleaned and rebuilt.
+    * marker + matching source fingerprint) is RE-REGISTERED as an external
+    * bucketed table — never rewritten. This is the 100 TB semantics: the
+    * bucketed layout is the table's storage format, written once at ingest;
+    * sessions re-attach to it. A partial layout (no _SUCCESS) or a STALE
+    * one (source parquet regenerated since the copy — detected by the
+    * fingerprint sidecar) is dropped and rebuilt.
     *
     * Repartitioning by the bucket key into exactly `buckets` partitions at
     * write time yields ONE file per bucket, which is what lets Spark trust
@@ -53,9 +83,18 @@ object Tables {
   def ensureBucketed(spark: SparkSession, dir: String, buckets: Int = 32): Unit =
     bucketSpecs.foreach { case (name, key) =>
       val tbl = bucketTableName(dir, name)
+      val loc = java.nio.file.Paths.get("spark-warehouse", tbl).toAbsolutePath
+      val fp = sourceFingerprint(s"$dir/$name.parquet")
+      val fpPath = loc.resolve(FpFile)
+      def storedFp: Option[String] =
+        if (java.nio.file.Files.exists(fpPath))
+          Some(new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8"))
+        else None
+      val fresh = storedFp.contains(fp)
+      if (spark.catalog.tableExists(tbl) && !fresh)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
       if (!spark.catalog.tableExists(tbl)) {
-        val loc = java.nio.file.Paths.get("spark-warehouse", tbl).toAbsolutePath
-        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && fresh) {
           val schema = spark.read.parquet(loc.toString).schema.toDDL
           spark.sql(
             s"""CREATE TABLE $tbl ($schema) USING parquet
@@ -69,6 +108,7 @@ object Tables {
           }
           val df = loadPlain(spark, dir, name)
           saveBucketed(df.repartition(buckets, expr(key)), tbl, buckets, key)
+          java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
         }
       }
       bucketedFor((dir, name)) = tbl

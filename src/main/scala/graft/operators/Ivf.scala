@@ -57,18 +57,37 @@ object Ivf {
     * itself — the assigned corpus, partitioned by bucket, so query-time
     * probes become partition-pruned scans; later calls (including across
     * JVMs) read the artifacts back. The collect here is k centroid rows —
-    * kilobytes, the index itself — not data. */
+    * kilobytes, the index itself — not data.
+    *
+    * Completeness is marked by `centroids/_SUCCESS` (the committer writes
+    * it last, and centroids are the LAST artifact written), never by mere
+    * directory existence — a crash mid-write leaves no _SUCCESS and the
+    * index rebuilds. A fingerprint of the source parquet
+    * (`<corpusKey>.parquet`) is stored alongside; a regenerated corpus at
+    * the same path invalidates and rebuilds rather than silently serving
+    * the stale index. */
   def ensureIndex(spark: SparkSession, corpusKey: String, normedDf: => DataFrame,
                   k: Int, maxIter: Int = 20, seed: Long = 42L): Centroids = {
     val memoKey = s"$corpusKey|k=$k|it=$maxIter|s=$seed"
     indexMemo.getOrElseUpdate(memoKey, {
       val dir = indexDir(corpusKey, k, maxIter, seed)
-      // centroids are written LAST: their presence marks a complete index
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids"))) {
+      val fp = graft.catalog.Tables.sourceFingerprint(s"$corpusKey.parquet")
+      val fpPath = java.nio.file.Paths.get(s"$dir/src_fingerprint")
+      val complete =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/_SUCCESS")) &&
+          java.nio.file.Files.exists(fpPath) &&
+          new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
+      if (complete) {
         spark.read.parquet(s"$dir/centroids")
           .orderBy("bucket").select("c")
           .collect().map(_.getSeq[Double](0).toArray)
       } else {
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
         val cents = centroids(fit(normedDf, k, seed, maxIter))
         assignTo(normedDf, cents).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$dir/corpus")
@@ -76,6 +95,7 @@ object Ivf {
         cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toIndexedSeq) }
           .toDF("bucket", "c")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+        java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
         cents
       }
     })

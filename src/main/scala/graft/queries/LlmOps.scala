@@ -71,6 +71,28 @@ object LlmOps {
   private val SqlJac =
     """CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
       |CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)""".stripMargin
+  /** MinHash → banded LSH → candidate pairs, from a grams CTE `g`.
+    * Mirrors [[Dedup.minhashNearDups]] EXACTLY, including the bucket cap:
+    * the `bok`/`bc` CTEs drop buckets larger than [[Dedup.DefaultMaxBucket]]
+    * just as [[Dedup.candidatePairs]] does, and the cap literal is spliced
+    * from the SAME Scala constant, so capped semantics are themselves
+    * oracle-checked (a pathological all-alike corpus moves both engines
+    * together instead of silently diverging). */
+  private val SqlMinhashCand =
+    s"""tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM tg),
+       |mh AS (SELECT doc_id, i,
+       |         MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
+       |       FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+       |        FROM sig CROSS JOIN range(8) rb(band)),
+       |bok AS (SELECT band, bkey FROM bnd GROUP BY band, bkey
+       |        HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket.get}),
+       |bc AS (SELECT bnd.doc_id, bnd.band, bnd.bkey FROM bnd JOIN bok USING (band, bkey)),
+       |cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+       |         FROM bc ba JOIN bc bb
+       |         ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id)""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -202,17 +224,7 @@ object LlmOps {
       (s, dir) => Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
         ngram = 2, k = 32, b = 8, r = 4, theta = 0.5),
       Some(s"""WITH $SqlGrams,
-        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM t),
-        mh AS (SELECT doc_id, i,
-                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
-               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
-                FROM sig CROSS JOIN range(8) rb(band)),
-        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
-                 FROM bnd ba JOIN bnd bb
-                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
         SELECT a, b, jac FROM p WHERE jac >= 0.5 ORDER BY a, b""")),
@@ -223,17 +235,7 @@ object LlmOps {
         Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
           ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)),
       Some(s"""WITH RECURSIVE $SqlGrams,
-        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM t),
-        mh AS (SELECT doc_id, i,
-                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
-               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
-                FROM sig CROSS JOIN range(8) rb(band)),
-        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
-                 FROM bnd ba JOIN bnd bb
-                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
         pairs AS (SELECT a, b FROM p WHERE jac >= 0.5),
@@ -403,17 +405,7 @@ object LlmOps {
         g AS (SELECT doc_id,
                 list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams
               FROM e WHERE len(toks) >= 2),
-        tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        th AS (SELECT doc_id, ${H.sqlH28("gram")} AS hx FROM tg),
-        mh AS (SELECT doc_id, i,
-                 MIN((${H.sqlCoefA("i")} * hx + ${H.sqlCoefB("i")}) % 2147483647) AS m
-               FROM th CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
-        sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        bnd AS (SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
-                FROM sig CROSS JOIN range(8) rb(band)),
-        cand AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
-                 FROM bnd ba JOIN bnd bb
-                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id),
+        $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
         dropb AS (SELECT DISTINCT b FROM p WHERE jac >= 0.5),
