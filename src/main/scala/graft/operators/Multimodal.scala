@@ -87,9 +87,12 @@ object Multimodal {
   def pixel(id: String, x: Int, y: Int, c: Int,
             md: java.security.MessageDigest =
               java.security.MessageDigest.getInstance("MD5")): Int = {
-    val hex = md.digest(s"$id:$x,$y,$c".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(7)
-    (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    val d = md.digest(s"$id:$x,$y,$c".getBytes("UTF-8"))
+    // first 7 hex chars = 28 leading bits of the digest, read directly
+    // from the bytes — no hex string in the per-pixel loop
+    val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xff) >>> 4)
+    (v % 256).toInt
   }
 
   /** Synthetic DECODED corpus from the pure [[pixel]] formula — no codec
