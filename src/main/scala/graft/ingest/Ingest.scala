@@ -133,25 +133,56 @@ object Ingest {
   def selectTextColumn(df: DataFrame, textCol: Option[String]): Column =
     col(textCol.getOrElse(df.columns.head))
 
-  /** P4: bag-of-words — corpus-wide vocabulary fit, then per-doc dense
-    * term-count vectors (`serialize.py:220-231`, sklearn CountVectorizer
-    * with token pattern \b\w+\b). Two-pass global op, exactly as in the
-    * reference: pass 1 aggregates the distinct vocabulary (a distributed
-    * groupBy, NOT a driver-side fit); pass 2 is a map.
+  /** P4: bag-of-words — corpus-wide vocabulary fit, then per-doc term
+    * counts (`serialize.py:220-231`, sklearn CountVectorizer with token
+    * pattern \b\w+\b). Fully distributed two-pass op — at web scale the
+    * vocabulary is 10⁷-10⁸ terms, so it must stay a TABLE, never a
+    * driver-collected literal:
     *
-    * Vocabulary order is lexicographic (sklearn semantics — documented
-    * SURVEY §7 risk; Spark ML's CountVectorizer would order by frequency).
-    * Returns (vocabulary, df + `bow: array<float>` dense counts). */
-  def bagOfWords(df: DataFrame, textCol: String, out: String = "bow"): (Seq[String], DataFrame) = {
+    *   pass 1  distinct tokens, range-sort-partitioned lexicographically
+    *           (sklearn order), 0-based ids by the zipWithIndex
+    *           construction — no single-partition window, no collect;
+    *   pass 2  explode → per-(key, term) counts → shuffle join against the
+    *           vocab table for ids → sparse sorted (idx, cnt) list per row.
+    *
+    * Work is O(tokens), not O(|V|·rows); the reference's dense vectors are
+    * reconstructible via [[denseBow]] (export/parity helper).
+    *
+    * Returns (vocab table `(id, term)`, df + `out`:
+    * array<struct<idx: long, cnt: float>> sorted by idx; empty array for
+    * token-less rows). */
+  def bagOfWords(df: DataFrame, textCol: String, keyCol: String = "key",
+                 out: String = "bow"): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
     val toks = graft.functions.TextAnalysis.tokens(lower(col(textCol)))
-    val vocab = df.select(explode(toks).as("t")).distinct()
-      .orderBy("t").collect().map(_.getString(0)).toSeq
-    val vocabLit = array(vocab.map(lit): _*)
-    // dense count vector: for each vocab term, count of occurrences.
-    val counted = df.withColumn("_toks", toks)
-      .withColumn(out, transform(vocabLit, v =>
-        size(filter(col("_toks"), t => t === v)).cast("float")))
-      .drop("_toks")
-    (vocab, counted)
+    val sorted = df.select(explode(toks).as("term")).distinct().orderBy("term")
+    // ids follow the global sort: orderBy range-partitions with sorted
+    // partitions in order, zipWithIndex numbers across them — two narrow
+    // passes (count job + map), no single-partition stage
+    val vocabSchema = new StructType()
+      .add("term", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("id", LongType, nullable = false)
+    val vocab = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) },
+      vocabSchema)
+    val counts = df.select(col(keyCol), explode(toks).as("term"))
+      .groupBy(keyCol, "term").count()
+    val sparse = counts.join(vocab, "term")
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(
+        col("id").as("idx"), col("count").cast("float").as("cnt")))).as(out))
+    val empty = array().cast("array<struct<idx: bigint, cnt: float>>")
+    (vocab, df.join(sparse, Seq(keyCol), "left")
+      .withColumn(out, coalesce(col(out), empty)))
   }
+
+  /** Dense reconstruction of a [[bagOfWords]] sparse row — the reference's
+    * per-doc O(|V|) vector, for export/parity at small |V| only (a dense
+    * web-scale vocab vector is exactly the layout bagOfWords avoids). */
+  def denseBow(df: DataFrame, bowCol: String, vocabSize: Long,
+               out: String = "bow_dense"): DataFrame =
+    df.withColumn("_m", map_from_entries(col(bowCol)))
+      .withColumn(out, transform(sequence(lit(0L), lit(vocabSize - 1)),
+        i => coalesce(element_at(col("_m"), i), lit(0.0f))))
+      .drop("_m")
 }

@@ -94,15 +94,28 @@ class IngestSpec extends SparkSpec {
     assert(row(1)._2.endsWith("y1.png") && row(1)._3.endsWith("x1.png"))
   }
 
-  test("bag-of-words: corpus vocabulary + dense per-doc counts (P4)") {
-    val df = Seq((1L, "spark makes big data small"), (2L, "big data big plans"))
-      .toDF("key", "text")
-    val (vocab, out) = Ingest.bagOfWords(df, "text")
-    assert(vocab == vocab.sorted) // lexicographic, sklearn semantics
-    val m = out.select("key", "bow").as[(Long, Array[Float])].collect().toMap
-    val bigIdx = vocab.indexOf("big")
-    assert(m(1L)(bigIdx) == 1.0f && m(2L)(bigIdx) == 2.0f)
-    assert(m(1L).length == vocab.size)
+  test("bag-of-words: distributed vocab table + sparse per-doc counts (P4)") {
+    val df = Seq((1L, "spark makes big data small"), (2L, "big data big plans"),
+        (3L, "")).toDF("key", "text")
+    val (vocabDf, out) = Ingest.bagOfWords(df, "text")
+    val vocab = vocabDf.orderBy("id").select("term").as[String].collect().toSeq
+    assert(vocab == vocab.sorted) // lexicographic ids, sklearn semantics
+    assert(vocab == Seq("big", "data", "makes", "plans", "small", "spark"))
+    val ids = vocabDf.orderBy("id").select("id").as[Long].collect().toSeq
+    assert(ids == (0L until vocab.size).toSeq) // dense 0-based
+    val sparse = out.select("key", "bow")
+      .as[(Long, Seq[(Long, Float)])].collect().toMap
+    val bigIdx = vocab.indexOf("big").toLong
+    assert(sparse(1L).toMap.apply(bigIdx) == 1.0f)
+    assert(sparse(2L).toMap.apply(bigIdx) == 2.0f)
+    assert(sparse(2L).map(_._1) == sparse(2L).map(_._1).sorted) // idx-sorted
+    assert(sparse(3L).isEmpty) // token-less row → empty, not null
+    // dense reconstruction matches the reference's per-doc vector layout
+    val dense = Ingest.denseBow(out, "bow", vocab.size.toLong)
+      .select("key", "bow_dense").as[(Long, Seq[Float])].collect().toMap
+    assert(dense(1L) == Seq(1f, 1f, 1f, 0f, 1f, 1f))
+    assert(dense(2L) == Seq(2f, 1f, 0f, 1f, 0f, 0f))
+    assert(dense(3L) == Seq.fill(6)(0f))
   }
 
   test("batch export: remainder dropped, shapes from schema, epochs (D1-D3)") {
