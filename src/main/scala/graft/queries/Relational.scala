@@ -676,6 +676,45 @@ object Relational {
       },
       None),
 
+    // ---- exact quantiles: the hash-gated companion to q33 ---------------
+    // q33's sketches (HLL, KLL-style percentile_approx) are the 100 TB
+    // path but not cross-engine reproducible; this twin computes the SAME
+    // stats exactly so the sketch query has an oracle-checked companion.
+    // Quantiles are positional (value at ceil(q·n), no interpolation
+    // arithmetic), so both engines pick identical stored doubles. The
+    // per-group row_number is the inherent cost of exactness — the group
+    // count here is 3 (bounded, not data-scaled); for high-cardinality
+    // exact quantiles at scale, use the sketch (q33) or a per-(group,value)
+    // count + cumulative-sum-over-distinct-values reformulation.
+    "q52_exact_quantiles" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+        val ranked = li
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        ranked.groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            max(when(col("rn") === ceil(col("nn") * lit(0.25)), col("l_extendedprice"))).as("p25_price"),
+            max(when(col("rn") === ceil(col("nn") * lit(0.5)), col("l_extendedprice"))).as("median_price"),
+            max(when(col("rn") === ceil(col("nn") * lit(0.75)), col("l_extendedprice"))).as("p75_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_partkey, l_extendedprice,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+            COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+          FROM lineitem)
+        SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS n_parts,
+          MAX(CASE WHEN rn = CAST(CEIL(nn * 0.25) AS BIGINT) THEN l_extendedprice END) AS p25_price,
+          MAX(CASE WHEN rn = CAST(CEIL(nn * 0.5) AS BIGINT) THEN l_extendedprice END) AS median_price,
+          MAX(CASE WHEN rn = CAST(CEIL(nn * 0.75) AS BIGINT) THEN l_extendedprice END) AS p75_price,
+          COUNT(*) AS n
+        FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- array functions over embeddings --------------------------------
     "q20_array_funcs" -> Q(
       (s, dir) => {
