@@ -38,4 +38,23 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Spark's RocksDB state store provider — the continuous-ingest state
+    * backend. The default HDFS-backed store keeps every bucket's state on
+    * the executor HEAP; at 100 TB-class streaming ingest (billions of LSH
+    * buckets in [[graft.streaming.DocStreams]]) state must spill to local
+    * disk and checkpoint incrementally, which is exactly what RocksDB +
+    * changelog checkpointing provide. Read per-query at stream START, so
+    * it can also be set on a live session via `spark.conf.set` before
+    * `writeStream.start()`. */
+  val RocksDBStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Builder preset for streaming jobs with RocksDB-backed state.
+    * Changelog checkpointing writes per-batch deltas instead of full
+    * RocksDB snapshots — the difference between O(changed keys) and
+    * O(total state) per commit once state stops fitting in memory. */
+  def withRocksDBState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass", RocksDBStateStore)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
 }

@@ -77,6 +77,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("near-dup state survives batches under the RocksDB state store") {
+    // same cross-batch scenario as the first test, but with streaming
+    // state held in RocksDB (the continuous-ingest backend — heap state
+    // does not survive 100 TB-scale bucket cardinality). Provider class is
+    // read at stream start, so setting it on the live session is enough.
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      GraftSession.RocksDBStateStore)
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStreams.nearDupHits(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          timeout = GroupStateTimeout.NoTimeout)
+        .writeStream.format("memory").queryName("neardup_rocks")
+        .outputMode("update").start()
+      mem.addData((1L, base), (3L, unrelated))
+      q.processAllAvailable()
+      mem.addData((2L, nearDup)) // must hit RocksDB state from batch 1
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT a, b FROM neardup_rocks")
+        .as[(Long, Long)].collect().toSet
+      q.stop()
+      assert(pairs == Set((1L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("bucket state is capped at maxPerBucket") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
