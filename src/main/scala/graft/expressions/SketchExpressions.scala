@@ -104,11 +104,20 @@ case class DotProductExpr(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("dot", this, classOf[DotProductExpr].getName)
+    // loop emitted INLINE into the generated code: no boxed Double per row,
+    // no megamorphic nullSafeEval dispatch — the accumulate stays a
+    // primitive loop the JIT can vectorize within the WholeStageCodegen span
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = $ref.nullSafeEval($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }""")
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double $acc = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        $acc += $a.getDouble($i) * $b.getDouble($i);
+      }
+      ${ev.value} = $acc;""")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
@@ -204,11 +213,34 @@ case class MinhashSigExpr(child: Expression, k: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("minhash", this, classOf[MinhashSigExpr].getName)
+    // coefficient arrays land in the references array once at plan time;
+    // the k×n min-update loop itself is emitted inline — primitive longs
+    // only, no boxed result, no per-row virtual dispatch
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = $ref.nullSafeEval($c);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }""")
+      int $n = $c.numElements();
+      if ($n == 0) { ${ev.isNull} = true; } else {
+        long[] $out = new long[$k];
+        java.util.Arrays.fill($out, Long.MAX_VALUE);
+        for (int $j = 0; $j < $n; $j++) {
+          if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+          long $h = $c.getLong($j) & ${Mask28}L;
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = ($asRef[$i] * $h + $bsRef[$i]) % ${P}L;
+            if ($v < $out[$i]) $out[$i] = $v;
+          }
+        }
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
