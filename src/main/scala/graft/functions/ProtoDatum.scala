@@ -1,0 +1,234 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+/** Byte-compatible proto2 writer/reader for the reference's `Datum`
+  * messages (`/root/reference/datum.proto:3-48`, encode lineage
+  * `/root/reference/serialize.py:269-340`) — the one reference-computed
+  * artifact a migrating consumer may still need bit-for-bit (E1 in
+  * SURVEY §2.1). Hand-rolled against the PUBLIC protobuf wire format
+  * (varint keys `(field<<3)|wire`, length-delimited submessages,
+  * little-endian 32-bit floats); no protobuf runtime dependency.
+  *
+  * Byte equality with the Python encoder holds because proto2 serializes
+  * present fields in FIELD-NUMBER order and every field here is scalar or
+  * a nested message — both writers emit the identical canonical order.
+  * Reference semantics reproduced exactly:
+  *  - identifier is `str(key)`;
+  *  - numeric/text data is the float32 little-endian array bytes
+  *    (`np.asarray(data, dtype='float32').tobytes()`, serialize.py:305);
+  *  - `size.dim` is hardcoded 1 (serialize.py:303);
+  *  - a labeled row folds its Class message INTO the same Datum
+  *    (serialize.py:285-291, 310-315) — label and data share the message.
+  *
+  * The reference's LMDB sink is replaced by columnar storage (SURVEY
+  * ruling W1/W2): datums ride a `binary` column in parquet.
+  */
+object ProtoDatum {
+
+  // ---- message model (field numbers from datum.proto) -------------------
+  final case class Size(dim: Long = 1L)
+  final case class Numeric(identifier: String, size: Option[Size],
+                           data: Array[Byte])
+  final case class ImgData(identifier: String, channels: Option[Long],
+                           height: Option[Long], width: Option[Long],
+                           data: Option[Array[Byte]],
+                           floatData: Seq[Float] = Nil,
+                           encoded: Option[Boolean] = None)
+  final case class ClassMsg(identifier: String, slabel: Option[String],
+                            nlabel: Option[Long],
+                            multilabel: Option[Array[Byte]] = None)
+  final case class Datum(numeric: Option[Numeric] = None,
+                         imgdata: Option[ImgData] = None,
+                         classs: Option[ClassMsg] = None)
+
+  // ---- wire-format primitives ------------------------------------------
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def tag(field: Int, wire: Int): Int = (field << 3) | wire
+  private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+    writeVarint(out, tag(field, 2)); writeVarint(out, bytes.length); out.write(bytes)
+  }
+  private def writeVarintField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+    writeVarint(out, tag(field, 0)); writeVarint(out, v)
+  }
+  private def writeFloatField(out: ByteArrayOutputStream, field: Int, f: Float): Unit = {
+    writeVarint(out, tag(field, 5))
+    val bits = java.lang.Float.floatToIntBits(f)
+    out.write(bits & 0xff); out.write((bits >> 8) & 0xff)
+    out.write((bits >> 16) & 0xff); out.write((bits >> 24) & 0xff)
+  }
+
+  /** float32 little-endian array bytes — `np.float32(...).tobytes()`. */
+  def floatBytes(fs: Seq[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(fs.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fs.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  // ---- encoders (fields in number order, as python does) ----------------
+  private def encodeSize(m: Size): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeVarintField(out, 1, m.dim)
+    out.toByteArray
+  }
+  private def encodeNumeric(m: Numeric): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeLen(out, 1, m.identifier.getBytes("UTF-8"))
+    m.size.foreach(s => writeLen(out, 2, encodeSize(s)))
+    writeLen(out, 3, m.data)
+    out.toByteArray
+  }
+  private def encodeImg(m: ImgData): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeLen(out, 1, m.identifier.getBytes("UTF-8"))
+    m.channels.foreach(writeVarintField(out, 2, _))
+    m.height.foreach(writeVarintField(out, 3, _))
+    m.width.foreach(writeVarintField(out, 4, _))
+    m.data.foreach(writeLen(out, 5, _))
+    m.floatData.foreach(writeFloatField(out, 6, _)) // proto2 default: unpacked
+    m.encoded.foreach(b => writeVarintField(out, 7, if (b) 1L else 0L))
+    out.toByteArray
+  }
+  private def encodeClass(m: ClassMsg): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeLen(out, 1, m.identifier.getBytes("UTF-8"))
+    m.slabel.foreach(s => writeLen(out, 2, s.getBytes("UTF-8")))
+    m.nlabel.foreach(writeVarintField(out, 3, _))
+    m.multilabel.foreach(writeLen(out, 4, _))
+    out.toByteArray
+  }
+
+  /** Serialized Datum — byte-equal to the reference's
+    * `datum.SerializeToString()`. */
+  def encode(d: Datum): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    d.numeric.foreach(m => writeLen(out, 10, encodeNumeric(m)))
+    d.imgdata.foreach(m => writeLen(out, 11, encodeImg(m)))
+    d.classs.foreach(m => writeLen(out, 13, encodeClass(m)))
+    out.toByteArray
+  }
+
+  /** The reference's NumericDatum/TextDatum shape (serialize.py:296-340):
+    * identifier = str(key), dim = 1, float32 data; optional integer label
+    * folded in as Class(nlabel). */
+  def numericDatum(key: Long, data: Seq[Float], nlabel: Option[Long]): Array[Byte] =
+    encode(Datum(
+      numeric = Some(Numeric(key.toString, Some(Size(1L)), floatBytes(data))),
+      classs = nlabel.map(n => ClassMsg(key.toString, None, Some(n)))))
+
+  /** The reference's ImageDatum shape (serialize.py:269-291): HWC dims,
+    * float32 pixel bytes, optional string label folded in. */
+  def imageDatum(key: Long, channels: Int, height: Int, width: Int,
+                 data: Seq[Float], slabel: Option[String]): Array[Byte] =
+    encode(Datum(
+      imgdata = Some(ImgData(key.toString, Some(channels.toLong),
+        Some(height.toLong), Some(width.toLong), Some(floatBytes(data)))),
+      classs = slabel.map(s => ClassMsg(key.toString, Some(s), None))))
+
+  // ---- decoder (round-trip gate + LMDB-migration read path) -------------
+  private final class Reader(bytes: Array[Byte], from: Int, until: Int) {
+    var pos: Int = from
+    def hasMore: Boolean = pos < until
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val b = bytes(pos); pos += 1
+               v |= (b & 0x7fL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+      v
+    }
+    def lenDelimited(): (Int, Int) = {
+      val n = varint().toInt; val s = pos; pos += n; (s, s + n)
+    }
+    def slice(s: Int, e: Int): Array[Byte] = java.util.Arrays.copyOfRange(bytes, s, e)
+    def float32(): Float = {
+      val bits = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      pos += 4
+      java.lang.Float.intBitsToFloat(bits)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case 2 => lenDelimited(); ()
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w unsupported")
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Datum = {
+    val r = new Reader(bytes, 0, bytes.length)
+    var d = Datum()
+    while (r.hasMore) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wire = (key & 7).toInt
+      field match {
+        case 10 => val (s, e) = r.lenDelimited(); d = d.copy(numeric = Some(decodeNumeric(bytes, s, e)))
+        case 11 => val (s, e) = r.lenDelimited(); d = d.copy(imgdata = Some(decodeImg(bytes, s, e)))
+        case 13 => val (s, e) = r.lenDelimited(); d = d.copy(classs = Some(decodeClass(bytes, s, e)))
+        case _ => r.skip(wire)
+      }
+    }
+    d
+  }
+  private def decodeNumeric(bytes: Array[Byte], from: Int, until: Int): Numeric = {
+    val r = new Reader(bytes, from, until)
+    var id = ""; var size: Option[Size] = None; var data = Array.empty[Byte]
+    while (r.hasMore) {
+      val key = r.varint()
+      ((key >> 3).toInt, (key & 7).toInt) match {
+        case (1, _) => val (s, e) = r.lenDelimited(); id = new String(r.slice(s, e), "UTF-8")
+        case (2, _) =>
+          val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
+          var dim = 1L
+          while (rr.hasMore) {
+            val k2 = rr.varint()
+            if ((k2 >> 3).toInt == 1) dim = rr.varint() else rr.skip((k2 & 7).toInt)
+          }
+          size = Some(Size(dim))
+        case (3, _) => val (s, e) = r.lenDelimited(); data = r.slice(s, e)
+        case (_, w) => r.skip(w)
+      }
+    }
+    Numeric(id, size, data)
+  }
+  private def decodeImg(bytes: Array[Byte], from: Int, until: Int): ImgData = {
+    val r = new Reader(bytes, from, until)
+    var m = ImgData("", None, None, None, None)
+    val floats = scala.collection.mutable.ArrayBuffer.empty[Float]
+    while (r.hasMore) {
+      val key = r.varint()
+      ((key >> 3).toInt, (key & 7).toInt) match {
+        case (1, _) => val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2, _) => m = m.copy(channels = Some(r.varint()))
+        case (3, _) => m = m.copy(height = Some(r.varint()))
+        case (4, _) => m = m.copy(width = Some(r.varint()))
+        case (5, _) => val (s, e) = r.lenDelimited(); m = m.copy(data = Some(r.slice(s, e)))
+        case (6, 5) => floats += r.float32()
+        case (6, 2) => // packed encoding also legal on the read path
+          val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
+          while (rr.hasMore) floats += rr.float32()
+        case (7, _) => m = m.copy(encoded = Some(r.varint() != 0L))
+        case (_, w) => r.skip(w)
+      }
+    }
+    m.copy(floatData = floats.toSeq)
+  }
+  private def decodeClass(bytes: Array[Byte], from: Int, until: Int): ClassMsg = {
+    val r = new Reader(bytes, from, until)
+    var m = ClassMsg("", None, None)
+    while (r.hasMore) {
+      val key = r.varint()
+      ((key >> 3).toInt, (key & 7).toInt) match {
+        case (1, _) => val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2, _) => val (s, e) = r.lenDelimited(); m = m.copy(slabel = Some(new String(r.slice(s, e), "UTF-8")))
+        case (3, _) => m = m.copy(nlabel = Some(r.varint()))
+        case (4, _) => val (s, e) = r.lenDelimited(); m = m.copy(multilabel = Some(r.slice(s, e)))
+        case (_, w) => r.skip(w)
+      }
+    }
+    m
+  }
+}

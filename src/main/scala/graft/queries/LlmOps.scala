@@ -460,7 +460,48 @@ object LlmOps {
           CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
                WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
                WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END AS pred_lang
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- E1: reference Datum protobuf export -----------------------------
+    // Byte-compatible proto2 encoding of each embedding row as the
+    // reference's labeled NumericDatum (serialize.py:296-315). The bytes
+    // themselves are golden-vector-gated in ProtoDatumSpec (hand-computed
+    // wire format); the declared query exposes what DuckDB CAN recompute
+    // independently — the decoded identifier, float count, leading tag
+    // byte, and the exact message length, which is pure varint arithmetic
+    // over the identifier length and 4·dims. A wrong tag, field order, or
+    // length prefix anywhere in the encoder moves datum_len and fails the
+    // hash gate. Encoding is per-row JVM byte assembly (mapPartitions —
+    // map-only, no shuffle; the same shape a 100 TB export job has).
+    "q53_datum_export" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+          .as[(Long, Seq[Float], Int)]
+          .mapPartitions(_.map { case (id, vec, label) =>
+            val bytes = graft.functions.ProtoDatum.numericDatum(id, vec, Some(label.toLong))
+            val d = graft.functions.ProtoDatum.decode(bytes) // round-trip in-plan
+            (id, d.numeric.get.identifier, d.numeric.get.data.length / 4L,
+              bytes.length.toLong, (bytes(0) & 0xff).toLong)
+          })
+          .toDF("vec_id", "ident", "n_floats", "datum_len", "b0")
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS ident,
+            len(embedding) AS n, label FROM embeddings),
+        s AS (SELECT vec_id, ident, n, label,
+            length(ident) AS li, 4 * n AS db FROM e),
+        c AS (SELECT vec_id, ident, n,
+            (1 + CASE WHEN li < 128 THEN 1 ELSE 2 END + li) + 4 +
+            (1 + CASE WHEN db < 128 THEN 1 ELSE 2 END + db) AS numeric_len,
+            (1 + CASE WHEN li < 128 THEN 1 ELSE 2 END + li) +
+            (1 + CASE WHEN label < 128 THEN 1 ELSE 2 END) AS class_len
+          FROM s)
+        SELECT vec_id, ident, CAST(n AS BIGINT) AS n_floats,
+          CAST(1 + CASE WHEN numeric_len < 128 THEN 1 ELSE 2 END + numeric_len
+             + 1 + CASE WHEN class_len < 128 THEN 1 ELSE 2 END + class_len AS BIGINT) AS datum_len,
+          CAST(82 AS BIGINT) AS b0
+        FROM c ORDER BY vec_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
