@@ -41,6 +41,27 @@ object TextAnalysis {
   def bpeEstimate(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / lit(4)))
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019, public
+    * gpt-2/src/encoder.py), restricted to the RE2-compatible subset — no
+    * lookahead, ASCII classes instead of \p{L}/\p{N} — so Java regex
+    * (Spark) and RE2 (DuckDB) extract IDENTICAL pre-token lists:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. This is the real BPE
+    * pre-merge segmentation; [[bpeEstimate]] remains the cheap
+    * chars/4 proxy. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** Pre-token segments of `text` under [[BpePattern]], in order. */
+  def bpePreTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Pre-token count — the standard fast "token count" a curation
+    * pipeline budgets by (whitespace counts undercount punctuation-heavy
+    * text; this segmentation is what an actual BPE vocab sees). */
+  def bpePreTokenCount(text: Column): Column =
+    size(bpePreTokens(text)).cast("long")
+
   // ---- language ID (stopword-hit heuristic) ---------------------------
   // Tiny function-word lists; hit = token exactly equals a list entry.
   // Multiset counts (repeats count) — same as the oracle's list_filter.

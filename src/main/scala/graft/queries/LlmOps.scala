@@ -112,16 +112,21 @@ object LlmOps {
             size(t).cast("long").as("n_re"),
             size(array_distinct(t)).cast("long").as("n_uniq"),
             when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t).cast("double")).as("ttr"),
-            TextAnalysis.bpeEstimate(t).as("n_bpe"))
+            TextAnalysis.bpeEstimate(t).as("n_bpe"),
+            TextAnalysis.bpePreTokenCount(col("text")).as("n_pre"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents)
+      // the BPE pre-tokenizer pattern is spliced from the SAME Scala
+      // constant the Spark side compiles (RE2-safe subset), quotes doubled
+      // for the SQL literal — the segmentations cannot drift
+      Some(s"""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\\w+') AS toks FROM documents)
         SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
           CAST(len(toks) AS BIGINT) AS n_re,
           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
           CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ttr,
-          CAST(COALESCE(list_sum([CAST(FLOOR((len(t) + 3) / 4) AS BIGINT) for t in toks]), 0) AS BIGINT) AS n_bpe
+          CAST(COALESCE(list_sum([CAST(FLOOR((len(t) + 3) / 4) AS BIGINT) for t in toks]), 0) AS BIGINT) AS n_bpe,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_pre
         FROM w ORDER BY doc_id""")),
 
     // ---- quality scoring -------------------------------------------------

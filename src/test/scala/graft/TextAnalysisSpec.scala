@@ -20,6 +20,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._4 == 6)      // all tokens <= 4 chars -> 1 unit each
   }
 
+  test("BPE pre-tokenizer: contractions, space-prefixed runs, punctuation") {
+    val df = Seq((1L, "I'll say: don't touch GPT2's 42 tokens!!")).toDF("id", "text")
+    val segs = df.select(TextAnalysis.bpePreTokens(col("text")))
+      .as[Seq[String]].collect().head
+    // contraction suffixes split off; letter/digit runs keep their leading
+    // space; punctuation runs group; trailing whitespace never lost
+    assert(segs == Seq("I", "'ll", " say", ":", " don", "'t", " touch",
+      " GPT", "2", "'s", " 42", " tokens", "!!"))
+    assert(segs.mkString == "I'll say: don't touch GPT2's 42 tokens!!")
+    val n = df.select(TextAnalysis.bpePreTokenCount(col("text")))
+      .as[Long].collect().head
+    assert(n == segs.length)
+  }
+
   test("trigram language ID classifies full sentences in all four languages") {
     val df = Seq(
       (1L, "The committee published the findings of the investigation this morning."),
