@@ -130,6 +130,32 @@ object ProtoDatum {
         Some(height.toLong), Some(width.toLong), Some(floatBytes(data)))),
       classs = slabel.map(s => ClassMsg(key.toString, Some(s), None))))
 
+  /** DataFrame-level export: every row becomes (key, datum: binary) with
+    * the reference's labeled-NumericDatum bytes. Map-only (mapPartitions,
+    * no shuffle) — write the result with `Tables.save` partitioned however
+    * the consumer shards; this replaces the reference's LMDB write loop
+    * (serialize.py:342-387) with columnar storage. */
+  def numericDatums(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                    vecCol: String, labelCol: Option[String]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    labelCol match {
+      case Some(lc) =>
+        df.select(org.apache.spark.sql.functions.col(keyCol).cast("long"),
+            org.apache.spark.sql.functions.col(vecCol).cast("array<float>"),
+            org.apache.spark.sql.functions.col(lc).cast("long"))
+          .as[(Long, Seq[Float], Long)]
+          .mapPartitions(_.map { case (k, v, l) => (k, numericDatum(k, v, Some(l))) })
+          .toDF("key", "datum")
+      case None =>
+        df.select(org.apache.spark.sql.functions.col(keyCol).cast("long"),
+            org.apache.spark.sql.functions.col(vecCol).cast("array<float>"))
+          .as[(Long, Seq[Float])]
+          .mapPartitions(_.map { case (k, v) => (k, numericDatum(k, v, None)) })
+          .toDF("key", "datum")
+    }
+  }
+
   // ---- decoder (round-trip gate + LMDB-migration read path) -------------
   private final class Reader(bytes: Array[Byte], from: Int, until: Int) {
     var pos: Int = from

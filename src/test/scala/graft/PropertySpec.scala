@@ -23,6 +23,21 @@ object PropertySpec extends Properties("graft") {
       keys.toSeq == (1L to n.toLong)
     }
 
+  property("ProtoDatum encode/decode round-trips arbitrary numeric datums") =
+    forAll(Gen.choose(0L, Long.MaxValue),
+           Gen.listOf(Gen.chooseNum(Float.MinValue, Float.MaxValue)),
+           Gen.option(Gen.choose(0L, Long.MaxValue))) { (key, data, nlabel) =>
+      import graft.functions.ProtoDatum
+      val bytes = ProtoDatum.numericDatum(key, data, nlabel)
+      val d = ProtoDatum.decode(bytes)
+      val n = d.numeric.get
+      n.identifier == key.toString &&
+        n.size.map(_.dim).contains(1L) &&
+        java.util.Arrays.equals(n.data, ProtoDatum.floatBytes(data)) &&
+        d.classs.flatMap(_.nlabel) == nlabel &&
+        d.classs.forall(_.identifier == key.toString)
+    }
+
   property("minhash signature is elementwise monotone under union") =
     forAll(doc, doc) { (a, b) =>
       val df = Seq((1L, a), (2L, a + " " + b)).toDF("id", "text")

@@ -21,6 +21,23 @@ class StorageSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("datum export sink: binary column round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("datums").toString
+    val df = Seq((7L, Seq(1.5f, -2.0f), 3), (8L, Seq(0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val datums = graft.functions.ProtoDatum.numericDatums(
+      df, "vec_id", "embedding", Some("label"))
+    Tables.save(datums, dir, "datums")
+    val back = spark.read.parquet(s"$dir/datums.parquet")
+      .orderBy("key").as[(Long, Array[Byte])].collect()
+    assert(back.map(_._1).toSeq == Seq(7L, 8L))
+    val d7 = graft.functions.ProtoDatum.decode(back(0)._2)
+    assert(d7.numeric.get.identifier == "7")
+    assert(d7.classs.get.nlabel.contains(3L))
+    assert(java.util.Arrays.equals(d7.numeric.get.data,
+      graft.functions.ProtoDatum.floatBytes(Seq(1.5f, -2.0f))))
+  }
+
   test("csv/json sinks round-trip through the matching readers") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toString
     val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "s", "v")
