@@ -467,6 +467,61 @@ object LlmOps {
                WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END AS pred_lang
         FROM sc ORDER BY doc_id""")),
 
+    // ---- corpus report: language × quality × token budget ----------------
+    // The planning query a training-data pipeline runs before a crawl
+    // lands: per predicted language, document counts, how many clear the
+    // quality bar, and the BPE pre-token budget. Every aggregate is
+    // order-free exact (integer sums, min/max doubles — never a multi-row
+    // double SUM), so the whole report hash-matches cross-engine.
+    "q54_corpus_report" -> Q(
+      (s, dir) => {
+        val t = TextAnalysis.tokens(col("text"))
+        docs(s, dir)
+          .withColumn("lang", TextAnalysis.predictedLangTrigram(col("text")))
+          .withColumn("score", TextAnalysis.qualityScore(col("text"), t))
+          .withColumn("npre", TextAnalysis.bpePreTokenCount(col("text")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+            sum(col("npre")).as("total_pre_tokens"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents),
+        g AS (SELECT doc_id, text, list_distinct([substring(t, CAST(i AS INT), 3)
+                for i in generate_series(1, greatest(len(t)-2, 0))]) AS tris FROM p),
+        l AS (SELECT doc_id, text,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriEn)})) AS BIGINT) AS en_s,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriDe)})) AS BIGINT) AS de_s,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriEs)})) AS BIGINT) AS es_s,
+          CAST(len(list_intersect(tris, ${sqlList(TextAnalysis.TriFr)})) AS BIGINT) AS fr_s
+        FROM g),
+        lg AS (SELECT doc_id, text,
+          CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s THEN 'en'
+               WHEN de_s >= es_s AND de_s >= fr_s THEN 'de'
+               WHEN es_s >= fr_s THEN 'es' ELSE 'fr' END AS lang
+        FROM l),
+        w AS (SELECT doc_id, lang, text, regexp_extract_all(text, '\\w+') AS toks FROM lg),
+        m AS (SELECT doc_id, lang,
+          CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+          CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+          CAST(len(toks) AS DOUBLE) AS n_toks,
+          CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS npre
+        FROM w),
+        sc AS (SELECT doc_id, lang, npre,
+          CAST(0.4 AS DOUBLE) * alpha_ratio
+            + CAST(0.2 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), stop_ratio / CAST(0.1 AS DOUBLE))
+            + CAST(0.4 AS DOUBLE) * LEAST(CAST(1 AS DOUBLE), n_toks / CAST(50 AS DOUBLE)) AS score
+        FROM m)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          CAST(SUM(npre) AS BIGINT) AS total_pre_tokens,
+          MIN(score) AS min_score, MAX(score) AS max_score
+        FROM sc GROUP BY lang ORDER BY lang""")),
+
     // ---- E1: reference Datum protobuf export -----------------------------
     // Byte-compatible proto2 encoding of each embedding row as the
     // reference's labeled NumericDatum (serialize.py:296-315). The bytes
