@@ -57,23 +57,16 @@ object Sketches {
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Expose the sketch expressions to the SQL surface as temp functions
-    * (graft_minhash_sig / graft_simhash60 / graft_md5_prefix /
-    * graft_dot). Idempotent per session. */
+  /** Expose the sketch expressions to a LIVE session as temp functions —
+    * the notebook/test twin of the `spark.sql.extensions=graft.
+    * GraftExtensions` deployment path; both draw from the same
+    * [[graft.GraftExtensions.functions]] list so the surfaces cannot
+    * drift. Idempotent per session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_simhash60",
-      exprs => Simhash60Expr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinhashSigExpr(exprs.head, 32), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_md5_prefix",
-      exprs => Md5PrefixArrayExpr(exprs.head, 15), "scala_udf")
-    // 28-bit variant — the correct feed for graft_minhash_sig (60-bit
-    // inputs would be masked; use this to match the Scala pipeline)
-    reg.createOrReplaceTempFunction("graft_md5_prefix28",
-      exprs => Md5PrefixArrayExpr(exprs.head, 7), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    graft.GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      reg.createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
+    }
   }
 }
 

@@ -27,6 +27,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaDf && viaSql.nonEmpty)
   }
 
+  test("GraftExtensions injects the full SQL function surface") {
+    // build the exact extensions object production passes via
+    // spark.sql.extensions, and apply its injected functions to the live
+    // session's registry (the config path only acts at session creation)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftBridge.registerInjectedFunctions(ext, spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_minhash_sig(graft_md5_prefix28(array('x y'))) AS sig,
+                graft_simhash60(graft_md5_prefix(array('a b'))) AS fp""")
+      .as[(Double, Seq[Long], Long)].collect().head
+    assert(row._1 == 11.0 && row._2.length == 32)
+    // injected builders produce the same values as the Column API
+    val viaCol = Seq(Tuple1(Seq("x y"))).toDF("g")
+      .select(graft.expressions.Sketches.minhashSig(
+        graft.expressions.Sketches.md5PrefixArray(
+          org.apache.spark.sql.functions.col("g"), 7), 32))
+      .as[Seq[Long]].collect().head
+    assert(row._2 == viaCol)
+  }
+
   test("custom sketch expressions are callable from SQL") {
     graft.expressions.Sketches.registerSql(spark)
     val fp = spark.sql(
