@@ -715,6 +715,38 @@ object Relational {
           COUNT(*) AS n
         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- time-series gap fill (resample to a dense hourly grid) ---------
+    // Monitoring/forecasting inputs need DENSE series; a groupBy only
+    // emits observed buckets. Per event type, generate the full hourly
+    // span between its first and last event and left-join the counts,
+    // zero-filling gaps. Scale shape: the generated grid is
+    // types × span-hours (tiny next to the event table), the only
+    // data-sized shuffle is the original count aggregate, and the span
+    // bounds come from the same pre-aggregated counts — no second scan.
+    "q55_gapfill_hourly" -> Q(
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+        val hours = counts.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+        hours.join(counts, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH c AS (SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+        sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM c GROUP BY 1),
+        hrs AS (SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp)
+        SELECT hrs.event_type AS event_type, STRFTIME(hrs.h, '%Y-%m-%d %H') AS hour,
+          COALESCE(c.n, 0) AS n
+        FROM hrs LEFT JOIN c ON c.event_type = hrs.event_type AND c.h = hrs.h
+        ORDER BY hrs.event_type, hour""")),
+
     // ---- array functions over embeddings --------------------------------
     "q20_array_funcs" -> Q(
       (s, dir) => {
