@@ -158,6 +158,52 @@ object Dedup {
     verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
   }
 
+  /** Incremental (cross-corpus) near-dup: which documents of a NEW batch
+    * near-duplicate the HISTORICAL corpus. Returns (a: history id,
+    * b: new id, jac) — never history×history or new×new pairs, which is
+    * the point: at 100 TB the history self-join is the cost you must NOT
+    * pay per ingest batch. Signatures/bands are computed over the union
+    * (per-row, so values are identical to computing per corpus); the
+    * bucket cap applies to COMBINED bucket sizes; only cross buckets
+    * join. In production the history side of the band table is the
+    * persisted dedup index, written once at ingest like the IVF index —
+    * each batch then costs O(batch + collisions), not O(corpus).
+    *
+    * Assumes `idCol` is globally unique across both frames (true for any
+    * keyed corpus; the declared query uses a doc_id split). */
+  def crossCorpusNearDups(history: DataFrame, fresh: DataFrame,
+                          idCol: String, textCol: String,
+                          ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                          theta: Double = 0.5,
+                          maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
+    val all = history.select(col(idCol), col(textCol))
+      .unionByName(fresh.select(col(idCol), col(textCol)))
+    val sh = shingled(all, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bnd = bands(sig, b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newIds = fresh.select(col(idCol).cast("long").as("id")).distinct()
+    val ok = maxBucket match {
+      case Some(cap) =>
+        val counts = bnd.groupBy("band", "bkey").count()
+          .observe("lsh_bucket_cap_x",
+            sum(when(col("count") > cap, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_buckets"))
+        bnd.join(counts.filter(col("count") <= cap).select("band", "bkey"),
+          Seq("band", "bkey"))
+      case None => bnd
+    }
+    val hist = ok.join(newIds, Seq("id"), "left_anti")
+      .select(col("band"), col("bkey"), col("id").as("a"))
+    val fres = ok.join(newIds, Seq("id"), "left_semi")
+      .select(col("band"), col("bkey"), col("id").as("b"))
+    val cand = hist.join(fres, Seq("band", "bkey"))
+      .select("a", "b").distinct()
+    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+  }
+
   /** 60-bit SimHash fingerprint per document over its word-bigram set —
     * MAP-ONLY: one custom-expression pass per row, no explode, no shuffle.
     * Values are identical to [[simhashDeclarative]] (spec-checked) and to

@@ -94,6 +94,10 @@ object LlmOps {
        |         FROM bc ba JOIN bc bb
        |         ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id)""".stripMargin
 
+  /** History/new-batch doc_id split for the incremental-dedup fixture
+    * query (q56) — shared with its oracle SQL. */
+  private val IncrSplit = 250L
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup on content hash -----------------------------------
@@ -233,6 +237,29 @@ object LlmOps {
         p AS (SELECT c.a, c.b, $SqlJac AS jac
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
         SELECT a, b, jac FROM p WHERE jac >= 0.5 ORDER BY a, b""")),
+
+    // ---- incremental (cross-corpus) dedup: new batch vs history ---------
+    // The per-ingest-batch question: which NEW documents near-duplicate
+    // the EXISTING corpus. The operator never joins history against
+    // itself — at 100 TB that self-join is the cost an ingest batch must
+    // not pay. Fixture split: doc_id < 250 is history, >= 250 the batch.
+    // The oracle reuses the capped self-join candidate fragment and
+    // filters to cross-corpus pairs — identical sets, since every history
+    // id sorts below every batch id.
+    "q56_incremental_dedup" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.crossCorpusNearDups(
+          d.filter(col("doc_id") < IncrSplit), d.filter(col("doc_id") >= IncrSplit),
+          "doc_id", "text", ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)
+      },
+      Some(s"""WITH $SqlGrams,
+        $SqlMinhashCand,
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
+        SELECT a, b, jac FROM p
+        WHERE jac >= 0.5 AND a < $IncrSplit AND b >= $IncrSplit
+        ORDER BY a, b""")),
 
     // ---- duplicate clusters: connected components over near-dup pairs ---
     "q43_dup_clusters" -> Q(

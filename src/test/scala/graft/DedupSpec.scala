@@ -38,6 +38,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
   }
 
+  test("cross-corpus near-dup emits only history x new pairs") {
+    // history: 0 and its near-dup 1; batch: exact dup of 0 (10), near-dup
+    // of 0 (11), unrelated (12), and 13 = exact dup of 11 (a NEW x NEW
+    // pair that must NOT be emitted — that's the incremental contract)
+    val history = Seq((0L, base), (1L, nearDup),
+      (2L, "completely different words about spark catalyst optimizer plans and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, base.replace("quick", "rapid")),
+      (12L, "another unrelated document mentioning parquet files and column pruning at scale"),
+      (13L, base.replace("quick", "rapid")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(history, batch, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10L))) // exact dup found
+    assert(pairs.contains((0L, 11L)) && pairs.contains((0L, 13L))) // near dups
+    assert(pairs.forall { case (a, b) => a < 10L && b >= 10L }) // cross only
+    assert(!pairs.exists(p => p._2 == 12L)) // unrelated never pairs
+  }
+
   test("fast (xxhash64) near-dup pipeline finds the same duplicate pairs") {
     val md5Pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", theta = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
