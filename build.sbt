@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = one JVM; heap is the only memory knob that matters.
   // 32g leaves ample room for shingle/label caches at sf0.1 on a 128g box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // dozens of queries x reps generate hundreds of Janino codegen classes;
+  // the JDK default 240m code cache fills mid-run and the JIT silently
+  // stops compiling — late queries then run interpreted at 5-20x cost
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq

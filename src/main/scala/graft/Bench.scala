@@ -27,26 +27,53 @@ object Bench {
     // Caches are cleared between reps, so the min never reflects Spark-
     // cache reuse — only warm JIT and OS page cache.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // drop caches persisted inside operators (minhash/curation/
-        // clustering) so reps and later queries aren't taxed by or
-        // benefiting from earlier leftover blocks
-        spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
+    // noop sink, NOT count(): under count() the optimizer prunes every
+    // projected column a query computes (and drops its sort), so
+    // select-style queries would time only their scan. The noop sink
+    // evaluates every output column — the cost a real consumer pays.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop caches persisted inside operators (minhash/curation/
+      // clustering) so reps and later queries aren't taxed by or
+      // benefiting from earlier leftover blocks
+      spark.catalog.clearCache()
+      if (ok) elapsed else -1.0
+    }
+    val firstPass = selected.map { case (name, fn) =>
+      val times = (1 to reps).map(_ => runOnce(name, fn))
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(f"[bench] $name reps ${times.map(t => f"$t%.2f").mkString(" ")}")
       // any failed rep poisons the query: -1 can't read as a fast success
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Outlier recovery: this box (shared host) shows intermittent multi-
+    // second stall windows that can swallow ALL reps of whichever query is
+    // running (observed 5-20x spikes on random queries; GC max pause
+    // 0.6s, steal clean in between). Queries far above the run median get
+    // ONE more rep — a genuine cost repeats, a stall-window victim
+    // recovers. Bounded extra work: only the outliers re-run.
+    val okMins = firstPass.values.filter(_ > 0).toSeq.sorted
+    val results =
+      if (okMins.isEmpty) firstPass
+      else {
+        val median = okMins(okMins.size / 2)
+        firstPass.map { case (name, t) =>
+          if (t > math.max(3 * median, 1.5)) {
+            val again = runOnce(name, selected(name))
+            if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+              System.err.println(f"[bench] $name outlier retry $again%.2f (was $t%.2f)")
+            name -> (if (again > 0) math.min(t, again) else t)
+          } else name -> t
+        }
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -137,10 +137,24 @@ object Tables {
     * corrupt low bits). */
   def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Single-row-group fixture files cannot be split by the scan, so one
+    * task runs the whole downstream map stage. For EXPRESSION-HEAVY
+    * pipelines (sketching, regex, trigrams over documents) the round-robin
+    * exchange pays for itself many times over; for scan→aggregate
+    * relational queries it does NOT (partial aggregation already collapses
+    * rows before any exchange — measured q01 0.35s→0.88s), so this is an
+    * explicit opt-in for the callers that know their per-row cost, not a
+    * blanket load-path rewrite. Self-disables on well-split input — a
+    * production table has as many splits as the cluster has cores. */
+  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
   }
 
   /** Interchange sinks (CSV with header / JSON lines). Parquet is the

@@ -120,6 +120,21 @@ object TextAnalysis {
   def trigramScore(tris: Column, profile: Seq[String]): Column =
     size(array_intersect(tris, array(profile.map(lit): _*))).cast("long")
 
+  /** Boundary-padded lowercase text — stage THIS as a column before
+    * [[trigramHits]] so the lower/concat runs once per row, not once per
+    * profile probe. */
+  def paddedLower(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** Same VALUE as `trigramScore(charTrigrams(text), profile)` without
+    * materializing the trigram set: a profile trigram is in the document's
+    * trigram set iff it occurs as a substring of the padded text, so the
+    * score is 20 codegen'd `instr` probes instead of building and
+    * intersecting a |text|-element array per row (~20x less per-row work;
+    * oracle SQL twins keep the intersect formulation — values identical). */
+  def trigramHits(padded: Column, profile: Seq[String]): Column =
+    profile.map(p => when(instr(padded, p) > 0, 1L).otherwise(0L))
+      .reduce(_ + _).cast("long")
+
   /** Trigram-profile language ID over en/de/es/fr — robust where
     * [[predictedLang]]'s stopword hits are absent (short text, titles).
     * Same deterministic tie-break order. */

@@ -16,10 +16,14 @@ import graft.queries.Relational.Q
   */
 object LlmOps {
 
+  // documents/embeddings are small in BYTES but maximal in per-row
+  // expression cost (md5 minhash, trigrams, regex) — widen regardless of
+  // size so the sketch map stages use every core (no-op on inputs that
+  // already scan with enough splits)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.widened(s, Tables.load(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.widened(s, Tables.load(s, dir, "embeddings"))
 
   /** The persisted IVF index for `dir`'s embeddings table (fit once at
     * ingest — 10 Lloyd iterations converge on this data — then reused). */
@@ -468,13 +472,17 @@ object LlmOps {
     // so the two engines cannot drift.
     "q51_langid_trigram" -> Q(
       (s, dir) => {
-        val tris = TextAnalysis.charTrigrams(col("text"))
-        docs(s, dir).select(
+        // padded text staged once; each score is 20 instr probes —
+        // trigramHits is value-identical to the intersect formulation the
+        // oracle keeps (see its scaladoc)
+        docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.paddedLower(col("text")).as("pad"))
+          .select(
             col("doc_id"),
-            TextAnalysis.trigramScore(tris, TextAnalysis.TriEn).as("en_score"),
-            TextAnalysis.trigramScore(tris, TextAnalysis.TriDe).as("de_score"),
-            TextAnalysis.trigramScore(tris, TextAnalysis.TriEs).as("es_score"),
-            TextAnalysis.trigramScore(tris, TextAnalysis.TriFr).as("fr_score"))
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriEn).as("en_score"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriDe).as("de_score"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriEs).as("es_score"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriFr).as("fr_score"))
           .withColumn("pred_lang", TextAnalysis.predictedLang(
             col("en_score"), col("de_score"), col("es_score"), col("fr_score")))
           .orderBy("doc_id")
@@ -502,9 +510,24 @@ object LlmOps {
     // double SUM), so the whole report hash-matches cross-engine.
     "q54_corpus_report" -> Q(
       (s, dir) => {
+        // trigram scores MATERIALIZE as columns before the lang CASE:
+        // inlining predictedLangTrigram here would re-expand the trigram
+        // work once per CASE-branch reference (13x per row — fresh lambda
+        // ids defeat subexpression elimination inside conditionals).
+        // Scoring over score ATTRIBUTES keeps one pass per row, and
+        // CollapseProject leaves the staging projection alone because each
+        // score is a non-cheap, multiply-referenced expression. Same
+        // staging pattern as q51, with the array-free trigramHits scorer.
         val t = TextAnalysis.tokens(col("text"))
         docs(s, dir)
-          .withColumn("lang", TextAnalysis.predictedLangTrigram(col("text")))
+          .select(col("text"), TextAnalysis.paddedLower(col("text")).as("pad"))
+          .select(col("text"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriEn).as("en_s"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriDe).as("de_s"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriEs).as("es_s"),
+            TextAnalysis.trigramHits(col("pad"), TextAnalysis.TriFr).as("fr_s"))
+          .withColumn("lang", TextAnalysis.predictedLang(
+            col("en_s"), col("de_s"), col("es_s"), col("fr_s")))
           .withColumn("score", TextAnalysis.qualityScore(col("text"), t))
           .withColumn("npre", TextAnalysis.bpePreTokenCount(col("text")))
           .groupBy("lang")

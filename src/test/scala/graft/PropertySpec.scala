@@ -38,6 +38,22 @@ object PropertySpec extends Properties("graft") {
         d.classs.forall(_.identifier == key.toString)
     }
 
+  property("trigramHits equals the array-intersect trigram score") =
+    forAll(Gen.oneOf(
+      Gen.listOfN(10, word).map(_.mkString(" ")),
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.const(""), Gen.const("th"))) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val profiles = Seq(TextAnalysis.TriEn, TextAnalysis.TriDe)
+      profiles.forall { p =>
+        val fast = df.select(TextAnalysis.trigramHits(
+          TextAnalysis.paddedLower(col("text")), p)).as[Long].collect().head
+        val slow = df.select(TextAnalysis.trigramScore(
+          TextAnalysis.charTrigrams(col("text")), p)).as[Long].collect().head
+        fast == slow
+      }
+    }
+
   property("minhash signature is elementwise monotone under union") =
     forAll(doc, doc) { (a, b) =>
       val df = Seq((1L, a), (2L, a + " " + b)).toDF("id", "text")
