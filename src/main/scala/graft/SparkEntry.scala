@@ -29,5 +29,6 @@ object SparkEntry {
   def prepare(spark: SparkSession, dir: String): Unit = {
     graft.catalog.Tables.ensureBucketed(spark, dir, buckets = 32)
     LlmOps.ivfIndex(spark, dir)
+    LlmOps.dedupIndex(spark, dir)
   }
 }

@@ -66,6 +66,40 @@ object Tables {
 
   private val FpFile = "_graft_src_fingerprint"
 
+  /** Warehouse directory for a derived artifact (index, sketch, layout):
+    * sanitized key + digest of the RAW key, so distinct keys can never
+    * collide after sanitization. */
+  def derivedDir(prefix: String, rawKey: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawKey.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"spark-warehouse/$prefix/" +
+      rawKey.replaceAll("[^A-Za-z0-9]", "_").dropWhile(_ == '_') + "_" + digest
+  }
+
+  /** Is the derived artifact at `dir` complete AND built from the current
+    * source? Complete = `<dir>/<artifact>/_SUCCESS` exists (the committer
+    * writes it last); current = the fingerprint sidecar matches
+    * [[sourceFingerprint]] of `sourcePath`. */
+  def derivedIsFresh(dir: String, artifact: String, sourcePath: String): Boolean = {
+    val fpPath = java.nio.file.Paths.get(dir, FpFile)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, artifact, "_SUCCESS")) &&
+      java.nio.file.Files.exists(fpPath) &&
+      new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") ==
+        sourceFingerprint(sourcePath)
+  }
+
+  /** Clear a derived-artifact dir (pre-rebuild) / stamp it (post-build). */
+  def derivedClear(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+  def derivedStamp(dir: String, sourcePath: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, FpFile),
+      sourceFingerprint(sourcePath).getBytes("UTF-8"))
+
   /** One-time bucketed ingest of the fact tables for `dir` (idempotent
     * ACROSS JVMs). The in-memory catalog forgets tables on restart but the
     * bucketed files survive in the warehouse; a complete layout (_SUCCESS

@@ -162,12 +162,10 @@ object Dedup {
     * near-duplicate the HISTORICAL corpus. Returns (a: history id,
     * b: new id, jac) — never history×history or new×new pairs, which is
     * the point: at 100 TB the history self-join is the cost you must NOT
-    * pay per ingest batch. Signatures/bands are computed over the union
-    * (per-row, so values are identical to computing per corpus); the
-    * bucket cap applies to COMBINED bucket sizes; only cross buckets
-    * join. In production the history side of the band table is the
-    * persisted dedup index, written once at ingest like the IVF index —
-    * each batch then costs O(batch + collisions), not O(corpus).
+    * pay per ingest batch. Signatures are per-row functions, so computing
+    * history's sketch here or reading it from the persisted index
+    * ([[ensureSketchIndex]]) yields identical values; the bucket cap
+    * applies to COMBINED bucket sizes; only history×batch buckets join.
     *
     * Assumes `idCol` is globally unique across both frames (true for any
     * keyed corpus; the declared query uses a doc_id split). */
@@ -175,33 +173,73 @@ object Dedup {
                           idCol: String, textCol: String,
                           ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                           theta: Double = 0.5,
-                          maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
-    val all = history.select(col(idCol), col(textCol))
-      .unionByName(fresh.select(col(idCol), col(textCol)))
-    val sh = shingled(all, idCol, textCol, ngram)
+                          maxBucket: Option[Int] = DefaultMaxBucket): DataFrame =
+    crossCorpusNearDupsIndexed(
+      signatures(shingled(history, idCol, textCol, ngram), k),
+      fresh, idCol, textCol, ngram, k, b, r, theta, maxBucket)
+
+  /** [[crossCorpusNearDups]] against a PRE-SKETCHED history — either the
+    * persisted ingest-time index ([[ensureSketchIndex]]) or any
+    * (id, shingles, sig) frame. Per-batch cost is O(batch sketch +
+    * bucket collisions): the history side contributes only its band
+    * projection and the shingle rows of actual candidates. */
+  def crossCorpusNearDupsIndexed(historySketch: DataFrame, fresh: DataFrame,
+                                 idCol: String, textCol: String,
+                                 ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                                 theta: Double = 0.5,
+                                 maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
+    val hsk = historySketch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = signatures(sh, k)
+    val fsk = signatures(shingled(fresh, idCol, textCol, ngram), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bnd = bands(sig, b, r)
+    val hb = bands(hsk, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newIds = fresh.select(col(idCol).cast("long").as("id")).distinct()
-    val ok = maxBucket match {
+    val fb = bands(fsk, b, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (hOk, fOk) = maxBucket match {
       case Some(cap) =>
-        val counts = bnd.groupBy("band", "bkey").count()
+        val ok = hb.select("band", "bkey").unionByName(fb.select("band", "bkey"))
+          .groupBy("band", "bkey").count()
           .observe("lsh_bucket_cap_x",
             sum(when(col("count") > cap, lit(1L)).otherwise(lit(0L)))
               .as("dropped_buckets"))
-        bnd.join(counts.filter(col("count") <= cap).select("band", "bkey"),
-          Seq("band", "bkey"))
-      case None => bnd
+          .filter(col("count") <= cap).select("band", "bkey")
+        (hb.join(ok, Seq("band", "bkey")), fb.join(ok, Seq("band", "bkey")))
+      case None => (hb, fb)
     }
-    val hist = ok.join(newIds, Seq("id"), "left_anti")
-      .select(col("band"), col("bkey"), col("id").as("a"))
-    val fres = ok.join(newIds, Seq("id"), "left_semi")
-      .select(col("band"), col("bkey"), col("id").as("b"))
-    val cand = hist.join(fres, Seq("band", "bkey"))
+    val cand = hOk.select(col("band"), col("bkey"), col("id").as("a"))
+      .join(fOk.select(col("band"), col("bkey"), col("id").as("b")),
+        Seq("band", "bkey"))
       .select("a", "b").distinct()
-    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+    val ga = hsk.select(col("id").as("a"), col("shingles").as("sa"))
+    val gb = fsk.select(col("id").as("b"), col("shingles").as("sb"))
+    cand.join(ga, "a").join(gb, "b")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+      .select("a", "b", "jac")
+      .filter(col("jac") >= theta).orderBy("a", "b")
+  }
+
+  /** Ingest-time near-dup index for a corpus: the (id, shingles, sig)
+    * sketch table, persisted once per (indexKey, ngram, k) and validated
+    * against a fingerprint of `sourcePath` — the dedup twin of
+    * [[Ivf.ensureIndex]]. Every subsequent ingest batch dedups against it
+    * via [[crossCorpusNearDupsIndexed]] without touching the corpus text.
+    * Storage trade, stated: shingle arrays are corpus-sized; the
+    * alternative is re-tokenizing the corpus per batch. */
+  def ensureSketchIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexKey: String, sourcePath: String,
+                        corpus: => DataFrame, idCol: String, textCol: String,
+                        ngram: Int = 2, k: Int = 32): DataFrame = {
+    val dir = graft.catalog.Tables.derivedDir("graft_dedup", s"$indexKey|n=$ngram|k=$k")
+    if (!graft.catalog.Tables.derivedIsFresh(dir, "sketch", sourcePath)) {
+      graft.catalog.Tables.derivedClear(dir)
+      signatures(shingled(corpus, idCol, textCol, ngram), k)
+        .write.mode("overwrite").parquet(s"$dir/sketch")
+      graft.catalog.Tables.derivedStamp(dir, sourcePath)
+    }
+    spark.read.parquet(s"$dir/sketch")
   }
 
   /** 60-bit SimHash fingerprint per document over its word-bigram set —

@@ -49,8 +49,7 @@ object Ivf {
     scala.collection.concurrent.TrieMap.empty[String, Centroids]
 
   private def indexDir(corpusKey: String, k: Int, maxIter: Int, seed: Long): String =
-    "spark-warehouse/graft_ivf/" +
-      s"$corpusKey|k=$k|it=$maxIter|s=$seed".replaceAll("[^A-Za-z0-9]", "_")
+    graft.catalog.Tables.derivedDir("graft_ivf", s"$corpusKey|k=$k|it=$maxIter|s=$seed")
 
   /** Ingest-time index build, idempotent per (corpusKey, k, maxIter, seed):
     * first call fits KMeans, persists the centroids AND the inverted file
@@ -71,23 +70,13 @@ object Ivf {
     val memoKey = s"$corpusKey|k=$k|it=$maxIter|s=$seed"
     indexMemo.getOrElseUpdate(memoKey, {
       val dir = indexDir(corpusKey, k, maxIter, seed)
-      val fp = graft.catalog.Tables.sourceFingerprint(s"$corpusKey.parquet")
-      val fpPath = java.nio.file.Paths.get(s"$dir/src_fingerprint")
-      val complete =
-        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/centroids/_SUCCESS")) &&
-          java.nio.file.Files.exists(fpPath) &&
-          new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fp
-      if (complete) {
+      val src = s"$corpusKey.parquet"
+      if (graft.catalog.Tables.derivedIsFresh(dir, "centroids", src)) {
         spark.read.parquet(s"$dir/centroids")
           .orderBy("bucket").select("c")
           .collect().map(_.getSeq[Double](0).toArray)
       } else {
-        val root = java.nio.file.Paths.get(dir)
-        if (java.nio.file.Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        graft.catalog.Tables.derivedClear(dir)
         val cents = centroids(fit(normedDf, k, seed, maxIter))
         assignTo(normedDf, cents).write.mode("overwrite")
           .partitionBy("bucket").parquet(s"$dir/corpus")
@@ -95,7 +84,7 @@ object Ivf {
         cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toIndexedSeq) }
           .toDF("bucket", "c")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-        java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+        graft.catalog.Tables.derivedStamp(dir, src)
         cents
       }
     })

@@ -102,6 +102,16 @@ object LlmOps {
     * query (q56) — shared with its oracle SQL. */
   private val IncrSplit = 250L
 
+  /** The persisted near-dup sketch index for q56's history corpus —
+    * built once at ingest ([[graft.SparkEntry.prepare]]), reused by every
+    * batch dedup (fit-on-demand when prepare hasn't run). */
+  def dedupIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ensureSketchIndex(s,
+      indexKey = s"$dir/documents@hist$IncrSplit",
+      sourcePath = s"$dir/documents.parquet",
+      corpus = docs(s, dir).filter(col("doc_id") < IncrSplit),
+      idCol = "doc_id", textCol = "text")
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup on content hash -----------------------------------
@@ -251,12 +261,9 @@ object LlmOps {
     // filters to cross-corpus pairs — identical sets, since every history
     // id sorts below every batch id.
     "q56_incremental_dedup" -> Q(
-      (s, dir) => {
-        val d = docs(s, dir)
-        Dedup.crossCorpusNearDups(
-          d.filter(col("doc_id") < IncrSplit), d.filter(col("doc_id") >= IncrSplit),
-          "doc_id", "text", ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)
-      },
+      (s, dir) => Dedup.crossCorpusNearDupsIndexed(
+        dedupIndex(s, dir), docs(s, dir).filter(col("doc_id") >= IncrSplit),
+        "doc_id", "text", ngram = 2, k = 32, b = 8, r = 4, theta = 0.5),
       Some(s"""WITH $SqlGrams,
         $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac

@@ -57,6 +57,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 12L)) // unrelated never pairs
   }
 
+  test("sketch index: persisted history sketch gives identical cross-corpus pairs") {
+    val tmpSrc = java.nio.file.Files.createTempDirectory("dedup_idx_src").toString
+    val history = Seq((0L, base), (1L, nearDup)).toDF("doc_id", "text")
+    history.write.mode("overwrite").parquet(s"$tmpSrc/hist.parquet")
+    val batch = Seq((10L, base), (11L, "unrelated content about shuffle partitions"))
+      .toDF("doc_id", "text")
+    def index() = Dedup.ensureSketchIndex(spark,
+      indexKey = s"$tmpSrc/hist-test", sourcePath = s"$tmpSrc/hist.parquet",
+      corpus = spark.read.parquet(s"$tmpSrc/hist.parquet"),
+      idCol = "doc_id", textCol = "text")
+    val viaIndex = Dedup.crossCorpusNearDupsIndexed(index(), batch, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val inline = Dedup.crossCorpusNearDups(history, batch, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(viaIndex == inline && viaIndex == Set((0L, 10L), (1L, 10L)))
+    // second call re-reads the artifact (fresh fingerprint) — and a
+    // regenerated source invalidates it
+    val sk1 = index().select("id").as[Long].collect().toSet
+    assert(sk1 == Set(0L, 1L))
+    Seq((5L, base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmpSrc/hist.parquet")
+    val sk2 = index().select("id").as[Long].collect().toSet
+    assert(sk2 == Set(5L)) // rebuilt from the regenerated source
+  }
+
   test("fast (xxhash64) near-dup pipeline finds the same duplicate pairs") {
     val md5Pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", theta = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
