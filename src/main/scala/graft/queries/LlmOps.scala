@@ -579,6 +579,31 @@ object LlmOps {
           MIN(score) AS min_score, MAX(score) AS max_score
         FROM sc GROUP BY lang ORDER BY lang""")),
 
+    // ---- P4 as a declared query: distributed bag-of-words, exploded -----
+    // The reference's corpus-wide CountVectorizer fit (serialize.py:
+    // 220-231) through the fully distributed Ingest.bagOfWords: vocab ids
+    // are lexicographic 0-based ranks of distinct lowercased tokens;
+    // output is the exploded sparse matrix (doc_id, idx, cnt) — flat
+    // scalars so the cross-engine hash gate applies (nested struct-array
+    // equality is not portable across arrow readers).
+    "q57_bow_sparse" -> Q(
+      (s, dir) => {
+        val (_, withBow) = graft.ingest.Ingest.bagOfWords(
+          docs(s, dir).select(col("doc_id").as("key"), col("text")), "text")
+        withBow.select(col("key").as("doc_id"), explode(col("bow")).as("e"))
+          .select(col("doc_id"), col("e.idx").as("idx"), col("e.cnt").as("cnt"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+              FROM documents),
+        c AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY doc_id, term),
+        v AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx
+              FROM (SELECT DISTINCT term FROM t)),
+        j AS (SELECT c.doc_id, v.idx, CAST(c.cnt AS FLOAT) AS cnt
+              FROM c JOIN v USING (term))
+        SELECT doc_id, CAST(idx AS BIGINT) AS idx, cnt
+        FROM j ORDER BY doc_id, idx""")),
+
     // ---- E1: reference Datum protobuf export -----------------------------
     // Byte-compatible proto2 encoding of each embedding row as the
     // reference's labeled NumericDatum (serialize.py:296-315). The bytes
