@@ -25,6 +25,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.nearDupByCosine(n, 0.5).count() == 0)
   }
 
+  test("cross-corpus dedup with an empty side yields no pairs") {
+    val some = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossCorpusNearDups(noDocs, some, "doc_id", "text").count() == 0)
+    assert(Dedup.crossCorpusNearDups(some, noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.crossCorpusNearDups(noDocs, noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("bag-of-words on an empty corpus: empty vocab, empty rows") {
+    val (vocab, out) = graft.ingest.Ingest.bagOfWords(
+      Seq.empty[(Long, String)].toDF("key", "text"), "text")
+    assert(vocab.count() == 0 && out.count() == 0)
+  }
+
+  test("datum export of an empty frame is an empty frame") {
+    assert(graft.functions.ProtoDatum.numericDatums(
+      noVecs, "vec_id", "embedding", None).count() == 0)
+  }
+
   test("curation of an empty corpus yields zero stats") {
     val st = Curate.run(noDocs, "doc_id", "text").stats
       .as[(Long, Long, Long, Long)].collect().head
