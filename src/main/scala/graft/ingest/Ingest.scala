@@ -180,9 +180,13 @@ object Ingest {
     * per-doc O(|V|) vector, for export/parity at small |V| only (a dense
     * web-scale vocab vector is exactly the layout bagOfWords avoids). */
   def denseBow(df: DataFrame, bowCol: String, vocabSize: Long,
-               out: String = "bow_dense"): DataFrame =
+               out: String = "bow_dense"): DataFrame = {
+    // sequence(0, -1) is the DESCENDING [0, -1] in Spark — an empty vocab
+    // must short-circuit, not produce a 2-wide "dense" vector
+    require(vocabSize > 0, "denseBow needs a non-empty vocabulary")
     df.withColumn("_m", map_from_entries(col(bowCol)))
       .withColumn(out, transform(sequence(lit(0L), lit(vocabSize - 1)),
         i => coalesce(element_at(col("_m"), i), lit(0.0f))))
       .drop("_m")
+  }
 }
