@@ -747,6 +747,31 @@ object Relational {
         FROM hrs LEFT JOIN c ON c.event_type = hrs.event_type AND c.h = hrs.h
         ORDER BY hrs.event_type, hour""")),
 
+    // ---- correlated LATERAL join: top-N per key without a window --------
+    // The lateral form evaluates the subquery per outer row — Catalyst
+    // decorrelates it into a ranked join, so the declared shape is
+    // per-row but the physical plan is set-oriented (no N+1 scans).
+    "q58_lateral_topn" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+          WHERE c.c_custkey <= 100
+          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_custkey <= 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")),
+
     // ---- array functions over embeddings --------------------------------
     "q20_array_funcs" -> Q(
       (s, dir) => {
