@@ -747,6 +747,46 @@ object Relational {
         FROM hrs LEFT JOIN c ON c.event_type = hrs.event_type AND c.h = hrs.h
         ORDER BY hrs.event_type, hour""")),
 
+    // ---- gap fill + forward fill (LOCF) ----------------------------------
+    // The companion to q55: hours with no events carry the LAST observed
+    // hourly revenue forward (last-observation-carried-forward — the
+    // standard imputation for monitoring series). Revenue is a decimal
+    // money sum, so the carried values are exact and the fill is
+    // hash-checkable; the window is one pass over the dense grid, ordered
+    // within each (bounded-cardinality) event type.
+    "q59_gapfill_locf" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("value"))
+          .groupBy("event_type", "h").agg(Det.moneySum(col("value")).as("rev"))
+        val grid = rev.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(rev, Seq("event_type", "h"), "left")
+          .withColumn("rev_filled", last(col("rev"), ignoreNulls = true).over(w))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+            col("rev").isNotNull.as("observed"),
+            col("rev_filled"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""WITH rv AS (SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+              ${Det.sqlMoneySum("value")} AS rev
+            FROM events GROUP BY 1, 2),
+        sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM rv GROUP BY 1),
+        hrs AS (SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp)
+        SELECT hrs.event_type AS event_type, STRFTIME(hrs.h, '%Y-%m-%d %H') AS hour,
+          rv.rev IS NOT NULL AS observed,
+          LAST_VALUE(rv.rev IGNORE NULLS) OVER (
+            PARTITION BY hrs.event_type ORDER BY hrs.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        FROM hrs LEFT JOIN rv ON rv.event_type = hrs.event_type AND rv.h = hrs.h
+        ORDER BY hrs.event_type, hour""")),
+
     // ---- correlated LATERAL join: top-N per key without a window --------
     // The lateral form evaluates the subquery per outer row — Catalyst
     // decorrelates it into a ranked join, so the declared shape is
