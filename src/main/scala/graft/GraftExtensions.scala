@@ -32,23 +32,42 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Wrong arity from a pure-SQL caller must surface as the standard
+    * AnalysisException with the usage string, not an
+    * IndexOutOfBoundsException from `exprs(1)` — these builders are
+    * cluster-wide API via `spark.sql.extensions`. */
+  private def arity(name: String, usage: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> usage))
+      build(exprs)
+    }
+
   /** The SQL surface: name → (info, builder). Single source of truth for
     * both the extension path and [[Sketches.registerSql]]'s live path. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "_FUNC_(array<long>) - 60-bit SimHash of element hashes"),
-      (exprs: Seq[Expression]) => Simhash60Expr(exprs.head)),
+      arity("graft_simhash60", "_FUNC_(array<long>)", 1)(exprs => Simhash60Expr(exprs.head))),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "_FUNC_(array<long>) - 32-element MinHash signature of 28-bit hashes"),
-      (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head, 32)),
+      arity("graft_minhash_sig", "_FUNC_(array<long>)", 1)(exprs => MinhashSigExpr(exprs.head, 32))),
     (FunctionIdentifier("graft_md5_prefix"),
       info("graft_md5_prefix", "_FUNC_(array<string>) - 60-bit md5-prefix hash per element"),
-      (exprs: Seq[Expression]) => Md5PrefixArrayExpr(exprs.head, 15)),
+      arity("graft_md5_prefix", "_FUNC_(array<string>)", 1)(exprs => Md5PrefixArrayExpr(exprs.head, 15))),
     (FunctionIdentifier("graft_md5_prefix28"),
       info("graft_md5_prefix28", "_FUNC_(array<string>) - 28-bit md5-prefix hash per element"),
-      (exprs: Seq[Expression]) => Md5PrefixArrayExpr(exprs.head, 7)),
+      arity("graft_md5_prefix28", "_FUNC_(array<string>)", 1)(exprs => Md5PrefixArrayExpr(exprs.head, 7))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<double>, array<double>) - ordered-fold dot product"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))))
+      arity("graft_dot", "_FUNC_(array<double>, array<double>)", 2)(
+        exprs => DotProductExpr(exprs.head, exprs(1)))))
 }

@@ -113,22 +113,36 @@ object ProtoDatum {
     out.toByteArray
   }
 
+  /** datum.proto declares these fields proto2 uint32; the Python encoder
+    * rejects values outside [0, 2^32). Enforce the same domain here so a
+    * value we encode is always one the reference could have produced —
+    * silently emitting a 64-bit varint would break byte compatibility. */
+  private def requireUint32(name: String, v: Long): Unit =
+    require(v >= 0L && v <= 0xffffffffL,
+      s"$name=$v outside proto2 uint32 domain [0, 2^32)")
+
   /** The reference's NumericDatum/TextDatum shape (serialize.py:296-340):
     * identifier = str(key), dim = 1, float32 data; optional integer label
     * folded in as Class(nlabel). */
-  def numericDatum(key: Long, data: Seq[Float], nlabel: Option[Long]): Array[Byte] =
+  def numericDatum(key: Long, data: Seq[Float], nlabel: Option[Long]): Array[Byte] = {
+    nlabel.foreach(requireUint32("nlabel", _))
     encode(Datum(
       numeric = Some(Numeric(key.toString, Some(Size(1L)), floatBytes(data))),
       classs = nlabel.map(n => ClassMsg(key.toString, None, Some(n)))))
+  }
 
   /** The reference's ImageDatum shape (serialize.py:269-291): HWC dims,
     * float32 pixel bytes, optional string label folded in. */
   def imageDatum(key: Long, channels: Int, height: Int, width: Int,
-                 data: Seq[Float], slabel: Option[String]): Array[Byte] =
+                 data: Seq[Float], slabel: Option[String]): Array[Byte] = {
+    requireUint32("channels", channels.toLong)
+    requireUint32("height", height.toLong)
+    requireUint32("width", width.toLong)
     encode(Datum(
       imgdata = Some(ImgData(key.toString, Some(channels.toLong),
         Some(height.toLong), Some(width.toLong), Some(floatBytes(data)))),
       classs = slabel.map(s => ClassMsg(key.toString, Some(s), None))))
+  }
 
   /** DataFrame-level export: every row becomes (key, datum: binary) with
     * the reference's labeled-NumericDatum bytes. Map-only (mapPartitions,
@@ -156,21 +170,44 @@ object ProtoDatum {
     }
   }
 
+  /** Raised when `decode` meets bytes that are not a well-formed Datum —
+    * truncated varint, length field running past the buffer, or a known
+    * field carrying the wrong wire type. The migration read path prefers a
+    * loud, named failure over an ArrayIndexOutOfBoundsException (or worse,
+    * silently misparsed garbage) on a corrupt LMDB value. */
+  final class MalformedDatumException(msg: String)
+    extends IllegalArgumentException(s"malformed datum: $msg")
+
   // ---- decoder (round-trip gate + LMDB-migration read path) -------------
+  // Every read is bounds-checked against `until`: externally produced bytes
+  // (the LMDB migration path) must fail loudly, never read out of the slice.
   private final class Reader(bytes: Array[Byte], from: Int, until: Int) {
     var pos: Int = from
     def hasMore: Boolean = pos < until
     def varint(): Long = {
       var shift = 0; var v = 0L
-      while ({ val b = bytes(pos); pos += 1
-               v |= (b & 0x7fL) << shift; shift += 7; (b & 0x80) != 0 }) ()
+      var more = true
+      while (more) {
+        if (pos >= until) throw new MalformedDatumException(
+          s"truncated varint at offset $pos")
+        if (shift > 63) throw new MalformedDatumException(
+          s"varint longer than 10 bytes at offset $pos")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7; more = (b & 0x80) != 0
+      }
       v
     }
     def lenDelimited(): (Int, Int) = {
-      val n = varint().toInt; val s = pos; pos += n; (s, s + n)
+      val n = varint()
+      val s = pos
+      if (n < 0 || n > until - s) throw new MalformedDatumException(
+        s"length $n at offset $s overruns buffer end $until")
+      pos += n.toInt; (s, s + n.toInt)
     }
     def slice(s: Int, e: Int): Array[Byte] = java.util.Arrays.copyOfRange(bytes, s, e)
     def float32(): Float = {
+      if (until - pos < 4) throw new MalformedDatumException(
+        s"truncated float32 at offset $pos")
       val bits = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
         ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
       pos += 4
@@ -178,11 +215,22 @@ object ProtoDatum {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => pos += 8
+      case 1 =>
+        if (until - pos < 8) throw new MalformedDatumException(
+          s"truncated fixed64 at offset $pos")
+        pos += 8
       case 2 => lenDelimited(); ()
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"wire type $w unsupported")
+      case 5 =>
+        if (until - pos < 4) throw new MalformedDatumException(
+          s"truncated fixed32 at offset $pos")
+        pos += 4
+      case w => throw new MalformedDatumException(s"wire type $w unsupported")
     }
+    /** Known field: enforce the wire type declared in datum.proto. A
+      * varint-typed byte stream must not be misparsed as length-delimited. */
+    def expectWire(field: Int, got: Int, want: Int): Unit =
+      if (got != want) throw new MalformedDatumException(
+        s"field $field has wire type $got, expected $want")
   }
 
   def decode(bytes: Array[Byte]): Datum = {
@@ -191,9 +239,9 @@ object ProtoDatum {
     while (r.hasMore) {
       val key = r.varint(); val field = (key >> 3).toInt; val wire = (key & 7).toInt
       field match {
-        case 10 => val (s, e) = r.lenDelimited(); d = d.copy(numeric = Some(decodeNumeric(bytes, s, e)))
-        case 11 => val (s, e) = r.lenDelimited(); d = d.copy(imgdata = Some(decodeImg(bytes, s, e)))
-        case 13 => val (s, e) = r.lenDelimited(); d = d.copy(classs = Some(decodeClass(bytes, s, e)))
+        case 10 => r.expectWire(10, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(numeric = Some(decodeNumeric(bytes, s, e)))
+        case 11 => r.expectWire(11, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(imgdata = Some(decodeImg(bytes, s, e)))
+        case 13 => r.expectWire(13, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(classs = Some(decodeClass(bytes, s, e)))
         case _ => r.skip(wire)
       }
     }
@@ -205,16 +253,18 @@ object ProtoDatum {
     while (r.hasMore) {
       val key = r.varint()
       ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, _) => val (s, e) = r.lenDelimited(); id = new String(r.slice(s, e), "UTF-8")
-        case (2, _) =>
+        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); id = new String(r.slice(s, e), "UTF-8")
+        case (2, w) =>
+          r.expectWire(2, w, 2)
           val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
           var dim = 1L
           while (rr.hasMore) {
             val k2 = rr.varint()
-            if ((k2 >> 3).toInt == 1) dim = rr.varint() else rr.skip((k2 & 7).toInt)
+            if ((k2 >> 3).toInt == 1) { rr.expectWire(1, (k2 & 7).toInt, 0); dim = rr.varint() }
+            else rr.skip((k2 & 7).toInt)
           }
           size = Some(Size(dim))
-        case (3, _) => val (s, e) = r.lenDelimited(); data = r.slice(s, e)
+        case (3, w) => r.expectWire(3, w, 2); val (s, e) = r.lenDelimited(); data = r.slice(s, e)
         case (_, w) => r.skip(w)
       }
     }
@@ -227,16 +277,17 @@ object ProtoDatum {
     while (r.hasMore) {
       val key = r.varint()
       ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, _) => val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
-        case (2, _) => m = m.copy(channels = Some(r.varint()))
-        case (3, _) => m = m.copy(height = Some(r.varint()))
-        case (4, _) => m = m.copy(width = Some(r.varint()))
-        case (5, _) => val (s, e) = r.lenDelimited(); m = m.copy(data = Some(r.slice(s, e)))
+        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2, w) => r.expectWire(2, w, 0); m = m.copy(channels = Some(r.varint()))
+        case (3, w) => r.expectWire(3, w, 0); m = m.copy(height = Some(r.varint()))
+        case (4, w) => r.expectWire(4, w, 0); m = m.copy(width = Some(r.varint()))
+        case (5, w) => r.expectWire(5, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(data = Some(r.slice(s, e)))
         case (6, 5) => floats += r.float32()
         case (6, 2) => // packed encoding also legal on the read path
           val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
           while (rr.hasMore) floats += rr.float32()
-        case (7, _) => m = m.copy(encoded = Some(r.varint() != 0L))
+        case (6, w) => throw new MalformedDatumException(s"field 6 has wire type $w, expected 5 or 2")
+        case (7, w) => r.expectWire(7, w, 0); m = m.copy(encoded = Some(r.varint() != 0L))
         case (_, w) => r.skip(w)
       }
     }
@@ -248,10 +299,10 @@ object ProtoDatum {
     while (r.hasMore) {
       val key = r.varint()
       ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, _) => val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
-        case (2, _) => val (s, e) = r.lenDelimited(); m = m.copy(slabel = Some(new String(r.slice(s, e), "UTF-8")))
-        case (3, _) => m = m.copy(nlabel = Some(r.varint()))
-        case (4, _) => val (s, e) = r.lenDelimited(); m = m.copy(multilabel = Some(r.slice(s, e)))
+        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2, w) => r.expectWire(2, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(slabel = Some(new String(r.slice(s, e), "UTF-8")))
+        case (3, w) => r.expectWire(3, w, 0); m = m.copy(nlabel = Some(r.varint()))
+        case (4, w) => r.expectWire(4, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(multilabel = Some(r.slice(s, e)))
         case (_, w) => r.skip(w)
       }
     }

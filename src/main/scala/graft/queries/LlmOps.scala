@@ -629,19 +629,23 @@ object LlmOps {
           .toDF("vec_id", "ident", "n_floats", "datum_len", "b0")
           .orderBy("vec_id")
       },
+      // varint-length CASEs cover the full proto2 uint32 domain (1..5
+      // bytes: <2^7, <2^14, <2^21, <2^28, else) so a fixture with large
+      // labels or wide embeddings moves the oracle in lockstep with the
+      // encoder instead of surfacing as a mystery hash mismatch
       Some("""WITH e AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS ident,
             len(embedding) AS n, label FROM embeddings),
         s AS (SELECT vec_id, ident, n, label,
             length(ident) AS li, 4 * n AS db FROM e),
         c AS (SELECT vec_id, ident, n,
-            (1 + CASE WHEN li < 128 THEN 1 ELSE 2 END + li) + 4 +
-            (1 + CASE WHEN db < 128 THEN 1 ELSE 2 END + db) AS numeric_len,
-            (1 + CASE WHEN li < 128 THEN 1 ELSE 2 END + li) +
-            (1 + CASE WHEN label < 128 THEN 1 ELSE 2 END) AS class_len
+            (1 + CASE WHEN li < 128 THEN 1 WHEN li < 16384 THEN 2 WHEN li < 2097152 THEN 3 WHEN li < 268435456 THEN 4 ELSE 5 END + li) + 4 +
+            (1 + CASE WHEN db < 128 THEN 1 WHEN db < 16384 THEN 2 WHEN db < 2097152 THEN 3 WHEN db < 268435456 THEN 4 ELSE 5 END + db) AS numeric_len,
+            (1 + CASE WHEN li < 128 THEN 1 WHEN li < 16384 THEN 2 WHEN li < 2097152 THEN 3 WHEN li < 268435456 THEN 4 ELSE 5 END + li) +
+            (1 + CASE WHEN label < 128 THEN 1 WHEN label < 16384 THEN 2 WHEN label < 2097152 THEN 3 WHEN label < 268435456 THEN 4 ELSE 5 END) AS class_len
           FROM s)
         SELECT vec_id, ident, CAST(n AS BIGINT) AS n_floats,
-          CAST(1 + CASE WHEN numeric_len < 128 THEN 1 ELSE 2 END + numeric_len
-             + 1 + CASE WHEN class_len < 128 THEN 1 ELSE 2 END + class_len AS BIGINT) AS datum_len,
+          CAST(1 + CASE WHEN numeric_len < 128 THEN 1 WHEN numeric_len < 16384 THEN 2 WHEN numeric_len < 2097152 THEN 3 WHEN numeric_len < 268435456 THEN 4 ELSE 5 END + numeric_len
+             + 1 + CASE WHEN class_len < 128 THEN 1 WHEN class_len < 16384 THEN 2 WHEN class_len < 2097152 THEN 3 WHEN class_len < 268435456 THEN 4 ELSE 5 END + class_len AS BIGINT) AS datum_len,
           CAST(82 AS BIGINT) AS b0
         FROM c ORDER BY vec_id"""))
   )

@@ -62,53 +62,6 @@ object DocStreams {
     * time is dropped, which makes state size replay-deterministic
     * (reprocessing a backlog evicts at the same points regardless of how
     * fast the replay runs — processing-time eviction would not). */
-  /** Streaming arrivals checked against a PERSISTED corpus sketch index
-    * ([[graft.operators.Dedup.ensureSketchIndex]]): the streaming twin of
-    * [[graft.operators.Dedup.crossCorpusNearDupsIndexed]]. Each arriving
-    * document is sketched map-side and stream-static-joined to the
-    * history band table on (band, bucket); similarity is the MinHash
-    * signature-agreement estimate, so the static side never ships
-    * shingles into the stream. Complements [[nearDupHits]] (arrival vs
-    * arrival): run both to catch dups against history AND within the
-    * stream. State-free — the static side is the state, maintained at
-    * ingest; Spark re-plans the static scan per micro-batch, so an index
-    * swap is picked up without restarting the query.
-    *
-    * Returns (a: history id, b: stream id, est_jac). At-least-once per
-    * shared band; `dropDuplicates("a","b")` downstream if needed. */
-  def nearDupVsIndex(docs: DataFrame, historySketch: DataFrame,
-                     idCol: String, textCol: String,
-                     ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
-                     theta: Double = 0.5): DataFrame = {
-    require(b * r <= k, s"b*r (${b * r}) must be <= k ($k)")
-    def banded(df: DataFrame, sigCol: String): DataFrame = df
-      .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("bkey",
-        array_join(transform(slice(col(sigCol), col("band") * r + 1, lit(r)),
-          x => x.cast("string")), ","))
-    // SAME hash family as the index (md5 tier, Dedup.signatures) — mixing
-    // tiers would make the signature agreement meaningless
-    val stream = banded(
-      docs
-        .select(col(idCol).cast("long").as("sid"),
-          TextAnalysis.tokens(col(textCol)).as("toks"))
-        .filter(size(col("toks")) >= ngram)
-        .select(col("sid"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"))
-        .withColumn("hs", graft.expressions.Sketches.md5PrefixArray(col("shingles"), 7))
-        .withColumn("ssig", graft.expressions.Sketches.minhashSig(col("hs"), k))
-        .select("sid", "ssig"), "ssig")
-    val hist = banded(
-      historySketch.select(col("id").as("hid"), col("sig").as("hsig")), "hsig")
-      .select("band", "bkey", "hid", "hsig")
-    stream.join(hist, Seq("band", "bkey")) // stream-static inner join
-      .withColumn("agree", aggregate(
-        zip_with(col("ssig"), col("hsig"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v))
-      .withColumn("est_jac", col("agree").cast("double") / lit(k.toDouble))
-      .filter(col("est_jac") >= theta)
-      .select(col("hid").as("a"), col("sid").as("b"), col("est_jac"))
-  }
-
   def nearDupHits(docs: DataFrame, idCol: String, textCol: String,
                   ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                   theta: Double = 0.5, maxPerBucket: Int = 64,
@@ -185,5 +138,52 @@ object DocStreams {
             hits.iterator
           }
         })
+  }
+
+  /** Streaming arrivals checked against a PERSISTED corpus sketch index
+    * ([[graft.operators.Dedup.ensureSketchIndex]]): the streaming twin of
+    * [[graft.operators.Dedup.crossCorpusNearDupsIndexed]]. Each arriving
+    * document is sketched map-side and stream-static-joined to the
+    * history band table on (band, bucket); similarity is the MinHash
+    * signature-agreement estimate, so the static side never ships
+    * shingles into the stream. Complements [[nearDupHits]] (arrival vs
+    * arrival): run both to catch dups against history AND within the
+    * stream. State-free — the static side is the state, maintained at
+    * ingest; Spark re-plans the static scan per micro-batch, so an index
+    * swap is picked up without restarting the query.
+    *
+    * Returns (a: history id, b: stream id, est_jac). At-least-once per
+    * shared band; `dropDuplicates("a","b")` downstream if needed. */
+  def nearDupVsIndex(docs: DataFrame, historySketch: DataFrame,
+                     idCol: String, textCol: String,
+                     ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
+                     theta: Double = 0.5): DataFrame = {
+    require(b * r <= k, s"b*r (${b * r}) must be <= k ($k)")
+    def banded(df: DataFrame, sigCol: String): DataFrame = df
+      .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("bkey",
+        array_join(transform(slice(col(sigCol), col("band") * r + 1, lit(r)),
+          x => x.cast("string")), ","))
+    // SAME hash family as the index (md5 tier, Dedup.signatures) — mixing
+    // tiers would make the signature agreement meaningless
+    val stream = banded(
+      docs
+        .select(col(idCol).cast("long").as("sid"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= ngram)
+        .select(col("sid"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"))
+        .withColumn("hs", graft.expressions.Sketches.md5PrefixArray(col("shingles"), 7))
+        .withColumn("ssig", graft.expressions.Sketches.minhashSig(col("hs"), k))
+        .select("sid", "ssig"), "ssig")
+    val hist = banded(
+      historySketch.select(col("id").as("hid"), col("sig").as("hsig")), "hsig")
+      .select("band", "bkey", "hid", "hsig")
+    stream.join(hist, Seq("band", "bkey")) // stream-static inner join
+      .withColumn("agree", aggregate(
+        zip_with(col("ssig"), col("hsig"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .withColumn("est_jac", col("agree").cast("double") / lit(k.toDouble))
+      .filter(col("est_jac") >= theta)
+      .select(col("hid").as("a"), col("sid").as("b"), col("est_jac"))
   }
 }

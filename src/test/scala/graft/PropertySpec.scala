@@ -23,10 +23,13 @@ object PropertySpec extends Properties("graft") {
       keys.toSeq == (1L to n.toLong)
     }
 
+  // nlabel drawn from the proto2 uint32 domain — datum.proto declares it
+  // uint32, and numericDatum now enforces the same bound the Python
+  // encoder does (values >= 2^32 are a byte-compat break, not a datum).
   property("ProtoDatum encode/decode round-trips arbitrary numeric datums") =
     forAll(Gen.choose(0L, Long.MaxValue),
            Gen.listOf(Gen.chooseNum(Float.MinValue, Float.MaxValue)),
-           Gen.option(Gen.choose(0L, Long.MaxValue))) { (key, data, nlabel) =>
+           Gen.option(Gen.choose(0L, 0xffffffffL))) { (key, data, nlabel) =>
       import graft.functions.ProtoDatum
       val bytes = ProtoDatum.numericDatum(key, data, nlabel)
       val d = ProtoDatum.decode(bytes)
@@ -36,6 +39,64 @@ object PropertySpec extends Properties("graft") {
         java.util.Arrays.equals(n.data, ProtoDatum.floatBytes(data)) &&
         d.classs.flatMap(_.nlabel) == nlabel &&
         d.classs.forall(_.identifier == key.toString)
+    }
+
+  property("numericDatum rejects nlabel outside the proto2 uint32 domain") =
+    forAll(Gen.oneOf(Gen.choose(Long.MinValue, -1L),
+                     Gen.choose(0x100000000L, Long.MaxValue))) { bad =>
+      import graft.functions.ProtoDatum
+      scala.util.Try(ProtoDatum.numericDatum(1L, Seq(1.0f), Some(bad))).isFailure
+    }
+
+  // The LMDB-migration recipe (SURVEY §1.1): the reference stores keys as
+  // decimal STRINGS, so an LMDB cursor yields values in lexicographic key
+  // order ("0","1","10","100","11",…), not numeric. A migrating reader must
+  // therefore re-key each value from the identifier INSIDE the decoded
+  // Datum — never from cursor position. This property simulates exactly
+  // that stream shape and proves the embedded identifier recovers the
+  // original numeric keys bit-exactly, for corpora large enough that the
+  // two orders genuinely diverge (n > 10).
+  property("LMDB lexicographic stream re-keys numerically via the datum identifier") =
+    forAll(Gen.choose(11, 150)) { n =>
+      import graft.functions.ProtoDatum
+      val original = (0 until n).map { i =>
+        i.toLong -> Seq(i.toFloat, -i.toFloat)
+      }.toMap
+      // the simulated LMDB cursor: values sorted by str(key) byte order
+      val lmdbStream = original.toSeq
+        .map { case (k, v) => (k.toString, ProtoDatum.numericDatum(k, v, Some(k % 7))) }
+        .sortBy(_._1)
+      val cursorKeys = lmdbStream.map(_._1.toLong)
+      // migration read path: decode each value, re-key from the identifier
+      val rekeyed = lmdbStream.map { case (_, bytes) =>
+        val d = ProtoDatum.decode(bytes)
+        val key = d.numeric.get.identifier.toLong
+        key -> d
+      }.toMap
+      cursorKeys != cursorKeys.sorted && // the orders really diverge
+        rekeyed.keySet == original.keySet &&
+        rekeyed.forall { case (k, d) =>
+          java.util.Arrays.equals(d.numeric.get.data, ProtoDatum.floatBytes(original(k))) &&
+            d.classs.flatMap(_.nlabel).contains(k % 7) &&
+            d.classs.get.identifier == k.toString
+        }
+    }
+
+  property("decode fails loudly on truncated datums, never reads garbage") =
+    forAll(Gen.choose(0L, 0xffffffffL),
+           Gen.listOfN(4, Gen.chooseNum(-10.0f, 10.0f))) { (key, data) =>
+      import graft.functions.ProtoDatum
+      val bytes = ProtoDatum.numericDatum(key, data, Some(3L))
+      // every strict prefix either still parses to a well-formed partial
+      // message boundary or raises MalformedDatumException — no index
+      // errors, no silent misparse of truncated length-delimited fields
+      (1 until bytes.length).forall { cut =>
+        scala.util.Try(ProtoDatum.decode(bytes.take(cut))) match {
+          case scala.util.Success(_) => true
+          case scala.util.Failure(_: ProtoDatum.MalformedDatumException) => true
+          case scala.util.Failure(_) => false
+        }
+      }
     }
 
   property("trigramHits equals the array-intersect trigram score") =

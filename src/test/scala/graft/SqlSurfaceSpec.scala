@@ -49,6 +49,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row._2 == viaCol)
   }
 
+  test("wrong arity raises AnalysisException with the expected count, not IndexOutOfBounds") {
+    graft.expressions.Sketches.registerSql(spark)
+    // one arg short (graft_dot needs 2) and one arg extra (graft_simhash60
+    // takes 1) — both cluster-wide SQL entry points must answer with the
+    // standard WRONG_NUM_ARGS analysis error
+    val short = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot(array(1.0D))").collect())
+    assert(short.getMessage.contains("2") && short.getMessage.contains("graft_dot"))
+    val extra = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_simhash60(array(1L), array(2L))").collect())
+    assert(extra.getMessage.contains("graft_simhash60"))
+  }
+
   test("custom sketch expressions are callable from SQL") {
     graft.expressions.Sketches.registerSql(spark)
     val fp = spark.sql(
