@@ -17,7 +17,19 @@ case class BucketDoc(id: Long, sig: Seq[Long])
   * into this LSH bucket, newest first, capped at `maxPerBucket`; plus the
   * running max event time ever seen (Long.MinValue in processing-time
   * mode), which anchors event-time eviction — it must survive batches so
-  * a batch of only LATE rows cannot regress the eviction deadline. */
+  * a batch of only LATE rows cannot regress the eviction deadline.
+  *
+  * CHECKPOINT COMPATIBILITY RULE: this class is the persisted state schema
+  * — `flatMapGroupsWithState` stores it through its case-class Encoder, so
+  * its field layout is frozen into every checkpoint. Adding, removing, or
+  * retyping a field makes old checkpoints undecodable (the restarted query
+  * fails at state deserialization, it does not silently default). To evolve
+  * the schema: either start a fresh checkpoint (reprocess / accept state
+  * loss), or introduce the change as a NEW state class behind a new
+  * operator and drain the old query. Never edit this class in place on a
+  * live pipeline. Durability across stop/restart is spec-gated in
+  * DocStreamsSpec ("resumes from the same checkpoint") under both the HDFS
+  * and RocksDB state providers. */
 case class BucketState(docs: List[BucketDoc], maxEvtMs: Long = Long.MinValue)
 
 /** Streaming twin of [[graft.operators.Dedup.minhashNearDupsFast]]: detect

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.streaming.DocStreams
@@ -133,6 +134,112 @@ class DocStreamsSpec extends SparkSpec {
     q.stop()
     assert(pairs.map(_._2) == Set(10L, 11L)) // both stream dups of doc 0 flagged
     assert(pairs.forall(_._1 == 0L)) // only against history; never 10<->11
+  }
+
+  // ---- crash durability: stop a checkpointed query, restart from the ----
+  // ---- same checkpoint, prove state carried over and nothing re-emits ----
+  // The reference loses ALL state on restart (its batch generator assumes a
+  // same-process LMDB handle, /root/reference/serialize.py:647-653); the
+  // streaming dedup here must instead resume exactly. Memory sink refuses
+  // checkpoint recovery outside Complete mode, so the hits are collected
+  // through foreachBatch — the fault-tolerant sink shape a real pipeline
+  // uses. Run under BOTH state providers: HDFS-backed (default) and RocksDB
+  // (the continuous-ingest preset).
+  for ((provider, tag) <- Seq(
+      ("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider", "hdfs"),
+      (GraftSession.RocksDBStateStore, "rocksdb"))) {
+    test(s"near-dup resumes from the same checkpoint without re-emitting ($tag provider)") {
+      implicit val sq = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory(s"neardup_ckpt_$tag").toString
+      val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      try {
+        val mem = MemoryStream[(Long, String)]
+        def start() = DocStreams.nearDupHits(
+            mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            timeout = GroupStateTimeout.NoTimeout)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit], _: Long) =>
+            ds.collect().foreach(h => hits.add((h.a, h.b)))
+          }
+          .start()
+        // run 1: docs 10/11 pair inside it, doc 13 is a lone unrelated doc
+        val q1 = start()
+        mem.addData((10L, base), (11L, nearDup), (13L, unrelated))
+        q1.processAllAvailable()
+        q1.stop() // simulated crash/deploy: JVM keeps running, query does not
+        assert(hits.asScala.toSet == Set((10L, 11L)))
+        hits.clear()
+        // run 2: SAME checkpoint. Doc 12 must pair with BOTH run-1 docs —
+        // only possible if bucket state was recovered from the checkpoint —
+        // and (10,11) must not re-emit (offsets recovered too: batch 0 is
+        // never reprocessed). Within-run band duplicates remain legal — the
+        // operator's contract is at-least-once per shared band.
+        val q2 = start()
+        mem.addData((12L, base))
+        q2.processAllAvailable()
+        q2.stop()
+        val run2 = hits.asScala.toSet
+        assert(run2 == Set((10L, 12L), (11L, 12L)),
+          s"state not recovered or batch re-emitted: $run2")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+  }
+
+  test("event-time eviction clock survives a checkpoint restart") {
+    // the eviction deadline is maxEvtMs inside BucketState plus the
+    // watermark from the commit log — BOTH live in the checkpoint. After a
+    // restart: a doc within the horizon still pairs (state recovered), and
+    // once the recovered watermark passes the horizon the bucket still
+    // evicts (clock not reset by the restart).
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt_et").toString
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def start() = DocStreams.nearDupHits(
+        mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+        eventTime = Some(("ts", "30 minutes")))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.NearDupHit], _: Long) =>
+        ds.collect().foreach(h => hits.add((h.a, h.b)))
+      }
+      .start()
+    val q1 = start()
+    mem.addData((1L, ts(0), base))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart 1: within-horizon arrival pairs against recovered state
+    val q2 = start()
+    mem.addData((2L, ts(5), nearDup))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(hits.asScala.toSet == Set((1L, 2L)))
+    hits.clear()
+    // restart 2: advance the recovered watermark far past the horizon —
+    // the timeout set BEFORE the restarts must still fire and evict
+    val q3 = start()
+    mem.addData((99L, ts(600), unrelated))
+    q3.processAllAvailable()
+    mem.addData((98L, ts(601),
+      "entirely separate words about benchmark harness oracle comparisons and parquet readers"))
+    q3.processAllAvailable()
+    mem.addData((3L, ts(602), base)) // bucket evicted: must NOT pair with doc 1 or 2
+    q3.processAllAvailable()
+    q3.stop()
+    // run 3 emits nothing: no (1,2) re-emission, no pairing against the
+    // evicted bucket — state, offsets, and the eviction clock all recovered
+    assert(hits.asScala.isEmpty, s"unexpected emissions after restart 2: ${hits.asScala.toList}")
   }
 
   test("bucket state is capped at maxPerBucket") {
