@@ -188,7 +188,34 @@ object Tables {
     * production table has as many splits as the cluster has cores. */
   def widened(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target) else df
+    scanTaskEstimate(spark, df) match {
+      case Some(est) if est * 4 < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Scan task count estimated from the FILE LISTING — the same
+    * size-plus-open-cost bin-packing arithmetic Spark's FilePartition
+    * planner uses — so [[widened]] never forces the plan→RDD conversion
+    * `df.rdd.getNumPartitions` would pay on every query. None when the
+    * frame has no file-backed leaves (in-memory relations: no listing to
+    * estimate from, and nothing to widen — their parallelism was chosen
+    * by whoever built them). */
+  private[graft] def scanTaskEstimate(spark: SparkSession, df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case h: HadoopFsRelation => h }
+    if (rels.isEmpty) None
+    else {
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
+      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+      val fileCount = rels.map(_.location.inputFiles.length.toLong).sum
+      val costedBytes = rels.map(_.location.sizeInBytes).sum + fileCount * openCost
+      val bytesPerCore = costedBytes / math.max(spark.sparkContext.defaultParallelism, 1)
+      val maxSplit = math.min(maxPart, math.max(openCost, bytesPerCore))
+      Some(math.max(1L, (costedBytes + maxSplit - 1) / maxSplit))
+    }
   }
 
   /** Interchange sinks (CSV with header / JSON lines). Parquet is the

@@ -67,10 +67,16 @@ object Ivf {
     * the stale index. */
   def ensureIndex(spark: SparkSession, corpusKey: String, normedDf: => DataFrame,
                   k: Int, maxIter: Int = 20, seed: Long = 42L): Centroids = {
-    val memoKey = s"$corpusKey|k=$k|it=$maxIter|s=$seed"
+    val src = s"$corpusKey.parquet"
+    // the SOURCE FINGERPRINT is part of the memo key: if the corpus parquet
+    // is regenerated while this JVM lives, the stale in-memory centroids
+    // miss and the disk path below (also fingerprint-guarded) rebuilds —
+    // without it the memo would happily serve centroids of data that no
+    // longer exists (staleness spec-gated in IvfSpec)
+    val memoKey =
+      s"$corpusKey|k=$k|it=$maxIter|s=$seed|fp=${graft.catalog.Tables.sourceFingerprint(src).hashCode}"
     indexMemo.getOrElseUpdate(memoKey, {
       val dir = indexDir(corpusKey, k, maxIter, seed)
-      val src = s"$corpusKey.parquet"
       if (graft.catalog.Tables.derivedIsFresh(dir, "centroids", src)) {
         spark.read.parquet(s"$dir/centroids")
           .orderBy("bucket").select("c")

@@ -681,26 +681,42 @@ object Relational {
     // path but not cross-engine reproducible; this twin computes the SAME
     // stats exactly so the sketch query has an oracle-checked companion.
     // Quantiles are positional (value at ceil(q·n), no interpolation
-    // arithmetic), so both engines pick identical stored doubles. The
-    // per-group row_number is the inherent cost of exactness — the group
-    // count here is 3 (bounded, not data-scaled); for high-cardinality
-    // exact quantiles at scale, use the sketch (q33) or a per-(group,value)
-    // count + cumulative-sum-over-distinct-values reformulation.
+    // arithmetic), so both engines pick identical stored doubles.
+    //
+    // Scale shape (count-based, NOT row_number-based): the base table is
+    // reduced FIRST to per-(group, value) counts — a hash aggregate with
+    // map-side partial agg across all shuffle partitions — and only the
+    // distinct-value table flows into the per-group ordered window. The
+    // quantile at rank r is the smallest value whose running count
+    // reaches r. A row_number formulation would instead sort the ENTIRE
+    // table in as many reducers as there are groups (3 here) — the exact
+    // sort that dies at 100 TB. Now the per-group sort is bounded by the
+    // value domain, not the row count (plan-gated in PlanShapeSpec: no
+    // window runs over un-aggregated base rows).
     "q52_exact_quantiles" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
-        val ranked = li
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        ranked.groupBy("l_returnflag")
+        // data-sized work ends here: two parallel hash aggregates
+        val vc = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("cnt"))
+        val parts = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        // distinct-value table: running count + group total in one window stage
+        val wRun = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vc
+          .withColumn("cum", sum(col("cnt")).over(wRun))
+          .withColumn("nn", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+        cum.groupBy("l_returnflag")
           .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            max(when(col("rn") === ceil(col("nn") * lit(0.25)), col("l_extendedprice"))).as("p25_price"),
-            max(when(col("rn") === ceil(col("nn") * lit(0.5)), col("l_extendedprice"))).as("median_price"),
-            max(when(col("rn") === ceil(col("nn") * lit(0.75)), col("l_extendedprice"))).as("p75_price"),
-            count(lit(1)).as("n"))
+            min(when(col("cum") >= ceil(col("nn") * lit(0.25)), col("l_extendedprice"))).as("p25_price"),
+            min(when(col("cum") >= ceil(col("nn") * lit(0.5)), col("l_extendedprice"))).as("median_price"),
+            min(when(col("cum") >= ceil(col("nn") * lit(0.75)), col("l_extendedprice"))).as("p75_price"),
+            sum(col("cnt")).as("n"))
+          .join(parts, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_parts"), col("p25_price"),
+            col("median_price"), col("p75_price"), col("n"))
           .orderBy("l_returnflag")
       },
       Some("""WITH r AS (SELECT l_returnflag, l_partkey, l_extendedprice,
@@ -791,6 +807,17 @@ object Relational {
     // The lateral form evaluates the subquery per outer row — Catalyst
     // decorrelates it into a ranked join, so the declared shape is
     // per-row but the physical plan is set-oriented (no N+1 scans).
+    //
+    // Constraint propagation is MANUAL here: DecorrelateInnerQuery joins
+    // the ranked inner relation to the outer side but does not push the
+    // outer predicate (c_custkey <= 100) through the equality into the
+    // inner scan — without help the WindowGroupLimit ranks EVERY
+    // customer's orders and the join then throws 99.99% of that work away
+    // at 100 TB. Stating the transitive predicate (o_custkey <= 100)
+    // inside the lateral puts the filter below the ranking AND into the
+    // parquet scan (PushedFilters — plan-gated in PlanShapeSpec). For a
+    // non-literal outer filter, the same effect needs a semi-join
+    // pre-filter of orders against the filtered customers.
     "q58_lateral_topn" -> Q(
       (s, dir) => {
         Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
@@ -799,7 +826,7 @@ object Relational {
           SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
           FROM customer c, LATERAL (
             SELECT o_orderkey, o_totalprice FROM orders
-            WHERE o_custkey = c.c_custkey
+            WHERE o_custkey = c.c_custkey AND o_custkey <= 100
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
           WHERE c.c_custkey <= 100
           ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
@@ -807,7 +834,7 @@ object Relational {
       Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
         FROM customer c, LATERAL (
           SELECT o_orderkey, o_totalprice FROM orders
-          WHERE o_custkey = c.c_custkey
+          WHERE o_custkey = c.c_custkey AND o_custkey <= 100
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
         WHERE c.c_custkey <= 100
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")),

@@ -53,6 +53,30 @@ class IvfSpec extends SparkSpec {
     assert(live == persisted)
   }
 
+  test("regenerating the corpus mid-JVM invalidates the in-memory memo too") {
+    // the on-disk index is fingerprint-guarded; this gates the MEMO layer:
+    // same JVM, same (corpusKey, k, iter, seed), but the source parquet is
+    // regenerated between calls — the second ensureIndex must re-fit, not
+    // serve centroids of data that no longer exists
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    val key = s"$tmp/corpus"
+    clustered.write.mode("overwrite").parquet(s"$key.parquet")
+    val n1 = Similarity.normed(spark.read.parquet(s"$key.parquet"), "vec_id", "embedding")
+    val cents1 = Ivf.ensureIndex(spark, key, n1, k = 8, maxIter = 10)
+    // memo hit while the source is unchanged: by-name corpus never forced
+    Ivf.ensureIndex(spark, key,
+      sys.error("memo should have served the unchanged index"), k = 8, maxIter = 10)
+    // regenerate the corpus at the same path (fewer rows -> new fingerprint)
+    clustered.filter(col("vec_id") < 120).write.mode("overwrite").parquet(s"$key.parquet")
+    var refit = false
+    val n2 = Similarity.normed(spark.read.parquet(s"$key.parquet"), "vec_id", "embedding")
+    val cents2 = Ivf.ensureIndex(spark, key, { refit = true; n2 }, k = 8, maxIter = 10)
+    assert(refit, "ensureIndex served the stale memo after the corpus changed")
+    assert(cents1.length == cents2.length)
+    // and the rebuilt inverted file reflects the NEW corpus
+    assert(Ivf.indexedCorpus(spark, key, k = 8, maxIter = 10).count() == 120)
+  }
+
   test("bucket assignment covers the corpus and buckets are non-trivial") {
     val n = Similarity.normed(clustered, "vec_id", "embedding")
     val model = Ivf.fit(n, k = 8)

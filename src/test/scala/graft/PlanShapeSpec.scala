@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan gates for the queries whose SCALE story depends on plan
+  * shape, not just on result correctness. A regression here (a lost filter
+  * pushdown, a reintroduced full-table sort) would keep CORRECTNESS green
+  * while quietly breaking the 100 TB plan — so the shape itself is tested.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q58 lateral: outer constraint reaches the orders parquet scan") {
+    val df = SparkEntry.queries("q58_lateral_topn")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the transitive predicate must be pushed into the ORDERS scan — the
+    // ranking (WindowGroupLimit) then runs over 100 customers' orders, not
+    // every customer's
+    val ordersScan = plan.linesIterator
+      .find(l => l.contains("orders.parquet") && l.contains("FileScan"))
+      .getOrElse(fail(s"no orders scan in plan:\n$plan"))
+    assert(ordersScan.contains("LessThanOrEqual(o_custkey,100)"),
+      s"outer constraint not pushed into orders scan:\n$ordersScan")
+    assert(plan.contains("WindowGroupLimit"), s"top-N not planned as WindowGroupLimit:\n$plan")
+  }
+
+  test("q52 exact quantiles: no window sorts un-aggregated base rows") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val df = SparkEntry.queries("q52_exact_quantiles")(spark, dir)
+    // every ordered window must sit ABOVE an aggregate: the per-group sort
+    // then covers distinct values (bounded by the value domain), never the
+    // raw table — the row_number formulation this replaced sorted ALL rows
+    // in 3 reducers
+    def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(reachesLeafWithoutAggregate)
+    }
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.nonEmpty, "expected the running-count window")
+    windows.foreach { w =>
+      assert(!reachesLeafWithoutAggregate(w.child),
+        s"window consumes un-aggregated base rows:\n${w.treeString}")
+    }
+    // and the result is still the same 3 groups
+    assert(df.count() == 3)
+  }
+}

@@ -21,6 +21,25 @@ class StorageSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("widened estimates scan tasks from the file listing, not df.rdd") {
+    // file-backed frame: the estimate comes from size+open-cost bin
+    // packing over the listing — a single small fixture file plans as one
+    // task, so at this sf nothing is widened and the plan is untouched
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val single = Tables.scanTaskEstimate(spark, docs)
+    assert(single.exists(_ <= 2L), s"one tiny file should plan as ~1 task, got $single")
+    assert(Tables.widened(spark, docs) eq docs) // est*4 >= 4 cores: untouched
+    // many files -> estimate grows with the listing
+    val dir = java.nio.file.Files.createTempDirectory("manyfiles").toString
+    (1L to 400L).toDF("v").repartition(40).write.parquet(s"$dir/t.parquet")
+    val est = Tables.scanTaskEstimate(spark, spark.read.parquet(s"$dir/t.parquet"))
+    assert(est.exists(_ > 1L), s"expected multi-task estimate, got $est")
+    // in-memory frame: no file listing -> no estimate, never widened
+    val mem = (1 to 10).toDF("v")
+    assert(Tables.scanTaskEstimate(spark, mem).isEmpty)
+    assert(Tables.widened(spark, mem) eq mem)
+  }
+
   test("datum export sink: binary column round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("datums").toString
     val df = Seq((7L, Seq(1.5f, -2.0f), 3), (8L, Seq(0.25f), 1))
