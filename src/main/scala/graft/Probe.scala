@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev-only scratch: stage-time breakdown for one query. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qname = if (args.length > 1) args(1) else "q60_curation_fast"
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {s <- i.submissionTime; e <- i.completionTime} yield e - s).getOrElse(-1L)
+        stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
+      }
+    })
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    SparkEntry.prepare(spark, sfDir)
+    stages.clear()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(qname)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"== $qname wall $wall%.2f s, ${stages.size} stages ==")
+    stages.sortBy(-_._3).foreach { case (id, name, ms, n) =>
+      println(f"stage $id%4d  $ms%6d ms  $n%4d tasks  $name")
+    }
+    println(f"sum of stage times: ${stages.map(_._3).sum} ms")
+    spark.stop()
+  }
+}

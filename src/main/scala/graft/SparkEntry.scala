@@ -30,5 +30,6 @@ object SparkEntry {
     graft.catalog.Tables.ensureBucketed(spark, dir, buckets = 32)
     LlmOps.ivfIndex(spark, dir)
     LlmOps.dedupIndex(spark, dir)
+    LlmOps.fastDedupIndex(spark, dir)
   }
 }

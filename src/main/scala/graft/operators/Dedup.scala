@@ -57,6 +57,31 @@ object Dedup {
       .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
       .drop("hs")
 
+  /** Hash tiers for the minhash sketch: `Md5Tier` is oracle-reproducible
+    * (DuckDB recomputes the identical prefixes), `XxTier` is the
+    * production family (codegen'd xxhash64, no hex parsing — same dup
+    * sets on real data, spec-checked, not SQL-reproducible). Sketches
+    * only band-join against sketches of the SAME tier. */
+  val Md5Tier = "md5"
+  val XxTier = "xx"
+
+  /** (id, shingles, sig) at the requested hash tier — the one map-only
+    * sketch pass everything downstream ([[nearDupsFromSketch]],
+    * [[crossCorpusFromSketches]], the persisted index) composes over. */
+  def sketch(docs: DataFrame, idCol: String, textCol: String,
+             ngram: Int = 2, k: Int = 32, tier: String = Md5Tier): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, ngram)
+    tier match {
+      case Md5Tier => signatures(sh, k)
+      case XxTier => sh
+        .withColumn("hs", transform(col("shingles"), t => graft.functions.FastHashing.h28Fast(t)))
+        .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
+        .drop("hs")
+      case other => throw new IllegalArgumentException(
+        s"unknown sketch tier '$other' (expected '$Md5Tier' or '$XxTier')")
+    }
+  }
+
   /** One row per (id, band) with the band's signature-slice as a join key. */
   def bands(sigDf: DataFrame, b: Int, r: Int): DataFrame =
     sigDf
@@ -96,14 +121,20 @@ object Dedup {
   }
 
   /** Exact Jaccard over the shingle sets for given (a, b) pairs. */
-  def verifyJaccard(pairs: DataFrame, shingledDf: DataFrame): DataFrame = {
-    val ga = shingledDf.select(col("id").as("a"), col("shingles").as("sa"))
-    val gb = shingledDf.select(col("id").as("b"), col("shingles").as("sb"))
+  def verifyJaccard(pairs: DataFrame, shingledDf: DataFrame): DataFrame =
+    verifyJaccardSources(pairs, shingledDf, shingledDf)
+
+  /** [[verifyJaccard]] with separate shingle sources for the a and b
+    * sides (cross-corpus pairs); extra columns on `pairs` ride along. */
+  def verifyJaccardSources(pairs: DataFrame, aSrc: DataFrame, bSrc: DataFrame): DataFrame = {
+    val ga = aSrc.select(col("id").as("a"), col("shingles").as("sa"))
+    val gb = bSrc.select(col("id").as("b"), col("shingles").as("sb"))
+    val extra = pairs.columns.filter(c => c != "a" && c != "b")
     pairs.join(ga, "a").join(gb, "b")
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("n_inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
-      .select("a", "b", "jac")
+      .select((Seq("a", "b") ++ extra :+ "jac").map(col): _*)
   }
 
   /** Full MinHash-LSH near-dup pipeline: pairs with shingle-Jaccard >= θ.
@@ -121,41 +152,90 @@ object Dedup {
                       ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                       theta: Double = 0.5,
                       maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
-    // The shingle table feeds three joins (band self-join left/right +
+    // The sketch table feeds three joins (band self-join left/right +
     // verification); materialize it once instead of re-tokenizing and
     // re-hashing the corpus per branch. MEMORY_AND_DISK: at cluster scale
     // this spills rather than OOMs, and is strictly cheaper than N full
     // recomputes of scan → tokenize → md5.
-    val sh = shingled(docs, idCol, textCol, ngram)
+    val sk = sketch(docs, idCol, textCol, ngram, k, Md5Tier)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist signatures before banding: the band explode would otherwise
-    // recompute the k-min signature chain once per (row, band)
-    val sig = signatures(sh, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bnd = bands(sig, b, r)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bnd, maxBucket)
-    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+    nearDupsFromSketch(sk, b, r, theta, maxBucket)
   }
 
   /** Production-tier near-dup pipeline: identical structure to
-    * [[minhashNearDups]] but shingle hashes come from xxhash64
-    * ([[graft.functions.FastHashing.h28Fast]]) instead of md5 prefixes —
-    * fully codegen'd hashing, no hex parsing. Different hash family ⇒ not
-    * oracle-comparable; same duplicate sets on real data (spec-checked). */
+    * [[minhashNearDups]] but at [[XxTier]] — fully codegen'd hashing, no
+    * hex parsing. Different hash family ⇒ not oracle-comparable; same
+    * duplicate sets on real data (spec-checked). */
   def minhashNearDupsFast(docs: DataFrame, idCol: String, textCol: String,
                           ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                           theta: Double = 0.5,
                           maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, ngram)
+    val sk = sketch(docs, idCol, textCol, ngram, k, XxTier)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh
-      .withColumn("hs", transform(col("shingles"), t => graft.functions.FastHashing.h28Fast(t)))
-      .withColumn("sig", graft.expressions.Sketches.minhashSig(col("hs"), k))
-      .drop("hs")
+    nearDupsFromSketch(sk, b, r, theta, maxBucket)
+  }
+
+  /** Within-corpus near-dup pairs from a PRE-COMPUTED (id, shingles, sig)
+    * sketch — the composable core of minhashNearDups*. Callers that
+    * already hold the sketch (ingest funnels, persisted indexes) pay one
+    * sketch pass per batch TOTAL, not one per dedup stage. The sketch
+    * frame should be persisted by the caller: it feeds the band explode
+    * and both verification sides. */
+  def nearDupsFromSketch(sk: DataFrame, b: Int = 8, r: Int = 4,
+                         theta: Double = 0.5,
+                         maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
+    // persist before banding: the band explode would otherwise recompute
+    // the signature chain once per (row, band)
+    val bnd = bands(sk, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands(sig, b, r), maxBucket)
-    verifyJaccard(cand, sh).filter(col("jac") >= theta).orderBy("a", "b")
+    val cand = candidatePairs(bnd, maxBucket)
+    verifyJaccard(cand, sk).filter(col("jac") >= theta).orderBy("a", "b")
+  }
+
+  /** ONE-PASS drop pairs for an ingest batch: batch docs near-duplicating
+    * a smaller-id batch doc (the greedy within-batch rule) or ANY history
+    * doc. History bands ∪ batch bands form the join's left side, batch
+    * bands the right — so ONE bucket-cap count, ONE band join and ONE
+    * verification serve BOTH dedup stages (the sequential form pays each
+    * of those twice; measured ~2x stage count on ingest-batch inputs).
+    * Returns (a, b, vs_hist, jac) with `b` always a batch id.
+    *
+    * Survivor-set identity with the sequential two-stage form: comparing
+    * ALL batch docs (not just within-batch survivors) against history can
+    * only re-drop docs the within-batch rule already dropped —
+    * {within-drops} ∪ {vs-history drops of everyone} equals
+    * {within-drops} ∪ {vs-history drops of survivors}. Spec-gated in
+    * CurateSpec. `historySketch` must share the batch sketch's hash tier. */
+  def batchDropPairs(batchSketch: DataFrame, historySketch: Option[DataFrame],
+                     b: Int = 8, r: Int = 4, theta: Double = 0.5,
+                     maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
+    val bb = bands(batchSketch, b, r).withColumn("vs_hist", lit(false))
+    val left = historySketch match {
+      case Some(h) => bands(h, b, r).withColumn("vs_hist", lit(true)).unionByName(bb)
+      case None => bb
+    }
+    val leftOk = maxBucket match {
+      case Some(cap) =>
+        val ok = left.groupBy("band", "bkey").count()
+          .observe("lsh_bucket_cap_batch",
+            sum(when(col("count") > cap, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_buckets"))
+          .filter(col("count") <= cap).select("band", "bkey")
+        // capping the LEFT side alone suppresses the bucket: the band join
+        // is inner, so a capped bucket's right-side rows match nothing
+        left.join(ok, Seq("band", "bkey"))
+      case None => left
+    }
+    val cand = leftOk.select(col("band"), col("bkey"), col("id").as("a"), col("vs_hist"))
+      .join(bb.select(col("band"), col("bkey"), col("id").as("b")), Seq("band", "bkey"))
+      .filter(col("vs_hist") || col("a") < col("b"))
+      .select("a", "b", "vs_hist").distinct()
+    val aSrc = historySketch match {
+      case Some(h) => batchSketch.select("id", "shingles")
+        .unionByName(h.select("id", "shingles"))
+      case None => batchSketch
+    }
+    verifyJaccardSources(cand, aSrc, batchSketch).filter(col("jac") >= theta)
   }
 
   /** Incremental (cross-corpus) near-dup: which documents of a NEW batch
@@ -187,10 +267,20 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
                                  theta: Double = 0.5,
-                                 maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
+                                 maxBucket: Option[Int] = DefaultMaxBucket): DataFrame =
+    crossCorpusFromSketches(historySketch,
+      sketch(fresh, idCol, textCol, ngram, k, Md5Tier), b, r, theta, maxBucket)
+
+  /** [[crossCorpusNearDupsIndexed]] with BOTH sides pre-sketched. The two
+    * sketches must come from the same hash tier — signatures of different
+    * families never band-match, which silently finds nothing. */
+  def crossCorpusFromSketches(historySketch: DataFrame, freshSketch: DataFrame,
+                              b: Int = 8, r: Int = 4,
+                              theta: Double = 0.5,
+                              maxBucket: Option[Int] = DefaultMaxBucket): DataFrame = {
     val hsk = historySketch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fsk = signatures(shingled(fresh, idCol, textCol, ngram), k)
+    val fsk = freshSketch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hb = bands(hsk, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -231,11 +321,15 @@ object Dedup {
   def ensureSketchIndex(spark: org.apache.spark.sql.SparkSession,
                         indexKey: String, sourcePath: String,
                         corpus: => DataFrame, idCol: String, textCol: String,
-                        ngram: Int = 2, k: Int = 32): DataFrame = {
-    val dir = graft.catalog.Tables.derivedDir("graft_dedup", s"$indexKey|n=$ngram|k=$k")
+                        ngram: Int = 2, k: Int = 32,
+                        tier: String = Md5Tier): DataFrame = {
+    // tier is part of the derived key: an md5 index and an xx index of the
+    // same corpus are DIFFERENT artifacts (their signatures never match
+    // across families), so they must never share a directory
+    val dir = graft.catalog.Tables.derivedDir("graft_dedup", s"$indexKey|n=$ngram|k=$k|t=$tier")
     if (!graft.catalog.Tables.derivedIsFresh(dir, "sketch", sourcePath)) {
       graft.catalog.Tables.derivedClear(dir)
-      signatures(shingled(corpus, idCol, textCol, ngram), k)
+      sketch(corpus, idCol, textCol, ngram, k, tier)
         .write.mode("overwrite").parquet(s"$dir/sketch")
       graft.catalog.Tables.derivedStamp(dir, sourcePath)
     }

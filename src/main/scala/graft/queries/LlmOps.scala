@@ -112,6 +112,17 @@ object LlmOps {
       corpus = docs(s, dir).filter(col("doc_id") < IncrSplit),
       idCol = "doc_id", textCol = "text")
 
+  /** Production-tier (xxhash64) twin of [[dedupIndex]] — what the fast
+    * curation funnel (q60) band-joins against; lives in its own derived
+    * dir (tier is part of the key). */
+  def fastDedupIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ensureSketchIndex(s,
+      indexKey = s"$dir/documents@hist$IncrSplit",
+      sourcePath = s"$dir/documents.parquet",
+      corpus = docs(s, dir).filter(col("doc_id") < IncrSplit),
+      idCol = "doc_id", textCol = "text",
+      tier = graft.operators.Dedup.XxTier)
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- exact dedup on content hash -----------------------------------
@@ -457,6 +468,24 @@ object LlmOps {
                (SELECT COUNT(*) FROM q) AS n_quality,
                (SELECT COUNT(*) FROM e) AS n_exact,
                (SELECT COUNT(*) FROM fin) AS n_final""")),
+
+    // ---- production-tier curation: fast sketches + history index --------
+    // The funnel a 100 TB ingest batch actually runs: quality gate → exact
+    // dedup → xxhash64-tier near-dup drop → drop vs the PERSISTED history
+    // sketch index (never re-sketching history). The input is ONE
+    // ingest-batch-sized slice — per-batch cost is O(batch + collisions),
+    // independent of corpus scale, which is the whole point of the
+    // incremental shape (q41 by contrast funnels the entire corpus).
+    // Rows-only like q40 (the xxhash64 family is not SQL-reproducible);
+    // q41 is the md5-tier oracle twin of the same funnel and CurateSpec
+    // pins runFast ≡ run on the oracle-comparable stages.
+    "q60_curation_fast" -> Q(
+      (s, dir) => graft.operators.Curate.runFast(
+        docs(s, dir).filter(
+          col("doc_id") >= IncrSplit && col("doc_id") < 2 * IncrSplit),
+        "doc_id", "text",
+        historySketch = Some(fastDedupIndex(s, dir))).stats,
+      None),
 
     // ---- embedding near-dup pairs via SRP-LSH + cosine threshold ---------
     "q31_embed_neardups" -> Q(
