@@ -377,25 +377,26 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Duplicate CLUSTERS from near-dup pairs: connected components by
-    * iterative min-label propagation — every doc in a component gets the
-    * component's smallest id as `cluster`. Greedy drop-the-b misses
-    * transitive chains (a~b, b~c but a≁c); this is the exhaustive rule.
+  /** Duplicate CLUSTERS from near-dup pairs: connected components —
+    * every doc in a component gets the component's smallest id as
+    * `cluster`. Greedy drop-the-b misses transitive chains (a~b, b~c but
+    * a≁c); this is the exhaustive rule.
     *
-    * Iterations = graph diameter (near-dup components are shallow —
-    * typically pairs/triples, so 2-4 rounds). Each round is one join +
-    * one min-aggregate over the EDGE set, not the corpus. At extreme
-    * scale swap for the large-star/small-star algorithm (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014); the
-    * fixpoint loop shape is identical. */
+    * Hybrid execution: near-dup edge sets are orders of magnitude smaller
+    * than the corpus, so below `driverThreshold` a driver-side union-find
+    * beats any fixpoint whose per-round cost is fixed job overhead. Above
+    * it, the distributed path runs LARGE-STAR/SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round contracts whole star subtrees toward the
+    * component minimum, converging in O(log n) rounds REGARDLESS of
+    * component diameter — a min-label propagation loop would need
+    * diameter rounds, which is exactly what dies on chain-shaped
+    * components. Equivalence with union-find is spec-gated on deep
+    * chains (DedupSpec). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hybrid: near-dup edge sets are orders of magnitude smaller than the
-    // corpus. Below the threshold, a driver-side union-find beats an
-    // iterative fixpoint whose per-round cost is fixed job overhead;
-    // above it, fall through to the distributed min-label loop.
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -418,42 +419,61 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "cluster")
     }
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-    var prevCached: Option[DataFrame] = None
+
+    // -- distributed path: alternate large-star / small-star to fixpoint --
+    // large-star(u): every neighbor v > u re-points to m = min(Γ(u) ∪ u).
+    // small-star(u): on the large→small orientation, all of u's smaller
+    // neighbors (and u itself) re-point to their minimum. At the fixpoint
+    // every edge is (node → component minimum), i.e. the label table.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = canon.groupBy("u").agg(min("v").as("m"))
+      canon.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // localCheckpoint, not persist: persist caches DATA but the LOGICAL
+    // plan keeps compounding (union+distinct+except double it per round),
+    // so analysis/AQE time grows exponentially with rounds — the classic
+    // iterative-DataFrame trap. Checkpointing truncates the plan to the
+    // materialized RDD each round (on a cluster, use reliable
+    // checkpointing if executor loss during the loop must be survivable).
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select("id", "cluster").union(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      // `changed` materialized `next`; the previous round's cache is dead.
-      prevCached.foreach(_.unpersist())
-      prevCached = Some(next)
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint = identical edge set (both stars are deterministic maps)
+      val grew = next.exceptAll(e).limit(1).count() > 0
+      val shrank = !grew && e.exceptAll(next).limit(1).count() > 0
+      e = next
+      converged = !grew && !shrank
       i += 1
     }
-    // wrong labels are worse than no labels: a component with diameter
-    // beyond maxIter would silently split into several clusters
+    // wrong labels are worse than no labels: never return a half-
+    // contracted edge set as if it were the label table
     if (!converged)
       throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIter rounds — raise maxIter " +
-          "or switch to large-star/small-star for deep components")
-    // the final `labels` cache is already materialized (the convergence
-    // count forced it), so the upstream caches are dead weight — release
-    // them now; if labels' blocks are later evicted the lineage still
-    // recomputes correctly, just without the cache assist
-    sym.unpersist()
+        s"dupClusters star-contraction did not converge in $maxIter rounds — raise maxIter")
     edges.unpersist()
-    labels.orderBy("id")
+    // fixpoint edges are (non-root node → component min); roots map to
+    // themselves
+    e.select(col("u").as("id"), col("v").as("cluster"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster")).distinct())
+      .distinct()
+      .orderBy("id")
   }
 
   /** Near-dup pairs by SimHash: Hamming(a,b) <= maxHam, found via banded

@@ -693,6 +693,13 @@ object Relational {
     // sort that dies at 100 TB. Now the per-group sort is bounded by the
     // value domain, not the row count (plan-gated in PlanShapeSpec: no
     // window runs over un-aggregated base rows).
+    //
+    // Honest local-fixture cost: sf0.1 prices are nearly all DISTINCT, so
+    // the pre-aggregate barely reduces and this runs ~2x the row_number
+    // form (1.2s -> 3.3s at sf0.1). That is the right trade: the count
+    // table grows with the VALUE DOMAIN (prices — bounded) while the
+    // row_number sort grows with the data; at production scale d << n and
+    // the 3-reducer full sort is the one that cannot finish.
     "q52_exact_quantiles" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")

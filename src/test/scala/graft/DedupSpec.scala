@@ -147,6 +147,27 @@ class DedupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters distributed star-contraction matches union-find on deep chains") {
+    // driverThreshold = 0 forces the large-star/small-star path; the
+    // graph is built to punish diameter-bound algorithms: a 120-node
+    // chain (diameter 119 >> maxIter 20 — min-label propagation would
+    // throw here), plus a triangle, a star, and singpair components,
+    // with shuffled ids so component minima land mid-chain
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 200L).toVector)
+    val chain = (0 until 119).map(i => (ids(i), ids(i + 1)))
+    val triangle = Seq((ids(150), ids(151)), (ids(151), ids(152)), (ids(150), ids(152)))
+    val star = (161 to 165).map(i => (ids(160), ids(i)))
+    val pair = Seq((ids(170), ids(171)))
+    val pairs = (chain ++ triangle ++ star ++ pair).toDF("a", "b")
+    val viaStars = Dedup.dupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val viaUnionFind = Dedup.dupClusters(pairs) // same edges, driver path
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaUnionFind)
+    assert(viaStars(ids(60)) == chain.flatMap(e => Seq(e._1, e._2)).min)
+  }
+
   test("signature banding recall: bands x rows covers whole signature") {
     val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
     val sig = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()
