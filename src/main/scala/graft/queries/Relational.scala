@@ -708,13 +708,17 @@ object Relational {
         val vc = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
           .agg(count(lit(1)).as("cnt"))
         val parts = li.groupBy("l_returnflag")
-          .agg(countDistinct(col("l_partkey")).as("n_parts"))
-        // distinct-value table: running count + group total in one window stage
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("nn"))
+        // distinct-value table: ONE ordered window for the running count;
+        // the group total rides in on a broadcast join from the `parts`
+        // aggregate instead of a second whole-partition Window pass
         val wRun = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = vc
           .withColumn("cum", sum(col("cnt")).over(wRun))
-          .withColumn("nn", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
+          .join(broadcast(parts.select(col("l_returnflag"), col("nn"))),
+            Seq("l_returnflag"))
         cum.groupBy("l_returnflag")
           .agg(
             min(when(col("cum") >= ceil(col("nn") * lit(0.25)), col("l_extendedprice"))).as("p25_price"),

@@ -169,24 +169,23 @@ object DocStreams {
   def nearDupVsIndex(docs: DataFrame, historySketch: DataFrame,
                      idCol: String, textCol: String,
                      ngram: Int = 2, k: Int = 32, b: Int = 8, r: Int = 4,
-                     theta: Double = 0.5): DataFrame = {
+                     theta: Double = 0.5,
+                     tier: String = graft.operators.Dedup.Md5Tier): DataFrame = {
     require(b * r <= k, s"b*r (${b * r}) must be <= k ($k)")
     def banded(df: DataFrame, sigCol: String): DataFrame = df
       .withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("bkey",
         array_join(transform(slice(col(sigCol), col("band") * r + 1, lit(r)),
           x => x.cast("string")), ","))
-    // SAME hash family as the index (md5 tier, Dedup.signatures) — mixing
-    // tiers would make the signature agreement meaningless
+    // `tier` must be the INDEX's hash family (ensureSketchIndex's tier) —
+    // signatures of different families never band-match, which silently
+    // finds nothing. Md5Tier is the oracle family; XxTier (codegen'd
+    // xxhash64) is what a production stream runs.
     val stream = banded(
-      docs
-        .select(col(idCol).cast("long").as("sid"),
-          TextAnalysis.tokens(col(textCol)).as("toks"))
-        .filter(size(col("toks")) >= ngram)
-        .select(col("sid"), TextAnalysis.wordNgrams(col("toks"), ngram).as("shingles"))
-        .withColumn("hs", graft.expressions.Sketches.md5PrefixArray(col("shingles"), 7))
-        .withColumn("ssig", graft.expressions.Sketches.minhashSig(col("hs"), k))
-        .select("sid", "ssig"), "ssig")
+      graft.operators.Dedup.sketch(
+          docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
+          idCol, textCol, ngram, k, tier)
+        .select(col("id").as("sid"), col("sig").as("ssig")), "ssig")
     val hist = banded(
       historySketch.select(col("id").as("hid"), col("sig").as("hsig")), "hsig")
       .select("band", "bkey", "hid", "hsig")

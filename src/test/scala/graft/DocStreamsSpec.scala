@@ -110,30 +110,33 @@ class DocStreamsSpec extends SparkSpec {
     }
   }
 
-  test("stream vs persisted index: arrivals pair with history, not each other") {
-    implicit val sq = spark.sqlContext
-    import graft.operators.Dedup
-    val tmp = java.nio.file.Files.createTempDirectory("stream_idx").toString
-    val history = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
-    history.write.mode("overwrite").parquet(s"$tmp/hist.parquet")
-    val idx = Dedup.ensureSketchIndex(spark,
-      indexKey = s"$tmp/hist-stream", sourcePath = s"$tmp/hist.parquet",
-      corpus = spark.read.parquet(s"$tmp/hist.parquet"),
-      idCol = "doc_id", textCol = "text")
-    val mem = MemoryStream[(Long, String)]
-    val q = DocStreams.nearDupVsIndex(
-        mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text")
-      .writeStream.format("memory").queryName("vs_index").outputMode("append").start()
-    // 10 = near-dup of history doc 0; 11 = dup of 10 (stream-internal dup:
-    // NOT this operator's job); 12 = novel content
-    mem.addData((10L, nearDup), (11L, nearDup),
-      (12L, "novel text about watermark semantics and state store providers"))
-    q.processAllAvailable()
-    val pairs = spark.sql("SELECT a, b FROM vs_index")
-      .as[(Long, Long)].collect().toSet
-    q.stop()
-    assert(pairs.map(_._2) == Set(10L, 11L)) // both stream dups of doc 0 flagged
-    assert(pairs.forall(_._1 == 0L)) // only against history; never 10<->11
+  for (tier <- Seq(graft.operators.Dedup.Md5Tier, graft.operators.Dedup.XxTier)) {
+    test(s"stream vs persisted index ($tier tier): arrivals pair with history, not each other") {
+      implicit val sq = spark.sqlContext
+      import graft.operators.Dedup
+      val tmp = java.nio.file.Files.createTempDirectory(s"stream_idx_$tier").toString
+      val history = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
+      history.write.mode("overwrite").parquet(s"$tmp/hist.parquet")
+      val idx = Dedup.ensureSketchIndex(spark,
+        indexKey = s"$tmp/hist-stream", sourcePath = s"$tmp/hist.parquet",
+        corpus = spark.read.parquet(s"$tmp/hist.parquet"),
+        idCol = "doc_id", textCol = "text", tier = tier)
+      val mem = MemoryStream[(Long, String)]
+      val q = DocStreams.nearDupVsIndex(
+          mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text", tier = tier)
+        .writeStream.format("memory").queryName(s"vs_index_$tier")
+        .outputMode("append").start()
+      // 10 = near-dup of history doc 0; 11 = dup of 10 (stream-internal dup:
+      // NOT this operator's job); 12 = novel content
+      mem.addData((10L, nearDup), (11L, nearDup),
+        (12L, "novel text about watermark semantics and state store providers"))
+      q.processAllAvailable()
+      val pairs = spark.sql(s"SELECT a, b FROM vs_index_$tier")
+        .as[(Long, Long)].collect().toSet
+      q.stop()
+      assert(pairs.map(_._2) == Set(10L, 11L)) // both stream dups of doc 0 flagged
+      assert(pairs.forall(_._1 == 0L)) // only against history; never 10<->11
+    }
   }
 
   // ---- crash durability: stop a checkpointed query, restart from the ----
