@@ -49,4 +49,21 @@ class EmptyInputSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(st == ((0L, 0L, 0L, 0L)))
   }
+
+  test("fast curation of an empty batch against a history index yields zero stats") {
+    val hist = Dedup.sketch(
+      Seq((0L, "the quick brown fox jumps over the lazy dog repeatedly and often"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", tier = Dedup.XxTier)
+    val out = Curate.runFast(noDocs, "doc_id", "text", historySketch = Some(hist))
+    val st = out.stats.as[(Long, Long, Long, Long, Long)].collect().head
+    assert(st == ((0L, 0L, 0L, 0L, 0L)))
+    assert(out.curated.count() == 0)
+  }
+
+  test("batchDropPairs on an empty batch emits no pairs") {
+    val emptySketch = Dedup.sketch(noDocs, "doc_id", "text", tier = Dedup.XxTier)
+    assert(Dedup.batchDropPairs(emptySketch, None).count() == 0)
+    assert(Dedup.batchDropPairs(emptySketch, Some(emptySketch)).count() == 0)
+  }
 }

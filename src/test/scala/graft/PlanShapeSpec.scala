@@ -44,4 +44,15 @@ class PlanShapeSpec extends SparkSpec {
     // and the result is still the same 3 groups
     assert(df.count() == 3)
   }
+
+  test("dimension joins broadcast the small side (q03, q35, q36)") {
+    // at 100 TB the fact side must never shuffle for a dimension lookup:
+    // every dimension join plans as a BroadcastHashJoin, and no
+    // SortMergeJoin touches the plan
+    for (q <- Seq("q03_topk_revenue", "q35_regional_volume", "q36_returned_items")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: dimension join fell back to SMJ:\n$plan")
+    }
+  }
 }
