@@ -102,6 +102,18 @@ object LlmOps {
     * query (q56) — shared with its oracle SQL. */
   private val IncrSplit = 250L
 
+  /** PII patterns (q61), one definition spliced into BOTH engines. Stick
+    * to the Java-regex ∩ RE2 subset: character classes, bounded
+    * repetition, ASCII \b; `[.]` instead of an escaped dot so no escape
+    * survives the SQL splice differently. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "[+]1-555-[0-9]{4}"
+  private val IpRe = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+
+  /** Per-language keep rates out of 1000 (q62) — one table, both engines. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 300, "de" -> 500, "es" -> 700, "fr" -> 900, "zh" -> 1000)
+
   /** The persisted near-dup sketch index for q56's history corpus —
     * built once at ingest ([[graft.SparkEntry.prepare]]), reused by every
     * batch dedup (fit-on-demand when prepare hasn't run). */
@@ -486,6 +498,144 @@ object LlmOps {
         "doc_id", "text",
         historySketch = Some(fastDedupIndex(s, dir))).stats,
       None),
+
+    // ---- PII redaction (training-data scrubbing) -------------------------
+    // Email / phone / IPv4 spans are counted and replaced before export.
+    // The fixture corpus contains no natural PII (verified), so the query
+    // EMBEDS synthetic PII deterministically from (doc_id, source) — both
+    // engines construct the identical string, so detection AND the
+    // redacted text are hash-gated, not vacuous. Patterns are single
+    // Scala vals spliced into both engines (Java regex and RE2 agree on
+    // this subset: classes, bounded repetition, \b). Replacement order is
+    // fixed (email → phone → ip); leftmost-non-overlapping semantics
+    // match. Map-only — at 100 TB this runs inside the scan stage.
+    "q61_pii_redact" -> Q(
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".org phone +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string")).as("pii_text"))
+          .select(col("doc_id"),
+            regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
+            regexp_count(col("pii_text"), lit(PhoneRe)).cast("long").as("n_phones"),
+            regexp_count(col("pii_text"), lit(IpRe)).cast("long").as("n_ips"),
+            regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              lit(EmailRe), lit("<EMAIL>")),
+              lit(PhoneRe), lit("<PHONE>")),
+              lit(IpRe), lit("<IP>")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.org phone +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii_text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(pii_text, '$IpRe')) AS BIGINT) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(pii_text,
+            '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+            '$IpRe', '<IP>', 'g') AS redacted
+        FROM p ORDER BY doc_id""")),
+
+    // ---- stratified sampling (training-mix construction) -----------------
+    // Deterministic per-language keep rates via the md5 hash family both
+    // engines share: keep doc iff h28('smp:' || doc_id) % 1000 < rate(lang).
+    // Hash-based sampling is the 100 TB shape — map-only, no global count,
+    // reproducible across runs and engines, and stable under corpus
+    // growth (a doc's fate never depends on other rows).
+    "q62_stratified_sample" -> Q(
+      (s, dir) => {
+        val rate = SampleRates.tail.foldLeft(
+          when(col("lang") === SampleRates.head._1, lit(SampleRates.head._2))) {
+          case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+        }.otherwise(lit(0))
+        docs(s, dir)
+          .filter(pmod(Hashing.h28(
+            concat(lit("smp:"), col("doc_id").cast("string"))), lit(1000)) < rate)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE ${H.sqlH28("'smp:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+          CASE ${SampleRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")}
+          ELSE 0 END
+        ORDER BY doc_id""")),
+
+    // ---- intra-document repetition score ---------------------------------
+    // max bigram frequency / total bigrams — the standard cheap signal for
+    // degenerate generated/boilerplate text (a doc repeating one phrase
+    // scores → 1). Counting keeps DUPLICATE bigrams (unlike the dedup
+    // shingles, which are distinct sets). Single exact-integer division →
+    // bit-identical doubles cross-engine.
+    "q63_repetition_score" -> Q(
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)))).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum(col("cnt")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("top_cnt"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("top_cnt"),
+            (col("top_cnt").cast("double") / col("n_grams").cast("double")).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+        gr AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+               FROM w WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM gr GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+          CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination ---------------------------------------
+    // Which training docs share >= 3 selected 8-gram fingerprints
+    // (q30's 0-mod-16 h60 family — Broder-style selection, oracle-shared)
+    // with any benchmark doc (deterministic doc_id % 50 == 0 split). The
+    // real pre-training hygiene op: drop or flag train docs that leak eval
+    // text. Scale shape: fingerprinting is map-side; only 60-bit hashes
+    // shuffle; the benchmark side is small by construction → broadcast.
+    "q64_decontaminate" -> Q(
+      (s, dir) => {
+        val e = docs(s, dir)
+          .select(col("doc_id"), explode(TextAnalysis.fingerprints(col("text"))).as("fp"))
+        val bench = e.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("bench_id"), col("fp"))
+        val train = e.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+          .select(col("doc_id").as("train_id"), col("fp"))
+        train.join(broadcast(bench), Seq("fp"))
+          .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("train_id", "bench_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            list_distinct(list_filter(
+              [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+              h -> h % 16 = 0)) AS fps
+          FROM documents),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        b AS (SELECT doc_id AS bench_id, fp FROM e WHERE doc_id % 50 = 0),
+        t AS (SELECT doc_id AS train_id, fp FROM e WHERE doc_id % 50 <> 0)
+        SELECT t.train_id AS train_id, b.bench_id AS bench_id,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM t JOIN b USING (fp)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY train_id, bench_id""")),
 
     // ---- embedding near-dup pairs via SRP-LSH + cosine threshold ---------
     "q31_embed_neardups" -> Q(
