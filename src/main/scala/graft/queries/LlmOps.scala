@@ -603,6 +603,40 @@ object LlmOps {
           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio
         FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- sequence packing (training-batch construction) -------------------
+    // Assign each document its position in the stream of fixed-length
+    // (2048-token) training sequences: cumulative token count per SOURCE
+    // shard → (seq_id, seq_offset) where the document starts. Packing is
+    // PER SHARD deliberately — a single global cumulative sum would be a
+    // one-partition window (the q52 anti-pattern); per-source packing
+    // keeps the window partitioned and matches how shard-parallel
+    // tokenizer jobs actually pack. Pure integer arithmetic → hash-exact.
+    "q65_sequence_packing" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
+            expr("(cum_tok - n_tok) div 2048").as("seq_id"),
+            expr("(cum_tok - n_tok) % 2048").as("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+            len(regexp_extract_all(text, '\w+')) AS n_tok FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+          CAST(cum AS BIGINT) AS cum_tok,
+          CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+          CAST((cum - n_tok) % 2048 AS BIGINT) AS seq_offset
+        FROM c ORDER BY doc_id""")),
+
     // ---- benchmark decontamination ---------------------------------------
     // Which training docs share >= 3 selected 8-gram fingerprints
     // (q30's 0-mod-16 h60 family — Broder-style selection, oracle-shared)
