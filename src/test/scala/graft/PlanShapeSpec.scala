@@ -45,6 +45,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("q64 decontamination broadcasts the benchmark side") {
+    val plan = SparkEntry.queries("q64_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("q65 packing window is shard-partitioned, never a single partition") {
+    val plan = SparkEntry.queries("q65_sequence_packing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the cumulative-sum exchange must hash on source; SinglePartition
+    // would mean a global cumsum — the one-reducer anti-pattern
+    assert(plan.contains("hashpartitioning(source"),
+      s"packing window not partitioned by source:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"global single-partition step:\n$plan")
+  }
+
   test("dimension joins broadcast the small side (q03, q35, q36)") {
     // at 100 TB the fact side must never shuffle for a dimension lookup:
     // every dimension join plans as a BroadcastHashJoin, and no
