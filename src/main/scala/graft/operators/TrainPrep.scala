@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.{Hashing, TextAnalysis}
+
+/** Training-set preparation operators: the steps between "curated corpus"
+  * and "token stream on a trainer" — deterministic global shuffle, sliding
+  * token-window chunking, BM25 retrieval (data audit / hard-negative
+  * mining), and mixture resampling to a target domain balance.
+  *
+  * All four are oracle-mirrorable (md5-derived hashes, integer or
+  * fixed-order IEEE arithmetic) so the declared queries q66-q69 are
+  * hash-gated, not rows-only. Scale notes per op; none uses a
+  * single-partition window or a driver collect.
+  */
+object TrainPrep {
+
+  /** Deterministic global shuffle: every row gets its position in the
+    * md5-shuffled corpus order, plus a round-robin shard id.
+    *
+    * Training runs need a reproducible permutation of the corpus that is
+    * independent of file layout (`doc_id` order is crawl order — highly
+    * correlated with domain/time). Key = h60("shuf:" || id): stable under
+    * re-ingest, uncorrelated with any data column.
+    *
+    * Scale shape: rows are narrowed to (id, hkey) BEFORE the sort, so the
+    * range exchange moves 16-byte pairs, not documents (callers re-join
+    * payloads by id afterwards — at 100 TB that join is id-bucketed and
+    * exchange-free). Positions come from `orderBy` + `zipWithIndex`:
+    * range-partition + local sort + a count-only job + a narrow map — the
+    * same two-narrow-pass construction as [[graft.ingest.Ingest.withScalableKey]],
+    * never a one-partition `row_number()` window.
+    */
+  def shuffled(df: DataFrame, idCol: String, shards: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.select(
+      col(idCol),
+      Hashing.h60(concat(lit("shuf:"), col(idCol).cast("string"))).as("hkey"))
+    val sorted = keyed.orderBy(col("hkey"), col(idCol))
+    val schema = sorted.schema.add("pos", LongType, nullable = false)
+    val positioned = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    positioned.withColumn("shard", pmod(col("pos"), lit(shards.toLong)))
+  }
+
+  /** Sliding token-window chunking: split each document into windows of
+    * `chunk` tokens starting every `stride` tokens (overlap = chunk -
+    * stride), the standard shape for embedding/retrieval corpora where a
+    * context-window-sized unit is needed but sentence boundaries are not
+    * trusted. Trailing windows are short, never empty.
+    *
+    * Pure per-row map + explode — no shuffle at any scale; chunk count per
+    * doc is ceil(n_tok / stride), bounded by doc length.
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+             chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunk >= stride && stride > 0, s"need chunk >= stride > 0, got ($chunk, $stride)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(toks) - 1) DIV $stride AS BIGINT)"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * lit(stride.toLong)).as("start_tok"),
+        least(lit(chunk.toLong),
+          size(col("toks")).cast("long") - col("chunk_id") * lit(stride.toLong))
+          .as("n_tok"),
+        col("toks"))
+      .withColumn("chunk_text",
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_tok").cast("int")), " "))
+      .drop("toks")
+  }
+
+  /** BM25 document scores for a fixed bag of query terms (Robertson et
+    * al.; k1 = 1.2, b = 0.75) — the audit/retrieval primitive over a
+    * training corpus ("which documents dominate this probe query?") and
+    * the lexical half of hard-negative mining.
+    *
+    * idf is the log-free Robertson rational, idf = (N - df + 0.5) /
+    * (df + 0.5): like [[TfIdf]], we avoid `log` because libm
+    * implementations differ in the last ulp across engines; every
+    * operation here (+ - * /) is IEEE-correctly-rounded, so with the
+    * identical expression tree the oracle reproduces scores BIT-exactly.
+    * Term frequencies are computed per-row from the token array (`filter`
+    * size — map-only, no explode/shuffle); the only exchange is the
+    * single-row corpus-stats aggregate, broadcast back via crossJoin.
+    * Score is a fixed-order sum over the term list (no float-agg
+    * reordering).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.tokens(col(textCol))
+    def tfCol(t: String) =
+      size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$t")
+    val perDoc = df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol) +: size(col("toks")).cast("long").as("dl") +:
+        terms.map(tfCol): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+    // avgdl from exact integer sums; one division. Constants appear as
+    // the same decimal literals in the oracle SQL (2.2 = k1+1 precomputed
+    // so both engines parse the literal rather than re-deriving it).
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    }
+    val score = terms.map(termScore).reduce(_ + _)
+    joined
+      .withColumn("score", score)
+      .filter(col("score") > 0)
+      .select(col(idCol) +: col("dl") +: terms.map(t => col(s"tf_$t")) :+
+        col("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Mixture resampling to a uniform token budget per domain: compute each
+    * domain's token mass, set the target at total/n_domains, and keep each
+    * document with probability min(1, target/domain_tokens) — decided by a
+    * deterministic md5 draw, so the sample is reproducible and stable
+    * under corpus growth (a doc's keep/drop never flips because OTHER
+    * docs arrived, only because its domain's budget moved).
+    *
+    * Thresholds are integer ppm (parts-per-million): keep iff
+    * h60("mix:" || id) % 1e6 < ppm, where ppm = min(1e6, (target * 1e6)
+    * div domain_tokens) — integer arithmetic end-to-end, no float
+    * compare. Overflow bound: target * 1e6 < 2^63 requires total tokens
+    * < 9.2e12 * n_domains — holds at 100 TB (~2e13 tokens) for any
+    * realistic domain count >= 3; documented rather than guarded because
+    * the guard would need the same wide multiply.
+    *
+    * Scale shape: domain aggregate is tiny (|domains| rows) and broadcast
+    * back; the keep decision is map-side. One narrow shuffle (the
+    * aggregate), no windows.
+    */
+  def uniformMixture(df: DataFrame, idCol: String, domainCol: String,
+                     textCol: String): DataFrame = {
+    val perDoc = df.select(col(idCol), col(domainCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+    val dom = perDoc.groupBy(domainCol).agg(sum(col("n_tok")).as("dom_tok"))
+    val tot = dom.agg(sum(col("dom_tok")).as("total_tok"),
+      count(lit(1)).as("n_dom"))
+    val thr = dom.crossJoin(broadcast(tot)).select(col(domainCol),
+      least(lit(1000000L),
+        expr("(total_tok DIV n_dom) * 1000000 DIV dom_tok")).as("keep_ppm"))
+    perDoc.join(broadcast(thr), domainCol)
+      .filter(pmod(Hashing.h60(concat(lit("mix:"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("keep_ppm"))
+      .select(col(idCol), col(domainCol), col("n_tok"), col("keep_ppm"))
+  }
+}

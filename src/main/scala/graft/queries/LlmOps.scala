@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TrainPrep}
 import graft.queries.Relational.Q
 
 /** LLM-data-pipeline operators as declared queries: dedup (exact, MinHash
@@ -40,6 +40,9 @@ object LlmOps {
 
   // Shared DuckDB CTE fragments -----------------------------------------
   private val H = Hashing
+  /** Probe terms for the q68 BM25 query (shared Spark ↔ oracle). Declared
+    * before `defs` — the oracle-SQL interpolation captures it eagerly. */
+  private val Bm25Terms = Seq("vector", "stream", "merge")
   /** tokens + distinct word-bigram shingles per doc. */
   private val SqlGrams =
     """w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
@@ -860,7 +863,94 @@ object LlmOps {
           CAST(1 + CASE WHEN numeric_len < 128 THEN 1 WHEN numeric_len < 16384 THEN 2 WHEN numeric_len < 2097152 THEN 3 WHEN numeric_len < 268435456 THEN 4 ELSE 5 END + numeric_len
              + 1 + CASE WHEN class_len < 128 THEN 1 WHEN class_len < 16384 THEN 2 WHEN class_len < 2097152 THEN 3 WHEN class_len < 268435456 THEN 4 ELSE 5 END + class_len AS BIGINT) AS datum_len,
           CAST(82 AS BIGINT) AS b0
-        FROM c ORDER BY vec_id"""))
+        FROM c ORDER BY vec_id""")),
+
+    // ---- deterministic corpus shuffle ------------------------------------
+    // Reproducible training permutation: global position by md5-shuffle
+    // key + round-robin shard. Only (doc_id, hkey) pairs enter the range
+    // exchange (payloads re-join by id); positions via orderBy +
+    // zipWithIndex — two narrow passes, never a one-partition row_number
+    // window. See [[TrainPrep.shuffled]].
+    "q66_corpus_shuffle" -> Q(
+      (s, dir) => TrainPrep.shuffled(docs(s, dir), "doc_id", shards = 8)
+        .orderBy("pos"),
+      Some(s"""WITH h AS (SELECT doc_id,
+            ${H.sqlH60("'shuf:' || CAST(doc_id AS VARCHAR)")} AS hkey
+          FROM documents),
+        r AS (SELECT doc_id, hkey,
+            ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS pos FROM h)
+        SELECT doc_id, hkey, CAST(pos AS BIGINT) AS pos,
+          CAST(pos % 8 AS BIGINT) AS shard
+        FROM r ORDER BY pos""")),
+
+    // ---- sliding token-window chunking -----------------------------------
+    // Documents → overlapping 64-token windows every 48 tokens (the
+    // embedding/retrieval corpus unit). Map-only explode; no shuffle.
+    // See [[TrainPrep.chunks]].
+    "q67_doc_chunks" -> Q(
+      (s, dir) => TrainPrep.chunks(docs(s, dir), "doc_id", "text",
+        chunk = 64, stride = 48).orderBy("doc_id", "chunk_id"),
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+              FROM documents),
+        c AS (SELECT doc_id, toks, unnest(range((len(toks) - 1) // 48 + 1)) AS chunk_id
+              FROM w WHERE len(toks) > 0),
+        s AS (SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+                LEAST(64, len(toks) - chunk_id * 48) AS n_tok, toks
+              FROM c)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          CAST(start_tok AS BIGINT) AS start_tok, CAST(n_tok AS BIGINT) AS n_tok,
+          array_to_string(toks[start_tok + 1 : start_tok + n_tok], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_id""")),
+
+    // ---- BM25 retrieval over the corpus ----------------------------------
+    // Top-20 docs for a fixed probe-term bag; log-free Robertson idf so
+    // scores are BIT-identical cross-engine (see [[TrainPrep.bm25]] for
+    // the IEEE argument). tf per term is a map-side array filter — the
+    // only exchange is the single-row stats aggregate.
+    "q68_bm25_probe" -> Q(
+      (s, dir) => TrainPrep.bm25(docs(s, dir), "doc_id", "text",
+        Bm25Terms, topK = 20),
+      Some(s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+              FROM documents),
+        d AS (SELECT doc_id, len(toks) AS dl,
+                ${Bm25Terms.map(t => s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n                ")}
+              FROM w),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                ${Bm25Terms.map(t => s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n                ")}
+               FROM d),
+        sc AS (SELECT d.doc_id, d.dl,
+                ${Bm25Terms.map(t => s"d.tf_$t").mkString(", ")},
+                ${Bm25Terms.map(t =>
+                  s"""((CAST(st.n_docs AS DOUBLE) - CAST(st.df_$t AS DOUBLE) + 0.5) / (CAST(st.df_$t AS DOUBLE) + 0.5))
+                   * ((CAST(d.tf_$t AS DOUBLE) * 2.2) / (CAST(d.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))"""
+                ).mkString("\n                 + ")} AS score
+               FROM d CROSS JOIN st)
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+          ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+          score
+        FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ---- mixture resampling to a uniform language budget -----------------
+    // Deterministic md5-draw downsampling so every language carries the
+    // same token mass (en is ~3x over-represented in the fixture). Keep
+    // thresholds are integer ppm; the draw is per-doc stable under corpus
+    // growth. See [[TrainPrep.uniformMixture]].
+    "q69_lang_mixture" -> Q(
+      (s, dir) => TrainPrep.uniformMixture(docs(s, dir), "doc_id", "lang", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents),
+        dom AS (SELECT lang, SUM(n_tok) AS dom_tok FROM d GROUP BY lang),
+        tot AS (SELECT SUM(dom_tok) AS total_tok, COUNT(*) AS n_dom FROM dom),
+        thr AS (SELECT lang,
+            LEAST(1000000, (tot.total_tok // tot.n_dom) * 1000000 // dom.dom_tok) AS keep_ppm
+          FROM dom CROSS JOIN tot)
+        SELECT d.doc_id, d.lang, CAST(d.n_tok AS BIGINT) AS n_tok,
+          CAST(thr.keep_ppm AS BIGINT) AS keep_ppm
+        FROM d JOIN thr USING (lang)
+        WHERE ${H.sqlH60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr.keep_ppm
+        ORDER BY d.doc_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
