@@ -865,6 +865,32 @@ object Relational {
           embedding[1] AS first_val,
           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
           label
-        FROM embeddings ORDER BY vec_id"""))
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- click→purchase attribution (interval join) ---------------------
+    // Batch twin of the stream-stream within-watermark join
+    // [[graft.streaming.EventStreams.attributedPurchases]] — identical
+    // plan shape on batch input, so the oracle gate covers the join
+    // semantics the streaming spec can only sample. Timestamps leave as
+    // formatted strings per the module convention.
+    "q70_attribution" -> Q(
+      (s, dir) => {
+        val f = "yyyy-MM-dd HH:mm:ss"
+        graft.streaming.EventStreams.attributedPurchases(t(s, dir, "events"))
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            date_format(col("purchase_ts"), f).as("purchase_at"),
+            date_format(col("click_ts"), f).as("click_at"),
+            col("value"))
+          .orderBy("user_id", "purchase_id", "click_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+          STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+          STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+          p.value
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        ORDER BY p.user_id, purchase_id, click_id"""))
   )
 }

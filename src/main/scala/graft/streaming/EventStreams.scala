@@ -90,6 +90,35 @@ object EventStreams {
         })
   }
 
+  /** Click→purchase attribution: each purchase joined to the same user's
+    * clicks in the preceding hour — the stream-stream INTERVAL join
+    * (Spark's within-watermark join, SPARK-24730 semantics). On streams,
+    * both sides carry a 2 h watermark and the time-bound condition lets
+    * the state store evict clicks older than purchase-watermark − 1 h;
+    * without the interval bound the join would buffer both streams
+    * forever. On batch frames the same plan is q70's oracle-checked
+    * interval join.
+    *
+    * Scale: state is bounded by (watermark + interval) × click rate;
+    * the join keys on user_id so the exchange is the usual hash
+    * partition, skew-safe because per-user event rates are bounded. */
+  def attributedPurchases(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** File-source streaming ingest of events parquet into hourly counts —
     * the Structured-Streaming replacement of the reference's queue-driven
     * ingest (EP1). Caller starts/stops the returned query. */

@@ -6,6 +6,8 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class EvId(ts: Timestamp, event_type: String, user_id: Long,
+                event_id: Long, value: Double)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -112,5 +114,34 @@ class StreamingSpec extends SparkSpec {
     val out = EventStreams.hourlyCounts(batch)
       .selectExpr("event_type", "n").as[(String, Long)].collect().toSet
     assert(out == Set(("click", 2L), ("buy", 1L)))
+  }
+
+  test("attributedPurchases: stream-stream interval join, 1-hour lookback") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EvId]
+    val q = EventStreams.attributedPurchases(mem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      EvId(t(0), "click", 1, 100L, 0.0),    // 70 min before purchase -> outside
+      EvId(t(50), "click", 1, 101L, 0.0),   // 20 min before -> attributed
+      EvId(t(65), "click", 2, 102L, 0.0),   // other user -> no
+      EvId(t(80), "click", 1, 103L, 0.0),   // AFTER the purchase -> no
+      EvId(t(70), "purchase", 1, 200L, 9.5))
+    q.processAllAvailable() // inner joins emit without watermark advance
+    val rows = spark.sql("SELECT user_id, purchase_id, click_id, value FROM attrib")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 200L, 101L, 9.5)))
+  }
+
+  test("attributedPurchases batch twin produces the identical pairs (q70 shape)") {
+    val batch = Seq(
+      EvId(t(0), "click", 1, 100L, 0.0),
+      EvId(t(50), "click", 1, 101L, 0.0),
+      EvId(t(70), "purchase", 1, 200L, 9.5)).toDF()
+    val out = EventStreams.attributedPurchases(batch)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((200L, 101L)))
   }
 }
