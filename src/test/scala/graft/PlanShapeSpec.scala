@@ -61,6 +61,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global single-partition step:\n$plan")
   }
 
+  test("q67 chunking is map-only: no exchange anywhere in the plan") {
+    val plan = SparkEntry.queries("q67_doc_chunks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // explode + slice per row; the only allowed exchange is the final
+    // presentation orderBy's range partitioning
+    val body = plan.linesIterator.filterNot(_.contains("rangepartitioning")).mkString("\n")
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"chunking introduced a shuffle:\n$plan")
+  }
+
+  test("q68 BM25: corpus stats broadcast back, tf never explodes/shuffles") {
+    val plan = SparkEntry.queries("q68_bm25_probe")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // single-row stats frame joins via broadcast nested loop; per-term tf
+    // is an array filter in the scan projection, so no Generate (explode)
+    // and no SortMergeJoin may appear
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"BM25 planned a shuffle join:\n$plan")
+    assert(!plan.contains("Generate"), s"tf computed via explode, not array filter:\n$plan")
+  }
+
+  test("q69 mixture: per-domain thresholds broadcast to the keep filter") {
+    val plan = SparkEntry.queries("q69_lang_mixture")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"mixture join fell back to SMJ:\n$plan")
+  }
+
+  test("q70 attribution joins on the user key, never a cartesian scan") {
+    val plan = SparkEntry.queries("q70_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its equi-key:\n$plan")
+  }
+
   test("dimension joins broadcast the small side (q03, q35, q36)") {
     // at 100 TB the fact side must never shuffle for a dimension lookup:
     // every dimension join plans as a BroadcastHashJoin, and no
