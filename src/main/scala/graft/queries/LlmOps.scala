@@ -950,7 +950,58 @@ object LlmOps {
           CAST(thr.keep_ppm AS BIGINT) AS keep_ppm
         FROM d JOIN thr USING (lang)
         WHERE ${H.sqlH60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr.keep_ppm
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- heavy hitters: frequent terms via a native MG aggregate ---------
+    // One-pass fixed-memory frequent-terms via the Misra-Gries
+    // TypedImperativeAggregate ([[graft.expressions.HeavyHittersAgg]]):
+    // ≤ k counters per partial, partial/merge combine — never a full
+    // (term → count) shuffle. Declared at k = 256 >= the fixture
+    // vocabulary, where MG provably degenerates to EXACT counts under any
+    // merge order, so the exact-groupBy oracle is a real hash gate; the
+    // under-capacity approximate regime is property-tested in
+    // HeavyHittersSpec (merge-order-dependent — no cross-engine oracle
+    // can exist for it).
+    "q71_heavy_terms" -> Q(
+      (s, dir) => {
+        docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .agg(graft.expressions.HeavyHitters.heavyHitters(col("t"), 256).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.term").as("term"), col("e.count").as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+      },
+      Some("""WITH t AS (SELECT unnest(regexp_extract_all(text, '\w+')) AS term
+              FROM documents)
+        SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+        ORDER BY cnt DESC, term""")),
+
+    // ---- per-group deterministic reservoir sample ------------------------
+    // k = 5 spot-check docs per language, ranked by an md5 draw — the
+    // "show me a random sample of each domain" audit query. row_number +
+    // filter plans as WindowGroupLimit: each map task keeps only its local
+    // top-5 per group BEFORE the exchange, so the shuffle carries
+    // O(groups × k × tasks) rows regardless of corpus size.
+    "q72_group_sample" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val draw = H.h60(concat(lit("smp:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), draw.as("draw"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            ${H.sqlH60("'smp:' || CAST(doc_id AS VARCHAR)")} AS draw
+          FROM documents),
+        r AS (SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+          FROM d)
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+        WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
