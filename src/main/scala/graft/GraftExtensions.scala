@@ -69,5 +69,27 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<double>, array<double>) - ordered-fold dot product"),
       arity("graft_dot", "_FUNC_(array<double>, array<double>)", 2)(
-        exprs => DotProductExpr(exprs.head, exprs(1)))))
+        exprs => DotProductExpr(exprs.head, exprs(1)))),
+    (FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "_FUNC_(string, k) - Misra-Gries frequent-items aggregate, k counters"),
+      arity("graft_heavy_hitters", "_FUNC_(string, k)", 2)(exprs =>
+        HeavyHittersAgg(exprs.head, foldableInt(
+          "graft_heavy_hitters", "k", exprs(1))).toAggregateExpression())))
+
+  /** Aggregate capacity arguments must be literal ints — a column-valued
+    * k has no meaning for a fixed-size sketch. */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case l: Long if l == l.toInt => l.toInt
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+          messageParameters = Map("functionName" -> s"$fn ($arg=$other)"))
+      }
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+      messageParameters = Map("functionName" -> s"$fn (non-literal $arg)"))
+  }
 }

@@ -62,6 +62,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(extra.getMessage.contains("graft_simhash60"))
   }
 
+  test("graft_heavy_hitters aggregates from SQL; non-literal k is an analysis error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftBridge.registerInjectedFunctions(ext, spark)
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("hh_in")
+    val got = spark.sql(
+      "SELECT explode(graft_heavy_hitters(t, 8)) AS e FROM hh_in")
+      .selectExpr("e.term", "e.count").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+    val bad = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_heavy_hitters(t, length(t)) FROM hh_in").collect())
+    assert(bad.getMessage.contains("graft_heavy_hitters"))
+  }
+
   test("custom sketch expressions are callable from SQL") {
     graft.expressions.Sketches.registerSql(spark)
     val fp = spark.sql(
