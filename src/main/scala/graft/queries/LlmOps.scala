@@ -1001,7 +1001,55 @@ object LlmOps {
             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
           FROM d)
         SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
-        WHERE rk <= 5 ORDER BY lang, rk"""))
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---- length-curriculum buckets ---------------------------------------
+    // Global decile buckets over document token length — the curriculum /
+    // batch-homogenization assignment ("train short→long", or pack
+    // similar-length docs together to cut padding). Cutpoints are EXACT
+    // global deciles computed the q52 way: cumulative counts over
+    // DISTINCT length values (value-domain-bounded window above an
+    // aggregate — never a global row sort), cut_i = min v with cum >=
+    // ceil(i·N/10). The 9 cuts broadcast back and each doc's bucket is a
+    // fixed-order sum of (v > cut_i) flags — map-side, integer-exact.
+    // Ties share a bucket by construction (value-deterministic, unlike
+    // NTILE's arbitrary row splits).
+    "q73_length_curriculum" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        val w = Window.orderBy("n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = d.groupBy("n_tok").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+        val tot = d.agg(count(lit(1)).as("n"))
+        val cutCols = (1 to 9).map(i =>
+          min(when(col("cum") >= expr(s"($i * n + 9) DIV 10"), col("n_tok")))
+            .as(s"c$i"))
+        val cuts = cum.crossJoin(broadcast(tot))
+          .agg(cutCols.head, cutCols.tail: _*)
+        val bucket = (1 to 9).map(i =>
+          (col("n_tok") > col(s"c$i")).cast("long")).reduce(_ + _)
+        d.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("n_tok"), bucket.as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents),
+        vc AS (SELECT n_tok, COUNT(*) AS c FROM d GROUP BY n_tok),
+        cm AS (SELECT n_tok, SUM(c) OVER (ORDER BY n_tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM vc),
+        t AS (SELECT COUNT(*) AS n FROM d),
+        cuts AS (SELECT
+            ${(1 to 9).map(i =>
+              s"MIN(CASE WHEN cum >= ($i * n + 9) // 10 THEN n_tok END) AS c$i")
+              .mkString(",\n            ")}
+          FROM cm CROSS JOIN t)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          CAST(${(1 to 9).map(i => s"(CASE WHEN n_tok > c$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS BIGINT) AS bucket
+        FROM d CROSS JOIN cuts ORDER BY doc_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
