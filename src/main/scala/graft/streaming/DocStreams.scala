@@ -197,4 +197,60 @@ object DocStreams {
       .filter(col("est_jac") >= theta)
       .select(col("hid").as("a"), col("sid").as("b"), col("est_jac"))
   }
+
+  // ---- incremental index maintenance ------------------------------------
+
+  /** Append one micro-batch's sketch rows to a streamed index directory —
+    * IDEMPOTENT per batchId: each batch overwrites its OWN
+    * `batch=<id>` partition directory, so Structured Streaming's
+    * crash-replay of a batch (foreachBatch is at-least-once) rewrites the
+    * same files instead of appending duplicates. Exposed separately from
+    * [[maintainIndex]] so the replay property is directly testable. */
+  def appendBatchSketch(batch: DataFrame, batchId: Long, indexDir: String,
+                        idCol: String, textCol: String,
+                        ngram: Int = 2, k: Int = 32,
+                        tier: String = graft.operators.Dedup.Md5Tier): Unit =
+    graft.operators.Dedup.sketch(
+        batch.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, ngram, k, tier)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** Keep the near-dup sketch index CURRENT from the document stream
+    * itself: every micro-batch's sketches land in `indexDir` (see
+    * [[appendBatchSketch]] for the exactly-once construction), so the
+    * next batch — or a concurrent [[nearDupVsIndex]] query, which
+    * re-plans its static side per micro-batch — dedups against an index
+    * that includes everything already streamed. This closes the ingest
+    * loop the batch path starts with [[graft.operators.Dedup.ensureSketchIndex]]:
+    * bulk history is indexed once at ingest, the stream keeps it fresh,
+    * and no component ever re-tokenizes the corpus.
+    *
+    * Scale: per-batch work is the map-only sketch pass + one parquet
+    * write of batch size; nothing global. Restart duplicates nothing
+    * (checkpoint + per-batch overwrite). Compact the accumulated
+    * small batch files periodically with
+    * [[graft.catalog.Tables]]' sink utilities if batches are tiny. */
+  def maintainIndex(docs: DataFrame, indexDir: String, checkpointDir: String,
+                    idCol: String, textCol: String,
+                    ngram: Int = 2, k: Int = 32,
+                    tier: String = graft.operators.Dedup.Md5Tier)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatchSketch(batch, batchId, indexDir, idCol, textCol, ngram, k, tier)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** The streamed part of the index: every appended batch partition, or
+    * None before the first batch lands. Union with the bulk index for the
+    * complete history. */
+  def streamedSketch(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Some(spark.read.parquet(indexDir).select("id", "shingles", "sig"))
+    else None
+  }
 }

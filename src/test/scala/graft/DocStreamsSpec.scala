@@ -265,4 +265,41 @@ class DocStreamsSpec extends SparkSpec {
     q.stop()
     assert(pairs == Set((1L, 2L), (2L, 3L)))
   }
+
+  test("maintainIndex: stream keeps the sketch index fresh; batch replay never duplicates") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("streamidx").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("streamidx_ckpt").toString
+    assert(DocStreams.streamedSketch(spark, dir).isEmpty) // before any batch
+    val mem = MemoryStream[(Long, String)]
+    def start() = DocStreams.maintainIndex(
+      mem.toDF().toDF("doc_id", "text"), dir, ckpt, "doc_id", "text")
+    val q1 = start()
+    mem.addData((1L, base), (3L, unrelated))
+    q1.processAllAvailable()
+    mem.addData((2L, nearDup))
+    q1.processAllAvailable()
+    q1.stop()
+    def ids = DocStreams.streamedSketch(spark, dir).get
+      .select("id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+    // crash-replay: foreachBatch is at-least-once — re-running an already
+    // committed batchId must REWRITE its partition, not append to it
+    DocStreams.appendBatchSketch(
+      Seq((2L, nearDup)).toDF("doc_id", "text"), batchId = 1L, dir, "doc_id", "text")
+    assert(ids.sorted == Seq(1L, 2L, 3L), "replayed batch duplicated rows")
+    // restart from the same checkpoint: new data lands under NEW batch ids
+    val q2 = start()
+    mem.addData((4L, base + " extra tail tokens"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L))
+    // and the maintained index IS a valid nearDupVsIndex static side:
+    // a fresh arrival pairs with its streamed-in twin
+    val probe = DocStreams.nearDupVsIndex(
+      Seq((9L, base.replace("lazy", "bored"))).toDF("doc_id", "text"),
+      DocStreams.streamedSketch(spark, dir).get, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(probe.contains((1L, 9L)), s"streamed index not probe-able: $probe")
+  }
 }
