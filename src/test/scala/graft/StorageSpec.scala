@@ -70,6 +70,31 @@ class StorageSpec extends SparkSpec {
     assert(jsonBack == csvBack)
   }
 
+  test("compact folds small files into few, preserves rows, refuses partitioned roots") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t.parquet"
+    // 20 single-row appends — the streaming-sink small-file pathology
+    (1 to 20).foreach(i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.mode("append").parquet(dir))
+    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(files >= 20)
+    val nOut = graft.catalog.Tables.compact(spark, dir)
+    assert(nOut == 1L && files == 1, s"expected 1 compacted file, got $files")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(dir + ".compact.tmp").exists())
+    assert(!new java.io.File(dir + ".compact.old").exists())
+    // partitioned root: must refuse and leave everything intact
+    val pdir = java.nio.file.Files.createTempDirectory("cmpp").toString + "/p.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part").write.partitionBy("part").parquet(pdir)
+    val err = intercept[IllegalArgumentException](
+      graft.catalog.Tables.compact(spark, pdir))
+    assert(err.getMessage.contains("leaf"))
+    assert(spark.read.parquet(pdir).count() == 2)
+    // ... while a leaf partition itself compacts fine
+    graft.catalog.Tables.compact(spark, s"$pdir/part=a")
+    assert(spark.read.parquet(pdir).count() == 2)
+  }
+
   test("projection + predicate reach the parquet scan (pushdown, pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("push").toString
     (1 to 100).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
