@@ -70,6 +70,9 @@ object GraftExtensions {
       info("graft_dot", "_FUNC_(array<double>, array<double>) - ordered-fold dot product"),
       arity("graft_dot", "_FUNC_(array<double>, array<double>)", 2)(
         exprs => DotProductExpr(exprs.head, exprs(1)))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "_FUNC_(string) - Unicode NFC normalization"),
+      arity("graft_nfc", "_FUNC_(string)", 1)(exprs => NfcNormalizeExpr(exprs.head))),
     (FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
         "_FUNC_(string, k) - Misra-Gries frequent-items aggregate, k counters"),

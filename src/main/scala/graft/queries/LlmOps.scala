@@ -1049,7 +1049,36 @@ object LlmOps {
         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
           CAST(${(1 to 9).map(i => s"(CASE WHEN n_tok > c$i THEN 1 ELSE 0 END)")
             .mkString(" + ")} AS BIGINT) AS bucket
-        FROM d CROSS JOIN cuts ORDER BY doc_id"""))
+        FROM d CROSS JOIN cuts ORDER BY doc_id""")),
+
+    // ---- Unicode NFC normalization ---------------------------------------
+    // The preprocessing step that makes "é" (U+00E9) and "e"+U+0301 the
+    // SAME document to every downstream dedup/fingerprint op. The fixture
+    // is ASCII (already NFC), so the query plants decomposed sequences —
+    // combining acute and diaeresis — in every row and the oracle gate
+    // hash-compares the fully normalized STRINGS cross-engine (JVM
+    // java.text.Normalizer vs DuckDB nfc_normalize: same Unicode
+    // algorithm). Map-only custom expression, inline codegen,
+    // isNormalized fast path for the (overwhelmingly common) clean rows.
+    "q74_nfc_normalize" -> Q(
+      (s, dir) => {
+        val raw = concat(col("text"), lit(" café naïve"))
+        docs(s, dir)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            graft.expressions.NfcNormalizeExpr.nfc(col("raw")).as("norm"))
+          .select(col("doc_id"), col("n_raw"),
+            length(col("norm")).cast("long").as("n_nfc"), col("norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+            text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+          FROM documents)
+        SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+          CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+          nfc_normalize(raw) AS norm
+        FROM r ORDER BY doc_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */

@@ -173,4 +173,21 @@ object PropertySpec extends Properties("graft") {
       val out = graft.operators.Dedup.exactDedup(df, "doc_id", "text")
       out.agg(sum("n_copies")).as[Long].collect().head == texts.size
     }
+
+  // pieces mix precomposed, decomposed, bare combining marks, and ASCII —
+  // the codegen'd expression must agree with java.text.Normalizer and be
+  // idempotent on every composition
+  private val nfcPiece = Gen.oneOf(
+    "a", " ", "é", "ñ", "é", "̈x", "abc", "́")
+  property("NfcNormalizeExpr equals java.text.Normalizer and is idempotent") =
+    forAll(Gen.listOfN(6, nfcPiece)) { parts =>
+      val s = parts.mkString
+      val once = Seq(Tuple1(s)).toDF("t")
+        .select(graft.expressions.NfcNormalizeExpr.nfc(col("t")).as("n"))
+      val got = once.as[String].collect().head
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val twice = once.select(graft.expressions.NfcNormalizeExpr.nfc(col("n")))
+        .as[String].collect().head
+      got == want && twice == got
+    }
 }

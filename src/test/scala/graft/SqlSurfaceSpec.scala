@@ -66,6 +66,13 @@ class SqlSurfaceSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)
     org.apache.spark.sql.GraftBridge.registerInjectedFunctions(ext, spark)
+    // NFC from pure SQL: decomposed e+U+0301 composes to U+00E9. (The
+    // input arrives via a view — Spark's chr() is ASCII-mod-256, so it
+    // cannot build the combining mark inline the way DuckDB's chr can.)
+    Seq("é").toDF("s").createOrReplaceTempView("nfc_in")
+    val nfc = spark.sql("SELECT graft_nfc(s) AS n FROM nfc_in")
+      .as[String].collect().head
+    assert(nfc == "é" && nfc.length == 1)
     Seq("a", "a", "b").toDF("t").createOrReplaceTempView("hh_in")
     val got = spark.sql(
       "SELECT explode(graft_heavy_hitters(t, 8)) AS e FROM hh_in")
