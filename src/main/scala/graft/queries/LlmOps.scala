@@ -1078,7 +1078,53 @@ object LlmOps {
         SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
           nfc_normalize(raw) AS norm
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ---- embedding outlier audit -----------------------------------------
+    // Squared distance of every embedding to the corpus centroid — the
+    // drop-corrupt-vectors / drift-monitoring audit. Cross-engine
+    // determinism: components quantize to integers (floor(x·1e6), the SRP
+    // oracle trick), per-dimension sums are then EXACT under any
+    // aggregation order, and the per-row distance is an ordered fold of
+    // identically-shaped IEEE expressions — so doubles hash-match.
+    // Scale: the dim-sum aggregate shuffles dims × partials (partial
+    // aggregation does the heavy lifting map-side), the 64-long centroid
+    // broadcasts back, scoring is map-only.
+    "q75_embed_outliers" -> Q(
+      (s, dir) => {
+        val q = emb(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            transform(col("v"), x => floor(x * lit(1000000.0)).cast("long")).as("qv"))
+        val dims = q.select(posexplode(col("qv")).as(Seq("pos", "qd")))
+          .groupBy("pos").agg(sum(col("qd")).as("sm"), count(lit(1)).as("cnt"))
+        val meta = dims
+          .agg(sort_array(collect_list(struct(col("pos"), col("sm")))).as("ps"),
+            max(col("cnt")).as("n"))
+          .select(transform(col("ps"), p => p.getField("sm")).as("marr"), col("n"))
+        q.crossJoin(broadcast(meta))
+          .withColumn("dist2", aggregate(
+            zip_with(col("qv"), col("marr"), (qd, sd) => {
+              val d = (qd.cast("double") / lit(1000000.0)) -
+                ((sd.cast("double") / col("n").cast("double")) / lit(1000000.0))
+              d * d
+            }),
+            lit(0.0), (acc, v) => acc + v))
+          .select(col("vec_id"), col("dist2"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id, [CAST(FLOOR(x * 1000000.0) AS BIGINT) for x in v] AS qv FROM e),
+        d AS (SELECT i AS pos, SUM(qv[i]) AS sm, COUNT(*) AS cnt
+              FROM q CROSS JOIN range(1, $D1) r(i) GROUP BY i),
+        m AS (SELECT list(sm ORDER BY pos) AS marr, MAX(cnt) AS n FROM d),
+        sc AS (SELECT vec_id,
+            list_reduce([
+              ((CAST(qv[i] AS DOUBLE) / 1000000.0) - ((CAST(marr[i] AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0))
+              * ((CAST(qv[i] AS DOUBLE) / 1000000.0) - ((CAST(marr[i] AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0))
+              for i in range(1, $D1)], (a, b) -> a + b) AS dist2
+          FROM q CROSS JOIN m)
+        SELECT vec_id, dist2 FROM sc ORDER BY vec_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
