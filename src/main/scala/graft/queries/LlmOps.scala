@@ -43,6 +43,10 @@ object LlmOps {
   /** Probe terms for the q68 BM25 query (shared Spark ↔ oracle). Declared
     * before `defs` — the oracle-SQL interpolation captures it eagerly. */
   private val Bm25Terms = Seq("vector", "stream", "merge")
+  /** q76 stop-gram cap: fingerprints seen in more sources than this are
+    * boilerplate and excluded from the overlap join (oracle-mirrored).
+    * Declared before `defs` — captured eagerly by both sides. */
+  private val MaxFpSources = 10
   /** tokens + distinct word-bigram shingles per doc. */
   private val SqlGrams =
     """w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
@@ -1124,7 +1128,81 @@ object LlmOps {
               * ((CAST(qv[i] AS DOUBLE) / 1000000.0) - ((CAST(marr[i] AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0))
               for i in range(1, $D1)], (a, b) -> a + b) AS dist2
           FROM q CROSS JOIN m)
-        SELECT vec_id, dist2 FROM sc ORDER BY vec_id"""))
+        SELECT vec_id, dist2 FROM sc ORDER BY vec_id""")),
+
+    // ---- source-overlap matrix (corpus governance) -----------------------
+    // Which SOURCES share verbatim content: for every source pair, the
+    // number of distinct selected 8-gram fingerprints present in both —
+    // the provenance-coupling audit run before mixing crawls (a high overlap
+    // means double-counted content even if no single doc pair crosses the
+    // near-dup bar). Stop-gram discipline: fingerprints present in more
+    // than MaxFpSources sources are boilerplate (headers, licenses) and
+    // are dropped BEFORE the self-join — the same cap-the-bucket move as
+    // the LSH DefaultMaxBucket, mirrored in the oracle; without it one
+    // universal fingerprint makes the join quadratic in |sources|.
+    "q76_source_overlap" -> Q(
+      (s, dir) => {
+        val e = docs(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.fingerprints(col("text"))).as("fp"))
+          .distinct()
+        val ok = e.groupBy("fp").agg(count(lit(1)).as("nsrc"))
+          .filter(col("nsrc") <= MaxFpSources).select("fp")
+        val capped = e.join(ok, "fp")
+        capped.select(col("fp"), col("source").as("src_a"))
+          .join(capped.select(col("fp"), col("source").as("src_b")), "fp")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH f AS (SELECT DISTINCT source, fp FROM (
+            SELECT source, unnest(list_distinct(list_filter(
+              [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+              h -> h % 16 = 0))) AS fp
+            FROM documents)),
+        ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $MaxFpSources),
+        c AS (SELECT f.source, f.fp FROM f JOIN ok USING (fp))
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
+    // ---- hourly anomaly detection (z-score over event counts) ------------
+    // Hours whose event count sits >= 2.5σ from that event_type's mean —
+    // the pipeline-health monitor over the ingest stream. Exactness
+    // argument: per-type Σn and Σn² are integer sums, so the variance
+    // NUMERATOR nh·Σn² − (Σn)² is exact; mean, std (= sqrt(num)/nh) and z
+    // derive from it through mirrored IEEE trees → z hash-matches
+    // bit-for-bit. Stats are |event_type| rows broadcast back; only
+    // observed hours participate (a silent-feed hour is q55's gap-fill
+    // job, not a z-score).
+    "q77_hourly_anomaly" -> Q(
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy("event_type").agg(
+          count(lit(1)).as("nh"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        val mean = col("s1").cast("double") / col("nh").cast("double")
+        val std = sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double")) /
+          col("nh").cast("double")
+        hourly.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("n").cast("double") - mean) / std)
+          .filter(abs(col("z")) >= 2.5)
+          .select(col("hour"), col("event_type"), col("n"), col("z"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""WITH h AS (SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H') AS hour,
+            event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type, COUNT(*) AS nh, SUM(n) AS s1, SUM(n * n) AS s2
+               FROM h GROUP BY event_type),
+        z AS (SELECT h.hour, h.event_type, h.n,
+            (CAST(h.n AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.nh AS DOUBLE))
+              / (sqrt(CAST(st.nh * st.s2 - st.s1 * st.s1 AS DOUBLE)) / CAST(st.nh AS DOUBLE)) AS z
+          FROM h JOIN st USING (event_type))
+        SELECT hour, event_type, CAST(n AS BIGINT) AS n, z FROM z
+        WHERE abs(z) >= 2.5 ORDER BY hour, event_type"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
