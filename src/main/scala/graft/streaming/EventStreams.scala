@@ -102,7 +102,14 @@ object EventStreams {
     * Scale: state is bounded by (watermark + interval) × click rate;
     * the join keys on user_id so the exchange is the usual hash
     * partition, skew-safe because per-user event rates are bounded. */
-  def attributedPurchases(events: DataFrame): DataFrame = {
+  /** `joinType = "left_outer"` additionally emits UNATTRIBUTED purchases
+    * (null click columns) — but only once the watermark passes the end of
+    * each purchase's join window, because until then a matching click may
+    * still arrive. Inner rows emit immediately; outer rows are
+    * watermark-gated. That asymmetry is the stream-stream outer-join
+    * contract (not a bug), and the spec pins it. */
+  def attributedPurchases(events: DataFrame,
+                          joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -114,7 +121,8 @@ object EventStreams {
     purchases.join(clicks,
       col("c_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -135,6 +135,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 200L, 101L, 9.5)))
   }
 
+  test("left_outer attribution: unattributed purchases emit only after the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EvId]
+    val q = EventStreams.attributedPurchases(mem.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_lo")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(EvId(t(0), "purchase", 1, 200L, 9.5)) // no click anywhere near
+    q.processAllAvailable()
+    // a matching click could still arrive inside the watermark: no output yet
+    assert(spark.sql("SELECT * FROM attrib_lo").count() == 0)
+    // push BOTH sides' watermarks far past the purchase's join window (the
+    // global watermark is the min across inputs, so each filtered side
+    // needs a late event), then one more batch to run state eviction
+    mem.addData(EvId(t(60 * 8), "click", 2, 300L, 0.0),
+      EvId(t(60 * 8), "purchase", 2, 301L, 1.0))
+    q.processAllAvailable()
+    mem.addData(EvId(t(60 * 9), "purchase", 2, 302L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT purchase_id, click_id FROM attrib_lo")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(rows.contains((200L, None: Option[Long])),
+      s"unattributed purchase not emitted with null click: $rows")
+  }
+
   test("attributedPurchases batch twin produces the identical pairs (q70 shape)") {
     val batch = Seq(
       EvId(t(0), "click", 1, 100L, 0.0),
