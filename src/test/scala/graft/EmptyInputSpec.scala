@@ -66,4 +66,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.batchDropPairs(emptySketch, None).count() == 0)
     assert(Dedup.batchDropPairs(emptySketch, Some(emptySketch)).count() == 0)
   }
+
+  test("train-prep operators on an empty corpus") {
+    import graft.operators.TrainPrep
+    val noLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TrainPrep.shuffled(noDocs, "doc_id").count() == 0)
+    assert(TrainPrep.chunks(noDocs, "doc_id", "text").count() == 0)
+    // empty corpus: avgdl is 0/0 = NaN, every score is NaN, NaN > 0 is
+    // false -> empty result, no crash
+    assert(TrainPrep.bm25(noDocs, "doc_id", "text", Seq("x")).count() == 0)
+    assert(TrainPrep.uniformMixture(noLang, "doc_id", "lang", "text").count() == 0)
+  }
 }

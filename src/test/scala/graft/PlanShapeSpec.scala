@@ -98,6 +98,17 @@ class PlanShapeSpec extends SparkSpec {
       s"interval join lost its equi-key:\n$plan")
   }
 
+  test("q71 heavy hitters: partial MG sketches combine map-side (ObjectHashAggregate)") {
+    val plan = SparkEntry.queries("q71_heavy_terms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate below the exchange, final above: the
+    // shuffle carries <= k counters per partition, never the token stream
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"MG aggregate not partial+final:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"TypedImperativeAggregate fell back to SortAggregate:\n$plan")
+  }
+
   test("dimension joins broadcast the small side (q03, q35, q36)") {
     // at 100 TB the fact side must never shuffle for a dimension lookup:
     // every dimension join plans as a BroadcastHashJoin, and no

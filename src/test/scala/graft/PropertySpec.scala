@@ -174,6 +174,24 @@ object PropertySpec extends Properties("graft") {
       out.agg(sum("n_copies")).as[Long].collect().head == texts.size
     }
 
+  property("chunks tile the token stream: stride-aligned starts, exact reconstruction") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 6), Gen.choose(0, 5)) { (nTok, stride, over) =>
+      val chunk = stride + over
+      val text = (0 until nTok).map(i => s"w$i").mkString(" ")
+      val df = Seq((7L, text)).toDF("doc_id", "text")
+      val rows = graft.operators.TrainPrep
+        .chunks(df, "doc_id", "text", chunk = chunk, stride = stride)
+        .select("chunk_id", "start_tok", "n_tok", "chunk_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      val startsOk = rows.map(_._2).toSeq == rows.indices.map(_.toLong * stride)
+      val coverOk = rows.map(r => r._2 until (r._2 + r._3))
+        .foldLeft(Set.empty[Long])(_ ++ _) == (0L until nTok.toLong).toSet
+      val textOk = rows.forall { case (_, start, n, ct) =>
+        ct == (start until start + n).map(i => s"w$i").mkString(" ")
+      }
+      startsOk && coverOk && textOk
+    }
+
   // pieces mix precomposed, decomposed, bare combining marks, and ASCII —
   // the codegen'd expression must agree with java.text.Normalizer and be
   // idempotent on every composition
