@@ -1202,7 +1202,53 @@ object LlmOps {
               / (sqrt(CAST(st.nh * st.s2 - st.s1 * st.s1 AS DOUBLE)) / CAST(st.nh AS DOUBLE)) AS z
           FROM h JOIN st USING (event_type))
         SELECT hour, event_type, CAST(n AS BIGINT) AS n, z FROM z
-        WHERE abs(z) >= 2.5 ORDER BY hour, event_type"""))
+        WHERE abs(z) >= 2.5 ORDER BY hour, event_type""")),
+
+    // ---- recursive CTE: duplicate-chain reachability ---------------------
+    // Spark 4's WITH RECURSIVE on the declared surface: for every doc,
+    // how much of its duplicate CHAIN lies downstream (a~b, b~c ⇒ c is
+    // a's transitive near-copy even when a≁c directly). Edges are q42's
+    // simhash pairs oriented a < b — a DAG, so UNION ALL recursion
+    // terminates at chain depth (Spark supports only UNION ALL in rCTEs;
+    // cyclic closures must use q43's star contraction — that stays the
+    // production path, and the aggregates here are COUNT(DISTINCT)/
+    // MIN/MAX, which path multiplicity cannot skew). Both engines run
+    // the IDENTICAL recursive SQL text over their pair sets.
+    "q78_dup_reach" -> Q(
+      (s, dir) => {
+        Dedup.simhashPairs(
+            Dedup.simhash(docs(s, dir), "doc_id", "text"), maxHam = 5, nBands = 6)
+          .select(col("a"), col("b"))
+          .createOrReplaceTempView("graft_q78_dup_edges")
+        s.sql("""
+          WITH RECURSIVE reach(src, dst) AS (
+            SELECT a, b FROM graft_q78_dup_edges
+            UNION ALL
+            SELECT r.src, e.b FROM reach r JOIN graft_q78_dup_edges e ON r.dst = e.a)
+          SELECT src, COUNT(DISTINCT dst) AS n_reach, MAX(dst) AS far_dst
+          FROM reach GROUP BY src ORDER BY src""")
+      },
+      Some(s"""WITH RECURSIVE $SqlGrams,
+        t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        h AS (SELECT doc_id, ${H.sqlH60("gram")} AS h FROM t),
+        b AS (SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS wgt
+              FROM h CROSS JOIN range(60) r(j)),
+        sb AS (SELECT doc_id, j, SUM(wgt) AS sw FROM b GROUP BY doc_id, j),
+        fp AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN sw >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sb GROUP BY doc_id),
+        bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS bkey
+               FROM fp CROSS JOIN range(6) rb(band)),
+        pr AS (SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+               FROM bd ba JOIN bd bb
+               ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+               WHERE bit_count(xor(ba.simhash, bb.simhash)) <= 5),
+        reach(src, dst) AS (
+          SELECT a, b FROM pr
+          UNION ALL
+          SELECT r.src, e.b FROM reach r JOIN pr e ON r.dst = e.a)
+        SELECT src, COUNT(DISTINCT dst) AS n_reach, MAX(dst) AS far_dst
+        FROM reach GROUP BY src ORDER BY src"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
