@@ -1248,7 +1248,38 @@ object LlmOps {
           UNION ALL
           SELECT r.src, e.b FROM reach r JOIN pr e ON r.dst = e.a)
         SELECT src, COUNT(DISTINCT dst) AS n_reach, MAX(dst) AS far_dst
-        FROM reach GROUP BY src ORDER BY src"""))
+        FROM reach GROUP BY src ORDER BY src""")),
+
+    // ---- grouped heavy hitters: frequent terms per language --------------
+    // One MG sketch PER GROUP (HeavyHittersAgg under groupBy): the
+    // "per-domain vocabulary drift" audit. Same exact-regime argument as
+    // q71 (k = 256 >= any group's vocabulary ⇒ exact counts), so the
+    // per-group exact-groupBy oracle hash-gates it; each group's sketch
+    // still combines map-side, so the shuffle carries |langs| × k
+    // counters per partition, never tokens. Top-5 per group via
+    // row_number → WindowGroupLimit (the q72 shape) keeps output stable.
+    "q79_heavy_terms_by_lang" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+        docs(s, dir)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+          .groupBy("lang")
+          .agg(graft.expressions.HeavyHitters.heavyHitters(col("t"), 256).as("hh"))
+          .select(col("lang"), explode(col("hh")).as("e"))
+          .select(col("lang"), col("e.term").as("term"), col("e.count").as("cnt"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH t AS (SELECT lang, unnest(regexp_extract_all(text, '\w+')) AS term
+              FROM documents),
+        c AS (SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY lang, term),
+        r AS (SELECT lang, term, cnt,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+          FROM c)
+        SELECT lang, term, cnt, CAST(rk AS BIGINT) AS rk FROM r
+        WHERE rk <= 5 ORDER BY lang, rk"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
