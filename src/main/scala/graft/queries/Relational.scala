@@ -891,6 +891,76 @@ object Relational {
           ON c.user_id = p.user_id
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-        ORDER BY p.user_id, purchase_id, click_id"""))
+        ORDER BY p.user_id, purchase_id, click_id""")),
+
+    // ---- retention cohorts ----------------------------------------------
+    // Users bucketed by first-event week; for each (cohort, week offset),
+    // how many are still active — the standard retention triangle. Pure
+    // date/integer arithmetic (week starts are Monday in both engines,
+    // datediff of DATEs is exact), so the matrix hash-matches. Two
+    // aggregates shuffling on user_id, then a distinct count per
+    // (cohort, offset) — partial aggregation carries (cohort, offset,
+    // user) triples, bounded by active users per week.
+    "q80_retention_cohorts" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+        val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+        ev.distinct().join(cohort, "user_id")
+          .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+            (datediff(col("week"), col("cohort_week")) / lit(7)).cast("long")
+              .as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH w AS (SELECT DISTINCT user_id,
+            CAST(DATE_TRUNC('week', ts) AS DATE) AS week FROM events),
+        c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+        SELECT STRFTIME(c.cohort_week, '%Y-%m-%d') AS cohort,
+          CAST(DATE_DIFF('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+          COUNT(DISTINCT w.user_id) AS n_users
+        FROM w JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, week_offset""")),
+
+    // ---- ordered event funnel -------------------------------------------
+    // signup → click → purchase completed IN ORDER per user: stage k's
+    // timestamp is the earliest qualifying event at or after stage k-1's.
+    // (A user who purchased before ever clicking does not count as a
+    // purchase-stage completion — that ordering is what plain per-type
+    // counts get wrong.) Cascaded conditional mins: each stage is one
+    // user-keyed aggregate joined forward; counts are exact integers.
+    "q81_event_funnel" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("ts") >= col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("ts") >= col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        s1.agg(lit(1L).as("stage_ord"), lit("signup").as("stage"),
+            count(lit(1)).as("n_users"))
+          .unionByName(s2.agg(lit(2L).as("stage_ord"), lit("click").as("stage"),
+            count(lit(1)).as("n_users")))
+          .unionByName(s3.agg(lit(3L).as("stage_ord"), lit("purchase").as("stage"),
+            count(lit(1)).as("n_users")))
+          .orderBy("stage_ord")
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+        SELECT CAST(1 AS BIGINT) AS stage_ord, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
+        ORDER BY stage_ord"""))
   )
 }
