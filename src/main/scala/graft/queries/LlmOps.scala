@@ -1142,10 +1142,15 @@ object LlmOps {
     // universal fingerprint makes the join quadratic in |sources|.
     "q76_source_overlap" -> Q(
       (s, dir) => {
+        // persisted: the fingerprint explode feeds the cap count AND both
+        // self-join sides — without this it recomputes 3x (no
+        // ReusedExchange across the differing projections); left to the
+        // LRU like minhashNearDups' shingle table
         val e = docs(s, dir)
           .select(col("source"),
             explode(TextAnalysis.fingerprints(col("text"))).as("fp"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ok = e.groupBy("fp").agg(count(lit(1)).as("nsrc"))
           .filter(col("nsrc") <= MaxFpSources).select("fp")
         val capped = e.join(ok, "fp")
