@@ -961,6 +961,57 @@ object Relational {
         SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3
-        ORDER BY stage_ord"""))
+        ORDER BY stage_ord""")),
+
+    // ---- SCD2 validity intervals ----------------------------------------
+    // Slowly-changing-dimension snapshot: each user's event stream becomes
+    // [effective_from, effective_to) rows via lead() over a TOTAL order
+    // (ts then event_id — ties would otherwise make the intervals
+    // nondeterministic); the current row gets a null effective_to. The
+    // window partitions on user_id, so the sort is per-user, never global.
+    "q82_scd2_intervals" -> Q(
+      (s, dir) => {
+        val f = "yyyy-MM-dd HH:mm:ss"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") <= 20)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("eff_from", date_format(col("ts"), f))
+          .withColumn("eff_to", date_format(lead(col("ts"), 1).over(w), f))
+          .withColumn("is_current", lead(col("ts"), 1).over(w).isNull)
+          .select("user_id", "event_id", "event_type", "eff_from", "eff_to", "is_current")
+          .orderBy("user_id", "eff_from", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS eff_from,
+          STRFTIME(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            '%Y-%m-%d %H:%M:%S') AS eff_to,
+          LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        FROM events WHERE user_id <= 20
+        ORDER BY user_id, eff_from, event_id""")),
+
+    // ---- event-transition matrix ----------------------------------------
+    // Markov transition counts over each user's event path: lag() pairs
+    // consecutive event types (total order ts, event_id), then one count
+    // per (prev, next). The per-user window shuffles on user_id; the
+    // transition aggregate carries |types|² groups.
+    "q83_event_transitions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH p AS (SELECT user_id, event_type,
+            LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM p WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY prev_type, next_type"""))
   )
 }
