@@ -1284,7 +1284,60 @@ object LlmOps {
             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
           FROM c)
         SELECT lang, term, cnt, CAST(rk AS BIGINT) AS rk FROM r
-        WHERE rk <= 5 ORDER BY lang, rk"""))
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ---- per-source dedup-rate report ------------------------------------
+    // The governance dashboard row: per source, document count, distinct
+    // content count (md5 of raw text — the q21 identity), and the dup
+    // rate as ONE division of exact integers (bit-identical). Partial
+    // aggregation ships (source, hash) pairs, never text.
+    "q84_source_dedup_rate" -> Q(
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("source"), md5(col("text")).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_unique"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            (lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+              .as("dup_rate"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          COUNT(DISTINCT MD5(text)) AS n_unique,
+          1.0 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS dup_rate
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- ingest-volume trend (least-squares slope) -----------------------
+    // Events-per-day trend: OLS slope over (day index, daily count) with
+    // the textbook closed form n·Σxy − Σx·Σy over n·Σx² − (Σx)². Both
+    // numerator and denominator are EXACT integer sums (day indexes and
+    // counts are ints), so the slope is one exact-integer division —
+    // bit-identical cross-engine. The capacity-planning primitive ("how
+    // fast is this feed growing?") with no approximation story needed.
+    "q85_volume_trend" -> Q(
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(datediff(col("day"), to_date(lit("2024-01-01"))).cast("long").as("x"),
+            col("y"))
+        daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope_per_day"))
+      },
+      Some("""WITH d AS (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+            COUNT(*) AS y FROM events GROUP BY 1),
+        x AS (SELECT DATE_DIFF('day', DATE '2024-01-01', day) AS x, y FROM d),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM x)
+        SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            AS slope_per_day
+        FROM s"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
