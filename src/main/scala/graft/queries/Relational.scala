@@ -1012,6 +1012,28 @@ object Relational {
           FROM events)
         SELECT prev_type, event_type AS next_type, COUNT(*) AS n
         FROM p WHERE prev_type IS NOT NULL
-        GROUP BY 1, 2 ORDER BY prev_type, next_type"""))
+        GROUP BY 1, 2 ORDER BY prev_type, next_type""")),
+
+    // ---- orders-per-customer distribution (TPC-H Q13 shape) --------------
+    // The histogram query: LEFT join so zero-order customers land in the
+    // c_count = 0 bucket (an inner join silently drops them — the classic
+    // Q13 trap), then a second aggregate over the distribution. Both
+    // aggregates are partial+final; the join shuffles on custkey unless
+    // the bucketed layout is attached.
+    "q86_order_distribution" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH cc AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+        SELECT c_count, COUNT(*) AS custdist FROM cc
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
   )
 }
