@@ -1034,6 +1034,30 @@ object Relational {
           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
           GROUP BY c.c_custkey)
         SELECT c_count, COUNT(*) AS custdist FROM cc
-        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- salted hot-key aggregation (skew surface) ----------------------
+    // operators.Skew on the ORACLE-GATED surface: the two-phase salted
+    // aggregate must produce byte-identical results to the plain GROUP BY
+    // the oracle runs — salting is a physical-plan move, invisible to
+    // semantics. That only holds for algebraic aggregates over EXACT
+    // types, so the measure is integer cents (floor(value·100): floor is
+    // integral, so DuckDB's round-on-cast and Spark's truncate-on-cast
+    // agree); a double SUM would be order-sensitive and unprovable. Five
+    // event types over 32 cores is precisely the shape where the unsalted
+    // plan leaves most reducers idle.
+    "q87_salted_hot_agg" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long"))
+        graft.operators.Skew.saltedSumCount(ev, Seq("event_type"), "cents",
+            saltFrom = col("event_id"), salts = 16)
+          .select(col("event_type"), col("sum_cents"), col("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+          SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

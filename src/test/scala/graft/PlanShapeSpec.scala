@@ -109,6 +109,15 @@ class PlanShapeSpec extends SparkSpec {
       s"TypedImperativeAggregate fell back to SortAggregate:\n$plan")
   }
 
+  test("q87 salted aggregate: phase-1 exchange spreads each key over salts") {
+    val plan = SparkEntry.queries("q87_salted_hot_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the first exchange must partition on (event_type, _salt) — that is
+    // the whole point: a hot key fans out over `salts` reducers
+    assert(plan.contains("hashpartitioning(event_type") && plan.contains("_salt"),
+      s"salt missing from the phase-1 exchange:\n$plan")
+  }
+
   test("dimension joins broadcast the small side (q03, q35, q36)") {
     // at 100 TB the fact side must never shuffle for a dimension lookup:
     // every dimension join plans as a BroadcastHashJoin, and no
