@@ -1058,6 +1058,32 @@ object Relational {
       Some("""SELECT event_type,
           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
           COUNT(*) AS n
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- week-over-week growth ------------------------------------------
+    // Period-over-period reporting: weekly event counts with the previous
+    // week's count and the growth ratio. lag() runs over the WEEKLY
+    // aggregate (|weeks| rows — the window input is post-aggregation,
+    // never raw events, so the unpartitioned sort is bounded by the
+    // calendar, same acceptance as q52/q73). Ratio = one division of
+    // exact integers; first week yields nulls.
+    "q88_wow_growth" -> Q(
+      (s, dir) => {
+        val w = Window.orderBy("week")
+        t(s, dir, "events")
+          .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+            col("n"), col("prev_n"),
+            (col("n").cast("double") / col("prev_n").cast("double")).as("growth"))
+          .orderBy("week")
+      },
+      Some("""WITH wk AS (SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+            COUNT(*) AS n FROM events GROUP BY 1),
+        l AS (SELECT week, n, LAG(n, 1) OVER (ORDER BY week) AS prev_n FROM wk)
+        SELECT STRFTIME(week, '%Y-%m-%d') AS week, n, prev_n,
+          CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS growth
+        FROM l ORDER BY week"""))
   )
 }
