@@ -109,6 +109,33 @@ class PlanShapeSpec extends SparkSpec {
       s"TypedImperativeAggregate fell back to SortAggregate:\n$plan")
   }
 
+  test("q73/q88: unpartitioned windows sit above aggregates, never raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    for (q <- Seq("q73_length_curriculum", "q88_wow_growth")) {
+      def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => false
+        case _: LeafNode => true
+        case other => other.children.exists(reachesLeafWithoutAggregate)
+      }
+      val windows = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.collect { case w: Window => w }
+      assert(windows.nonEmpty, s"$q: expected a window")
+      windows.foreach { w =>
+        assert(!reachesLeafWithoutAggregate(w.child),
+          s"$q: window consumes un-aggregated base rows:\n${w.treeString}")
+      }
+    }
+  }
+
+  test("q82/q83 windows partition on user_id, never a single partition") {
+    for (q <- Seq("q82_scd2_intervals", "q83_event_transitions")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(user_id"),
+        s"$q: per-user window not partitioned:\n$plan")
+    }
+  }
+
   test("q87 salted aggregate: phase-1 exchange spreads each key over salts") {
     val plan = SparkEntry.queries("q87_salted_hot_agg")(spark, dir)
       .queryExecution.executedPlan.toString
