@@ -1337,7 +1337,72 @@ object LlmOps {
             SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM x)
         SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
             AS slope_per_day
-        FROM s"""))
+        FROM s""")),
+
+    // ---- hash-based train/val/test split ---------------------------------
+    // Deterministic 90/5/5 split keyed on the shared md5 family
+    // (h28("spl:" || doc_id) % 1000): map-only, reproducible on any
+    // engine, and STABLE under corpus growth — adding documents never
+    // moves an existing one across splits (the property random-number
+    // splits lack). Per-(split, lang) doc and char totals are exact
+    // integers; partials ship six counter rows per task.
+    "q93_train_split" -> Q(
+      (s, dir) => {
+        val b = pmod(Hashing.h28(
+          concat(lit("spl:"), col("doc_id").cast("string"))), lit(1000))
+        docs(s, dir)
+          .withColumn("split",
+            when(b < 900, "train").when(b < 950, "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH a AS (SELECT lang, n_chars,
+            CASE WHEN ${H.sqlH28("'spl:' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+                   THEN 'train'
+                 WHEN ${H.sqlH28("'spl:' || CAST(doc_id AS VARCHAR)")} % 1000 < 950
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM a GROUP BY split, lang ORDER BY split, lang""")),
+
+    // ---- lexical diversity profile ---------------------------------------
+    // Per-document type/token structure from the shared \w+ tokenizer:
+    // token count, vocabulary size, Simpson concentration numerator
+    // Σ tf² (the collision-probability mass a near-dup sketch sees), and
+    // hapax count (terms occurring once — the classic OOV-pressure
+    // signal). All exact integers; the Simpson ratio is one division of
+    // exact longs → bit-identical. Shuffle carries (doc_id, token)
+    // partial counts — standard word-count shape, fully map-combined.
+    "q94_lexical_diversity" -> Q(
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        docs(s, dir)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(
+            sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("cnt") * col("cnt")).as("simpson_num"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            col("simpson_num"), col("hapax"),
+            (col("simpson_num").cast("double") /
+              (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '\w+')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(cnt * cnt) AS BIGINT) AS simpson_num,
+          CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          CAST(SUM(cnt * cnt) AS DOUBLE) / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
+            AS simpson
+        FROM tf GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */

@@ -1084,6 +1084,123 @@ object Relational {
         l AS (SELECT week, n, LAG(n, 1) OVER (ORDER BY week) AS prev_n FROM wk)
         SELECT STRFTIME(week, '%Y-%m-%d') AS week, n, prev_n,
           CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS growth
-        FROM l ORDER BY week"""))
+        FROM l ORDER BY week""")),
+
+    // ---- correlated scalar subquery (TPC-H Q17 shape) -------------------
+    // "Revenue lost to small orders": lineitems of one brand whose
+    // quantity is below 20% of that part's average quantity. The oracle
+    // writes the textbook correlated scalar subquery; the Spark side IS
+    // the decorrelated plan — with one scale refinement the automatic
+    // rewrite misses (the q58 lesson): the per-part average input is
+    // pre-joined to the brand's parts FIRST, so neither lineitem scan
+    // aggregates the ~99% of rows the brand filter discards. The avg is
+    // exact cross-engine: quantities are integer-valued doubles, so every
+    // partial sum is an exact integer in IEEE double regardless of order,
+    // and sum/count is one deterministic division.
+    "q89_small_qty_revenue" -> Q(
+      (s, dir) => {
+        val brandParts = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#4").select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+        val avgQ = li.groupBy("l_partkey")
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(avgQ, "l_partkey")
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(Det.moneySum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_items"))
+          .select(col("sum_price"), col("n_items"),
+            (col("sum_price") / 7.0).as("avg_yearly"))
+      },
+      Some(s"""SELECT ${Det.sqlMoneySum("l_extendedprice")} AS sum_price,
+          COUNT(*) AS n_items,
+          ${Det.sqlMoneySum("l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // ---- scalar subquery + anti join (TPC-H Q22 shape) ------------------
+    // Dormant wealthy customers by market segment: above-average balance
+    // (global scalar aggregate — a broadcast single row, never a shuffle)
+    // and no order since mid-2000. The anti join's build side is
+    // PRE-FILTERED to recent orders before the join — at scale the date
+    // predicate discards most of the fact table before any shuffle. The
+    // threshold is the Det decimal-exact average, so the double
+    // comparison is bit-identical cross-engine. (Every fixture customer
+    // has SOME order, so a plain "no orders" NOT EXISTS would gate on an
+    // empty result — the recency predicate keeps the gate non-trivial.)
+    "q90_inactive_rich_customers" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg(Det.moneyAvg(col("c_acctbal")).as("avg_bal"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+          .select("o_custkey")
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            Det.moneySum(col("c_acctbal")).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+          ${Det.sqlMoneySum("c_acctbal")} AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT ${Det.sqlMoneyAvg("c_acctbal")}
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- ordered string aggregation (LISTAGG surface) -------------------
+    // Per-region roster of nation names. collect_list is
+    // partition-order-nondeterministic by contract, so the result is
+    // array_sort-ed before joining — the ONLY way a list aggregate can sit
+    // on a hash-gated surface. Group sizes are dimension-bounded (nations
+    // per region), so the collected list never approaches row-count scale.
+    "q91_nation_roster" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations,
+          STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- exact per-group mode (count-first shape) -----------------------
+    // Most frequent quantity per return flag with a deterministic
+    // tie-break (smallest value). The window ranks the (flag, value)
+    // COUNTS — post-aggregation rows bounded by the value domain — never
+    // raw lineitem (the q52 discipline). Quantities are integer-valued,
+    // so the long cast agrees between Spark (truncate) and DuckDB (round).
+    "q92_mode_quantity" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cnt").desc, col("qty").asc)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("qty").as("mode_qty"), col("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+            COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_returnflag, qty, cnt,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY cnt DESC, qty ASC) AS rn FROM c)
+        SELECT l_returnflag, qty AS mode_qty, cnt FROM r
+        WHERE rn = 1 ORDER BY l_returnflag"""))
   )
 }
