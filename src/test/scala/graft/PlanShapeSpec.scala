@@ -155,4 +155,50 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"), s"$q: dimension join fell back to SMJ:\n$plan")
     }
   }
+
+  test("q89 brand filter prunes the part scan and every aggregate sits above a join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q89_small_qty_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val partScans = plan.linesIterator
+      .filter(l => l.contains("part.parquet") && l.contains("FileScan")).toList
+    assert(partScans.nonEmpty && partScans.forall(_.contains("EqualTo(p_brand,Brand#4)")),
+      s"brand filter not pushed to part scan:\n$plan")
+    // the decorrelation refinement: the per-part average aggregates the
+    // brand JOIN's output, never a bare lineitem scan — so every Aggregate
+    // in the optimized plan must have a Join somewhere beneath it
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "expected the per-part average aggregate")
+    aggs.foreach { a =>
+      assert(a.child.collect { case j: Join => j }.nonEmpty,
+        s"aggregate runs over an un-pruned input:\n${a.treeString}")
+    }
+  }
+
+  test("q90 anti join: recency predicate reaches the orders scan") {
+    val plan = SparkEntry.queries("q90_inactive_rich_customers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val ordersScan = plan.linesIterator
+      .find(l => l.contains("orders.parquet") && l.contains("FileScan"))
+      .getOrElse(fail(s"no orders scan in plan:\n$plan"))
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"recency filter not pushed into the anti join's build input:\n$ordersScan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$plan")
+  }
+
+  test("q92 mode window ranks counts, never raw lineitem rows") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
+    def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(reachesLeafWithoutAggregate)
+    }
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.nonEmpty, "expected the ranking window")
+    windows.foreach { w =>
+      assert(!reachesLeafWithoutAggregate(w.child),
+        s"window consumes un-aggregated base rows:\n${w.treeString}")
+    }
+  }
 }
