@@ -1201,6 +1201,40 @@ object Relational {
             ROW_NUMBER() OVER (PARTITION BY l_returnflag
               ORDER BY cnt DESC, qty ASC) AS rn FROM c)
         SELECT l_returnflag, qty AS mode_qty, cnt FROM r
-        WHERE rn = 1 ORDER BY l_returnflag"""))
+        WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // ---- unpivot / melt (q39's inverse) ---------------------------------
+    // Wide→long reshaping: the four lineitem measures aggregate to ONE row
+    // per return flag (Det decimal-exact), then melt to (flag, measure,
+    // total) via Spark's native unpivot. The expensive step is the
+    // aggregation; the melt itself is a map-only expression over the
+    // 3-row aggregate — reshaping never touches un-aggregated data. The
+    // oracle mirrors with a UNION ALL over the same aggregated CTE.
+    "q95_unpivot_measures" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Det.moneySum(col("l_quantity")).as("qty"),
+            Det.moneySum(col("l_extendedprice")).as("price"),
+            Det.moneySum(col("l_discount")).as("discount"),
+            Det.moneySum(col("l_tax")).as("tax"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("discount"), col("tax")),
+            "measure", "total")
+          .orderBy("l_returnflag", "measure")
+      },
+      Some(s"""WITH a AS (SELECT l_returnflag,
+            ${Det.sqlMoneySum("l_quantity")} AS qty,
+            ${Det.sqlMoneySum("l_extendedprice")} AS price,
+            ${Det.sqlMoneySum("l_discount")} AS discount,
+            ${Det.sqlMoneySum("l_tax")} AS tax
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, measure, total FROM (
+          SELECT l_returnflag, 'qty' AS measure, qty AS total FROM a
+          UNION ALL SELECT l_returnflag, 'price', price FROM a
+          UNION ALL SELECT l_returnflag, 'discount', discount FROM a
+          UNION ALL SELECT l_returnflag, 'tax', tax FROM a)
+        ORDER BY l_returnflag, measure"""))
   )
 }
