@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.{Rollup, Tables}
+
+/** Incremental rollup maintenance: fold-of-partials == full recompute,
+  * per-batch idempotence, isolation of other batches' files, compaction,
+  * and the folded-id double-count guard. */
+class RollupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val groupCols = Seq("day", "event_type")
+  private val counterCols = Seq("n", "cents")
+  private def counters = Seq(
+    "n" -> count(lit(1)),
+    "cents" -> sum(floor(col("value") * 100).cast("long")))
+
+  private def events = Tables.load(spark, dir, "events")
+    .withColumn("day", date_trunc("day", col("ts")).cast("date").cast("string"))
+
+  private def fullRecompute = events
+    .groupBy("day", "event_type")
+    .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("cents"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("day", "event_type").collect().toSeq
+
+  private def freshPath() =
+    java.nio.file.Files.createTempDirectory("rollup").toString + "/daily"
+
+  private def monthBatches = {
+    val m = events.withColumn("m",
+      date_trunc("week", col("ts")).cast("date").cast("string"))
+    val weeks = m.select("m").distinct().collect().map(_.getString(0)).sorted
+    weeks.map(mm => mm -> m.filter(col("m") === mm).drop("m"))
+  }
+
+  test("fold of per-batch partials equals the full recompute") {
+    val path = freshPath()
+    val batches = monthBatches
+    assert(batches.length >= 2, "fixture should span multiple months")
+    batches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, counters)
+    }
+    assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == canon(fullRecompute))
+  }
+
+  test("re-running a batch overwrites its own partition — never double-counts") {
+    val path = freshPath()
+    val batches = monthBatches
+    batches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, counters)
+    }
+    val before = canon(Rollup.read(spark, path, groupCols, counterCols))
+    // crash-retry: the same batch applied again
+    val (rid, rb) = batches.last
+    Rollup.appendBatch(spark, rb, path, rid, groupCols, counters)
+    assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == before)
+  }
+
+  test("appending one batch leaves other batches' files untouched") {
+    val path = freshPath()
+    val batches = monthBatches
+    Rollup.appendBatch(spark, batches.head._2, path, batches.head._1, groupCols, counters)
+    val firstPart = java.nio.file.Paths.get(path, s"batch_id=${batches.head._1}")
+    import scala.jdk.CollectionConverters._
+    def snapshot = java.nio.file.Files.walk(firstPart).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      .toMap
+    val before = snapshot
+    Rollup.appendBatch(spark, batches.last._2, path, batches.last._1, groupCols, counters)
+    assert(snapshot == before, "history partition files were rewritten")
+  }
+
+  test("compact folds batches into _base; reads unchanged; folded ids refused") {
+    val path = freshPath()
+    val batches = monthBatches
+    batches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, counters)
+    }
+    val before = canon(Rollup.read(spark, path, groupCols, counterCols))
+    Rollup.compact(spark, path, groupCols, counterCols)
+    assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == before)
+    val parts = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(parts == Seq("batch_id=_base"), s"expected single base partition, got $parts")
+    // a folded batch id can no longer be re-applied (it would double-count)
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.appendBatch(spark, batches.head._2, path, batches.head._1, groupCols, counters)
+    }
+    assert(ex.getMessage.contains("folded"))
+    // but genuinely new batches still append and fold correctly
+    Rollup.appendBatch(spark, batches.head._2.limit(0), path, "post-compact",
+      groupCols, counters)
+    assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == before)
+  }
+
+  test("reserved and underscore batch ids are rejected") {
+    val path = freshPath()
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.appendBatch(spark, events, path, "_base", groupCols, counters)
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+}
