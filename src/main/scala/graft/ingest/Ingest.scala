@@ -60,6 +60,55 @@ object Ingest {
           .select(explode(col(k)).as("_rec")).select(col("_rec.*"))
     }
 
+  /** A robust scan split into parsed rows and quarantined raw lines.
+    * `good`/`bad` share ONE cached parse of the input (Spark refuses a
+    * query whose required columns are only the internal corrupt-record
+    * column, and the cache makes the split one parse pass, not two);
+    * call [[QuarantinedScan.release]] after the sinks are written. */
+  final case class QuarantinedScan(good: DataFrame, bad: DataFrame,
+                                   private val parsed: DataFrame) {
+    def release(): Unit = parsed.unpersist()
+  }
+
+  private def quarantine(df: DataFrame, corrupt: String): QuarantinedScan = {
+    val cached = df.cache()
+    QuarantinedScan(
+      cached.filter(col(corrupt).isNull).drop(corrupt),
+      cached.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw")),
+      cached)
+  }
+
+  /** Line-delimited JSON scan with malformed-record quarantine — the
+    * robust bulk-ingest path. The reference json.load()s a whole document
+    * and dies on the first bad byte (`serialize.py:124-141`); at 100 TB a
+    * feed WILL contain torn lines and schema drift, and one bad record
+    * must cost one quarantined row, not the job. `good` = rows parsed
+    * against `schema`; `bad` = the raw text of every line that failed,
+    * ready for a quarantine sink. */
+  def readJsonlRobust(spark: SparkSession, path: String, schema: StructType)
+      : QuarantinedScan = {
+    val corrupt = "_graft_corrupt"
+    quarantine(spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path), corrupt)
+  }
+
+  /** CSV scan with malformed-record quarantine (robust variant of
+    * [[readCsv]]; same contract as [[readJsonlRobust]]). `schema` is
+    * explicit — at scale the schema is a contract, not an inference. */
+  def readCsvRobust(spark: SparkSession, path: String, schema: StructType)
+      : QuarantinedScan = {
+    val corrupt = "_graft_corrupt"
+    quarantine(spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .csv(path), corrupt)
+  }
+
   // ---- P1: label pop ------------------------------------------------------
   /** Split a keyed table into (inputs, labels) on the label column
     * (`serialize.py:146-154`). Both sides keep the key; alignment is by

@@ -118,6 +118,30 @@ class IngestSpec extends SparkSpec {
     assert(dense(3L) == Seq.fill(6)(0f))
   }
 
+  test("robust JSONL/CSV scans quarantine malformed lines, never fail the job") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("robust")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    java.nio.file.Files.write(dir.resolve("feed.jsonl"), java.util.List.of(
+      """{"id": 1, "name": "a"}""",
+      """{"id": 2, "name": "b"""", // torn line
+      """{"id": 3, "name": "c"}""",
+      """not json at all"""))
+    val js = Ingest.readJsonlRobust(spark, dir.resolve("feed.jsonl").toString, schema)
+    assert(js.good.count() == 2 && js.good.columns.toSeq == Seq("id", "name"))
+    assert(js.bad.count() == 2)
+    assert(js.bad.collect().map(_.getString(0)).exists(_.contains("not json at all")))
+    js.release()
+
+    java.nio.file.Files.write(dir.resolve("feed.csv"), java.util.List.of(
+      "id,name", "1,a", "oops,b,extra,cols", "3,c"))
+    val cs = Ingest.readCsvRobust(spark, dir.resolve("feed.csv").toString, schema)
+    assert(cs.good.count() == 2)
+    assert(cs.bad.count() == 1 && cs.bad.collect().head.getString(0).startsWith("oops"))
+    cs.release()
+  }
+
   test("batch export: remainder dropped, shapes from schema, epochs (D1-D3)") {
     val df = (1L to 23L).map(k => (k, Array.fill(4)(k.toFloat), k % 2))
       .toDF("key", "features", "label")
