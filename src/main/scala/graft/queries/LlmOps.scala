@@ -1402,7 +1402,48 @@ object LlmOps {
           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
           CAST(SUM(cnt * cnt) AS DOUBLE) / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
             AS simpson
-        FROM tf GROUP BY doc_id ORDER BY doc_id"""))
+        FROM tf GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- vocabulary drift monitor ----------------------------------------
+    // Distribution shift between two sources: per-term frequency in
+    // integer parts-per-million (cnt·10⁶ div total — floor division on
+    // longs, identical in both engines), top-20 terms by absolute ppm
+    // delta with the term as tie-break. The production "did this feed
+    // change under me?" probe with NO floating point anywhere: KL/χ²
+    // variants sum per-term doubles (order-sensitive, unprovable
+    // cross-engine); the integer-ppm delta ranks the same offenders and
+    // hash-gates. Counts partial-aggregate map-side; the top-k plans as
+    // TakeOrderedAndProject, never a global sort.
+    "q96_vocab_drift" -> Q(
+      (s, dir) => {
+        val cnt = docs(s, dir)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val tot = cnt.groupBy("source").agg(sum(col("cnt")).as("tot"))
+        cnt.join(broadcast(tot), "source")
+          .withColumn("ppm", expr("(cnt * CAST(1000000 AS BIGINT)) div tot"))
+          .groupBy("tok")
+          .agg(
+            coalesce(max(when(col("source") === "src0", col("ppm"))), lit(0L)).as("ppm_a"),
+            coalesce(max(when(col("source") === "src1", col("ppm"))), lit(0L)).as("ppm_b"))
+          .withColumn("drift", abs(col("ppm_a") - col("ppm_b")))
+          .orderBy(col("drift").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT source, unnest(regexp_extract_all(text, '\w+')) AS tok
+            FROM documents WHERE source IN ('src0', 'src1')),
+        c AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY 1),
+        p AS (SELECT c.tok, c.source, (c.cnt * 1000000) // t.tot AS ppm
+            FROM c JOIN t USING (source)),
+        w AS (SELECT tok,
+            COALESCE(MAX(CASE WHEN source = 'src0' THEN ppm END), 0) AS ppm_a,
+            COALESCE(MAX(CASE WHEN source = 'src1' THEN ppm END), 0) AS ppm_b
+          FROM p GROUP BY tok)
+        SELECT tok, CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
+          CAST(ABS(ppm_a - ppm_b) AS BIGINT) AS drift
+        FROM w ORDER BY drift DESC, tok LIMIT 20"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
