@@ -133,4 +133,34 @@ object EventStreams {
   def fileStreamHourly(spark: org.apache.spark.sql.SparkSession, inDir: String,
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     hourlyCounts(spark.readStream.schema(schema).parquet(inDir))
+
+  /** Keep a [[graft.catalog.Rollup]] current from the event stream:
+    * exactly-once aggregate maintenance with NO stateful operator.
+    *
+    * Each micro-batch appends its per-group partials as the rollup
+    * partition `batch_id=epoch<id>`. Structured Streaming's contract is
+    * that a replayed epoch (restart after a crash between sink write and
+    * checkpoint commit) re-delivers the SAME batch under the SAME id —
+    * and `Rollup.appendBatch` dynamic-overwrites that id's partition, so
+    * the replay lands on top of itself instead of double-counting. That
+    * turns foreachBatch's at-least-once into exactly-once, the same
+    * construction as [[DocStreams.appendBatchSketch]] — but here the
+    * idempotence carries AGGREGATED values, which is only sound because
+    * each partition holds exactly one batch's partials (re-aggregation is
+    * confined to the replayed partition; RollupStreamSpec gates replay).
+    *
+    * Scale: per-batch work is one map-side partial aggregate of the batch
+    * plus a |groups|-row parquet write; no global state, no watermark, no
+    * state store. Unbounded batch counts fold away via `Rollup.compact`. */
+  def maintainRollup(events: DataFrame, path: String, checkpointDir: String,
+                     groupCols: Seq[String],
+                     counters: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.catalog.Rollup.appendBatch(
+          batch.sparkSession, batch.toDF(), path, s"epoch$batchId", groupCols, counters)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
