@@ -95,6 +95,20 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(pdir).count() == 2)
   }
 
+  test("schema evolution: mergeSchema unifies widened ingest batches") {
+    // a 100 TB feed's schema drifts; old batches must stay readable next
+    // to widened ones — new columns read as null for history, no rewrite
+    val root = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$root/batch1")
+    Seq((3L, "c", 0.9)).toDF("id", "name", "score")
+      .write.parquet(s"$root/batch2")
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/batch1", s"$root/batch2")
+    assert(df.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(df.count() == 3 && df.filter(col("score").isNull).count() == 2)
+  }
+
   test("projection + predicate reach the parquet scan (pushdown, pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("push").toString
     (1 to 100).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
