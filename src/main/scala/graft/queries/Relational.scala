@@ -1235,6 +1235,34 @@ object Relational {
           UNION ALL SELECT l_returnflag, 'price', price FROM a
           UNION ALL SELECT l_returnflag, 'discount', discount FROM a
           UNION ALL SELECT l_returnflag, 'tax', tax FROM a)
-        ORDER BY l_returnflag, measure"""))
+        ORDER BY l_returnflag, measure""")),
+
+    // ---- latest state per key (CDC current-state read) ------------------
+    // "Dedupe to latest": each user's most recent event — the standard
+    // upsert-read over an append-only change stream (q82 builds the full
+    // SCD2 history; this materializes just the head). The window
+    // partitions on user_id (high-cardinality — shuffle by key, no global
+    // sort) and Spark plans the rank-1 filter as WindowGroupLimit: each
+    // map task keeps one row per user BEFORE the exchange, so the shuffle
+    // carries |users| rows, not |events|. Ties on ts break by event_id —
+    // without it equal-timestamp rows make the result engine-dependent.
+    "q97_latest_per_user" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_id, event_type, ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id, event_type,
+          STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        FROM r WHERE rn = 1 ORDER BY user_id"""))
   )
 }

@@ -186,6 +186,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$plan")
   }
 
+  test("q97 latest-per-user plans as WindowGroupLimit on a user_id exchange") {
+    val plan = SparkEntry.queries("q97_latest_per_user")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // rank-1 filter must push a per-task group limit below the exchange —
+    // the shuffle then carries |users| rows, not |events|
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 filter not planned as WindowGroupLimit:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user_id:\n$plan")
+  }
+
   test("q92 mode window ranks counts, never raw lineitem rows") {
     import org.apache.spark.sql.catalyst.plans.logical._
     val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
