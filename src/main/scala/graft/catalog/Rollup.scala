@@ -99,10 +99,28 @@ object Rollup {
     * fact table. */
   def read(spark: SparkSession, path: String,
            groupCols: Seq[String], counterCols: Seq[String]): DataFrame =
+    readAgg(spark, path, groupCols, counterCols.map(_ -> "sum"))
+
+  /** [[read]] with an explicit fold per counter: "sum" for additive
+    * counters, "min"/"max" for watermark-style ones (first/last event
+    * time, smallest id seen). Any fold here must be what makes the
+    * counter's partials mergeable — min-of-mins and max-of-maxes are,
+    * which is why those three are the whole vocabulary (an avg partial
+    * is NOT mergeable by avg; store sum and count and divide on read). */
+  def readAgg(spark: SparkSession, path: String, groupCols: Seq[String],
+              folds: Seq[(String, String)]): DataFrame = {
+    def fold(c: String, how: String) = how match {
+      case "sum" => sum(col(c)).as(c)
+      case "min" => min(col(c)).as(c)
+      case "max" => max(col(c)).as(c)
+      case other => throw new IllegalArgumentException(
+        s"unknown fold '$other' for counter '$c' (sum|min|max)")
+    }
     spark.read.parquet(path)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col(counterCols.head)).as(counterCols.head),
-        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .agg(fold(folds.head._1, folds.head._2),
+        folds.tail.map { case (c, h) => fold(c, h) }: _*)
+  }
 
   /** Fold every batch partition into one `batch_id=_base` partition and
     * record the folded ids in the ledger. Staged-then-swap like

@@ -96,6 +96,30 @@ class RollupSpec extends SparkSpec {
     assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == before)
   }
 
+  test("readAgg folds min/max watermark counters across batches") {
+    val path = freshPath()
+    val wmCounters = Seq(
+      "n" -> count(lit(1)),
+      "first_cents" -> min(floor(col("value") * 100).cast("long")),
+      "last_cents" -> max(floor(col("value") * 100).cast("long")))
+    monthBatches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, wmCounters)
+    }
+    val folds = Seq("n" -> "sum", "first_cents" -> "min", "last_cents" -> "max")
+    val got = Rollup.readAgg(spark, path, groupCols, folds)
+      .orderBy("day", "event_type").collect().toSeq
+    val want = events.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        min(floor(col("value") * 100).cast("long")).as("first_cents"),
+        max(floor(col("value") * 100).cast("long")).as("last_cents"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(got == want)
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.readAgg(spark, path, groupCols, Seq("n" -> "avg")).collect()
+    }
+    assert(ex.getMessage.contains("unknown fold"))
+  }
+
   test("reserved and underscore batch ids are rejected") {
     val path = freshPath()
     val ex = intercept[IllegalArgumentException] {
