@@ -1263,6 +1263,31 @@ object Relational {
           FROM events)
         SELECT user_id, event_id, event_type,
           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
-        FROM r WHERE rn = 1 ORDER BY user_id"""))
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---- hopping (sliding) windows --------------------------------------
+    // 1-hour windows every 15 minutes — the smoothed-rate view tumbling
+    // windows (q17) can't give. Spark's window(slide) plans an Expand
+    // (each event replicated into its hour/slide = 4 windows) BELOW the
+    // partial aggregate, so the shuffle carries (window, count) partials —
+    // at 100 TB the fan-out costs 4× map-side rows, never 4× exchange.
+    // Both engines are epoch-aligned: the oracle derives the same 4
+    // window starts from integer µs arithmetic (floor-div slides), so
+    // alignment cannot drift. Counts exact; starts formatted.
+    "q98_hopping_counts" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("n"))
+          .orderBy("w_start")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        w AS (SELECT (us // 900000000 - k) * 900000000 AS start_us
+              FROM e CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k))
+        SELECT STRFTIME(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS w_start,
+          COUNT(*) AS n
+        FROM w GROUP BY 1 ORDER BY 1"""))
   )
 }
