@@ -35,6 +35,19 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping 1-hour windows sliding every 15 minutes — the streaming twin
+    * of q98. Each event lands in hour/slide = 4 open windows (Spark plans
+    * the replication as an Expand below the stateful aggregate); state
+    * holds 4× the window keys of the tumbling case and evicts on the same
+    * watermark. The smoothed-rate view: a spike shows up within 15 min
+    * instead of at the top of the hour. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
   /** Session windows with a 30-minute inactivity gap per user — the
     * streaming twin of q18's lag/gap sessionization. */
   def sessions(events: DataFrame): DataFrame =

@@ -32,6 +32,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("buy", 1L, 5.0)))
   }
 
+  test("slidingCounts: one event lands in four hopping windows (q98 twin)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode(OutputMode.Append).start()
+    mem.addData(Ev(t(30), "click", 1, 1.0)) // 00:30 → windows starting 23:45..00:30
+    q.processAllAvailable()
+    mem.addData(Ev(t(60 * 5), "click", 2, 1.0)) // advance the watermark
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT w_start, n FROM sliding")
+      .as[(java.sql.Timestamp, Long)].collect()
+    q.stop()
+    val forFirst = rows.filter(_._2 == 1L)
+    assert(forFirst.length == 4, s"expected 4 hopping windows, got ${rows.toSeq}")
+    val starts = forFirst.map(_._1.getTime).sorted
+    assert(starts.sliding(2).forall { case Array(a, b) => b - a == 15 * 60 * 1000 },
+      s"window starts not 15 min apart: ${starts.toSeq}")
+  }
+
   test("sessions: 30-minute gap splits user activity into session windows") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
