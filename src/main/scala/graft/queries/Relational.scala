@@ -1288,6 +1288,30 @@ object Relational {
               FROM e CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k))
         SELECT STRFTIME(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS w_start,
           COUNT(*) AS n
-        FROM w GROUP BY 1 ORDER BY 1"""))
+        FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // ---- relative-rank windows (percent_rank / cume_dist) ---------------
+    // Where a quantity value sits within its return flag's distribution.
+    // Same count-first discipline as q92/q52: the windows rank the
+    // (flag, value) AGGREGATE — |flags|·|values| rows — never raw
+    // lineitem. percent_rank = (rank-1)/(n-1) and cume_dist = k/n are
+    // single divisions of small exact integers → bit-identical doubles.
+    "q99_value_distribution" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("qty")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("l_returnflag"), col("qty"), col("cnt"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("l_returnflag", "qty")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+            COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, qty, cnt,
+          PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY qty) AS pct_rank,
+          CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY qty) AS cume
+        FROM c ORDER BY l_returnflag, qty"""))
   )
 }
