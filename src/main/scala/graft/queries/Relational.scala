@@ -1312,6 +1312,32 @@ object Relational {
         SELECT l_returnflag, qty, cnt,
           PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY qty) AS pct_rank,
           CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY qty) AS cume
-        FROM c ORDER BY l_returnflag, qty"""))
+        FROM c ORDER BY l_returnflag, qty""")),
+
+    // ---- GROUPING() disambiguation on rollup subtotals ------------------
+    // q09's rollup can't tell "NULL because subtotal" from "NULL because
+    // the data was NULL" — GROUPING() can, and is the only correct way to
+    // label subtotal levels in a report. lvl 0 = detail, 1 = per-flag
+    // subtotal, 3 = grand total (bit per rolled-up column). Same Expand +
+    // partial-aggregate shape as any rollup: one exchange of partials.
+    "q100_rollup_grouping" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("lvl"), count(lit(1)).as("n"),
+            Det.moneySum(col("l_extendedprice")).as("total"))
+          .select(
+            coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+            coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+            col("lvl"), col("n"), col("total"))
+          .orderBy("lvl", "flag", "status")
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, '<all>') AS flag,
+          COALESCE(l_linestatus, '<all>') AS status,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+          COUNT(*) AS n,
+          ${Det.sqlMoneySum("l_extendedprice")} AS total
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY lvl, flag, status"""))
   )
 }
