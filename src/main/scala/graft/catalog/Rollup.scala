@@ -84,13 +84,13 @@ object Rollup {
       .agg(counters.head._2.as(counters.head._1),
         counters.tail.map { case (n, c) => c.as(n) }: _*)
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try partials.write.mode("overwrite").partitionBy("batch_id").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, NOT a session-conf mutation: two concurrent
+    // appendBatch callers (e.g. foreachBatch of two maintainRollup streams
+    // in one SparkSession) must not race each other back to static mode —
+    // a static-mode partitioned overwrite would delete EVERY batch partition
+    partials.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(path)
   }
 
   /** The current rollup: all batch partials folded by SUM. Equal to
@@ -124,16 +124,42 @@ object Rollup {
 
   /** Fold every batch partition into one `batch_id=_base` partition and
     * record the folded ids in the ledger. Staged-then-swap like
-    * [[Tables.compact]]: a crash leaves either the old multi-batch layout
-    * or the complete compacted one, never a partial mix. */
+    * [[Tables.compact]]: a crash mid-swap leaves the data intact at
+    * `<path>.compact.old` (recovery = rename it back, or just call
+    * compact again — it probes for and restores a stranded `.old` first);
+    * concurrent READERS during the swap can hit a transient
+    * path-not-found and must retry.
+    *
+    * Streaming interaction (see [[graft.streaming.EventStreams.maintainRollup]]):
+    * only compact while the maintaining stream's last epoch is
+    * known-committed (query stopped cleanly, or checkpoint inspected).
+    * If a stream dies between sink write and checkpoint commit and
+    * compact folds that batch, the replayed epoch hits [[appendBatch]]'s
+    * folded-id guard and fails loudly (never double-counts); recovery is
+    * removing that id from the `_graft_folded` ledger after confirming
+    * the folded base already includes the batch's rows. */
   def compact(spark: SparkSession, path: String,
-              groupCols: Seq[String], counterCols: Seq[String]): Unit = {
+              groupCols: Seq[String], counterCols: Seq[String]): Unit =
+    compactAgg(spark, path, groupCols, counterCols.map(_ -> "sum"))
+
+  /** [[compact]] with an explicit fold per counter — REQUIRED when the
+    * rollup carries non-additive counters (min/max watermarks read via
+    * [[readAgg]]): folding those with SUM would permanently corrupt the
+    * base partition. Pass the same `folds` the readers use. */
+  def compactAgg(spark: SparkSession, path: String,
+                 groupCols: Seq[String], folds: Seq[(String, String)]): Unit = {
     val f = fs(spark, path)
     val live = new Path(path)
+    val stranded = new Path(path + ".compact.old")
+    if (!f.exists(live) && f.exists(stranded)) {
+      // crashed between rename(live→old) and rename(tmp→live): restore
+      if (!f.rename(stranded, live))
+        throw new java.io.IOException(s"rollup compact: cannot restore stranded $stranded")
+    }
     require(f.exists(live), s"no rollup at $path")
     val ids = f.listStatus(live).map(_.getPath.getName)
       .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=")).toSet
-    val folded = read(spark, path, groupCols, counterCols)
+    val folded = readAgg(spark, path, groupCols, folds)
       .withColumn("batch_id", lit("_base"))
     val tmp = new Path(path + ".compact.tmp")
     val old = new Path(path + ".compact.old")

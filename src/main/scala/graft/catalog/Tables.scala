@@ -266,13 +266,23 @@ object Tables {
     * staged-then-swap: write to `<dir>.compact.tmp`, move the original to
     * `<dir>.compact.old`, move tmp in place, drop old — a crash leaves
     * either the original or a complete compacted copy plus leftovers to
-    * sweep, never a partial directory under the live name. Readers racing
-    * the swap see one of the two complete versions (same rows). Returns
-    * the output file count. */
+    * sweep, never a partial directory under the live name. NOTE the swap
+    * is two renames, not atomic: between them the live path does not
+    * exist, so run compaction without concurrent readers (or make readers
+    * retry path-not-found); a crash in that window strands the data at
+    * `<dir>.compact.old` — recovery is renaming it back (compact probes
+    * for and restores a stranded `.old` on its next run). Returns the
+    * output file count. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stranded = new Path(dir + ".compact.old")
+    if (!fs.exists(path) && fs.exists(stranded)) {
+      // crashed between rename(live→old) and rename(tmp→live): restore
+      if (!fs.rename(stranded, path))
+        throw new java.io.IOException(s"compact: cannot restore stranded $stranded")
+    }
     require(fs.exists(path), s"nothing to compact at $dir")
     // partitioned layouts must compact per leaf: a whole-tree rewrite
     // would fold the partition column into the data files and destroy

@@ -164,7 +164,14 @@ object EventStreams {
     *
     * Scale: per-batch work is one map-side partial aggregate of the batch
     * plus a |groups|-row parquet write; no global state, no watermark, no
-    * state store. Unbounded batch counts fold away via `Rollup.compact`. */
+    * state store. Unbounded batch counts fold away via `Rollup.compact` —
+    * but ONLY compact while this stream's last epoch is known-committed
+    * (query stopped cleanly, or the checkpoint's commits dir inspected):
+    * compacting an epoch written-but-not-yet-committed makes its replay
+    * hit `appendBatch`'s folded-id guard and the restarted query fails
+    * permanently (loud, never double-counts). Recovery: confirm the base
+    * already folded that epoch's rows, then delete its id from the
+    * rollup's `_graft_folded` ledger. */
   def maintainRollup(events: DataFrame, path: String, checkpointDir: String,
                      groupCols: Seq[String],
                      counters: Seq[(String, org.apache.spark.sql.Column)])

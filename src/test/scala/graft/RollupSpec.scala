@@ -120,6 +120,49 @@ class RollupSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown fold"))
   }
 
+  test("compactAgg preserves min/max watermark counters; plain compact would corrupt them") {
+    val path = freshPath()
+    val wmCounters = Seq(
+      "n" -> count(lit(1)),
+      "first_cents" -> min(floor(col("value") * 100).cast("long")),
+      "last_cents" -> max(floor(col("value") * 100).cast("long")))
+    val folds = Seq("n" -> "sum", "first_cents" -> "min", "last_cents" -> "max")
+    monthBatches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, wmCounters)
+    }
+    val before = Rollup.readAgg(spark, path, groupCols, folds)
+      .orderBy("day", "event_type").collect().toSeq
+    Rollup.compactAgg(spark, path, groupCols, folds)
+    val after = Rollup.readAgg(spark, path, groupCols, folds)
+      .orderBy("day", "event_type").collect().toSeq
+    assert(after == before, "compactAgg must fold each counter with its own fold")
+    val parts = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(parts == Seq("batch_id=_base"))
+  }
+
+  test("appendBatch does not mutate the session partitionOverwriteMode conf") {
+    val path = freshPath()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    Rollup.appendBatch(spark, monthBatches.head._2, path, "b1", groupCols, counters)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == prev,
+      "appendBatch must use a per-write option, not a session-wide conf flip")
+  }
+
+  test("compact recovers a stranded .compact.old from a mid-swap crash") {
+    val path = freshPath()
+    monthBatches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, counters)
+    }
+    val before = canon(Rollup.read(spark, path, groupCols, counterCols))
+    // simulate the crash window: live renamed aside, tmp never installed
+    val live = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(path + ".compact.old")
+    java.nio.file.Files.move(live, old)
+    Rollup.compact(spark, path, groupCols, counterCols)
+    assert(canon(Rollup.read(spark, path, groupCols, counterCols)) == before)
+  }
+
   test("reserved and underscore batch ids are rejected") {
     val path = freshPath()
     val ex = intercept[IllegalArgumentException] {

@@ -95,6 +95,19 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(pdir).count() == 2)
   }
 
+  test("compact recovers a stranded .compact.old from a mid-swap crash") {
+    val dir = java.nio.file.Files.createTempDirectory("cmpr").toString + "/t.parquet"
+    (1 to 5).foreach(i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").write.mode("append").parquet(dir))
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    // simulate the crash window: live renamed aside, tmp never installed
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".compact.old"))
+    graft.catalog.Tables.compact(spark, dir)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+    assert(!new java.io.File(dir + ".compact.old").exists())
+  }
+
   test("schema evolution: mergeSchema unifies widened ingest batches") {
     // a 100 TB feed's schema drifts; old batches must stay readable next
     // to widened ones — new columns read as null for history, no rewrite
