@@ -47,8 +47,22 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) elapsed else -1.0
     }
+    // Noise sentinel: a fixed-cost probe (sum over a 50M range — pure
+    // codegen'd arithmetic, no I/O, no shuffle) interleaved between
+    // queries. Its cost is invariant across rounds, so inflated probe
+    // times in the JSON prove host noise (CPU steal) rather than a query
+    // regression, and rounds can be normalized by the probe median.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calTimes = scala.collection.mutable.ArrayBuffer[Double](calibrate())
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val firstPass = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn))
+      repTimes(name) = times
+      calTimes += calibrate()
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(f"[bench] $name reps ${times.map(t => f"$t%.2f").mkString(" ")}")
       // any failed rep poisons the query: -1 can't read as a fast success
@@ -68,16 +82,24 @@ object Bench {
         firstPass.map { case (name, t) =>
           if (t > math.max(3 * median, 1.5)) {
             val again = runOnce(name, selected(name))
+            repTimes(name) = repTimes(name) :+ again
             if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
               System.err.println(f"[bench] $name outlier retry $again%.2f (was $t%.2f)")
             name -> (if (again > 0) math.min(t, again) else t)
           } else name -> t
         }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val repsJson = repTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val calSorted = calTimes.sorted
+    val calJson = s"""{"times":${calTimes.map(fmt).mkString("[", ",", "]")},""" +
+      s""""median":${fmt(calSorted(calSorted.size / 2))},"max":${fmt(calSorted.last)}}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"calibration":$calJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
