@@ -16,9 +16,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          dumpCells(spark, outDir, name)
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -38,5 +40,34 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  /** Diagnosable-diff artifact: for small results, a canonical cell dump
+    * (columns sorted by name, rows lexicographically sorted, exact value
+    * reprs) written as a flat `<name>.cells.tsv` next to the parquet and
+    * fingerprinted on stderr. If a hash gate ever reds on the driver while
+    * passing locally (round-4 q87), the driver's log + outDir carry the
+    * exact cells Spark produced, so the divergence is a diff away instead
+    * of a mystery bit. Flat FILES, not a subdirectory: comparers that
+    * glob outDir's directories as query results must not see a phantom
+    * zero-row query. */
+  private def dumpCells(spark: SparkSession, outDir: String, name: String): Unit = {
+    val back = spark.read.parquet(s"$outDir/$name")
+    val cols = back.columns.sorted
+    val rows = back.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .limit(201).collect()
+    if (rows.length <= 200) {
+      val lines = rows.map(_.toSeq.map {
+        case null => "NULL"
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case s: Seq[_] => s.mkString("[", ",", "]")
+        case v => v.toString
+      }.mkString("\t")).sorted
+      val txt = cols.mkString("\t") + "\n" + lines.mkString("\n") + "\n"
+      Files.writeString(Paths.get(s"$outDir/$name.cells.tsv"), txt)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      System.err.println(s"[verify-cells] $name rows=${lines.length} sha256=$sha")
+    }
   }
 }
