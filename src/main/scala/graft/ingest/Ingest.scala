@@ -30,18 +30,38 @@ object Ingest {
   def withDenseKey(df: DataFrame, order: Seq[Column], keyName: String = "key"): DataFrame =
     df.withColumn(keyName, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
-  /** Dense 1-based key without a global sort: per-partition counts are
-    * collected (a cheap count-only job), turned into offsets, and added to
-    * per-partition positions — the zipWithIndex construction, schema
-    * preserved. Order = partition order (deterministic for sorted file
-    * scans). This is the 100 TB path: two narrow passes, no shuffle. */
+  /** Dense 1-based key without a global sort: a cheap count-per-partition
+    * job yields cumulative offsets, broadcast-joined back on
+    * `spark_partition_id()` and added to the intra-partition position
+    * (the low 33 bits of `monotonically_increasing_id()`, which is
+    * `pid << 33 | position` by construction). The zipWithIndex
+    * construction — but entirely in the DataFrame API, so bulk ingest
+    * stays inside Tungsten/whole-stage codegen instead of detouring
+    * through an RDD of deserialized Rows (the former
+    * `df.rdd.zipWithIndex` exits columnar execution for every row).
+    * Order = partition order (deterministic for sorted file scans).
+    * This is the 100 TB path: two narrow passes, no data shuffle —
+    * the count job shuffles |partitions| rows, the offset join is a
+    * broadcast. */
   def withScalableKey(df: DataFrame, keyName: String = "key"): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema.add(keyName, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
+    val counts = df.groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) => val o = acc; acc += n; Row(p, o) }
+    // LocalRelation (not parallelize): the broadcast side is driver-local
+    // literal data and should plan as a LocalTableScan, no RDD node
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets: _*),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_off", LongType, nullable = false))))
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_pos", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(keyName, col("_off") + col("_pos") + lit(1L))
+      .drop("_pid", "_pos", "_off")
   }
 
   // ---- S6/S7: tabular scans ---------------------------------------------

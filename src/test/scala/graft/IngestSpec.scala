@@ -44,6 +44,21 @@ class IngestSpec extends SparkSpec {
     val keyed = Ingest.withScalableKey(df)
     val keys = keyed.select("key").as[Long].collect().sorted
     assert(keys.toSeq == (1L to 1000L))
+    // alignment: key order follows partition order — within one partition,
+    // keys are consecutive and track the partition-local row order
+    val byPart = keyed.withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .select("pid", "key").as[(Int, Long)].collect().groupBy(_._1)
+    byPart.values.foreach { rows =>
+      val ks = rows.map(_._2)
+      assert(ks.max - ks.min + 1 == ks.length, "keys within a partition must be consecutive")
+    }
+  }
+
+  test("scalable dense key stays columnar: no RDD scan, broadcast offset join") {
+    val keyed = Ingest.withScalableKey(spark.range(0, 100).toDF("v").repartition(4))
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD detour in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offset add must be a broadcast join:\n$plan")
   }
 
   test("image dir scan: label from path, sorted key order (S3)") {
