@@ -10,12 +10,14 @@ import java.util.zip.ZipInputStream
   * never see an archive — they read the extracted files through
   * `spark.read` / [[Ingest]], which is where the parallelism belongs.
   *
-  * The HTTP fetch itself stays out of the engine (the cluster's storage
-  * layer delivers files); [[extractZip]] is the kept piece, replacing the
-  * reference's shell-out with `java.util.zip` and adding the safety the
-  * reference lacks: zip-slip entries (`../`-escaping paths) are rejected
-  * instead of written, and the archive is NOT deleted on success (the
-  * reference deletes it, `server.py:171`) — caller owns lifecycle.
+  * [[fetch]] is the S1 half (`server.py:90-129`): a streaming download in
+  * the reference's 8 KiB chunks with a progress callback replacing its
+  * polled byte counter (`server.py:107-116, 176-205`). [[extractZip]] is
+  * the S2 half, replacing the reference's shell-out with `java.util.zip`
+  * and adding the safety the reference lacks: zip-slip entries
+  * (`../`-escaping paths) are rejected instead of written, and the
+  * archive is NOT deleted on success (the reference deletes it,
+  * `server.py:171`) — caller owns lifecycle.
   *
   * Scale note: a single driver-side unzip is a deliberate non-goal to
   * optimize — at 100 TB data arrives as parquet/object-store files, not
@@ -23,6 +25,47 @@ import java.util.zip.ZipInputStream
   * archives only.
   */
 object Archive {
+
+  /** Stream `url` to `destPath` (parent dirs created), returning the
+    * written path. `progress(bytesDone, bytesTotal)` fires per chunk;
+    * `bytesTotal` is -1 when the server sends no Content-Length — the
+    * same observability as the reference's polled download counter
+    * (`server.py:107-116`), minus the polling. Redirects are followed;
+    * non-2xx fails. Driver-side staging only, like [[extractZip]]. */
+  def fetch(url: String, destPath: String,
+            progress: (Long, Long) => Unit = (_, _) => ()): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val in = resp.body()
+    try {
+      if (resp.statusCode() / 100 != 2)
+        sys.error(s"fetch $url: HTTP ${resp.statusCode()}")
+      val total = resp.headers().firstValueAsLong("Content-Length").orElse(-1L)
+      val dest = new File(destPath)
+      Option(dest.getParentFile).foreach(_.mkdirs())
+      val os = new BufferedOutputStream(new FileOutputStream(dest))
+      try {
+        val buf = new Array[Byte](8192) // reference chunk size, server.py:118
+        var done = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          os.write(buf, 0, n); done += n; progress(done, total); n = in.read(buf)
+        }
+      } finally os.close()
+      dest.getPath
+    } finally in.close()
+  }
+
+  /** S1→S2 staging in one call: download the archive next to `destDir`
+    * and extract it there. Returns the extracted paths. */
+  def fetchAndExtract(url: String, destDir: String,
+                      progress: (Long, Long) => Unit = (_, _) => ()): Seq[String] = {
+    val zipPath = fetch(url, destDir + ".download.zip", progress)
+    try extractZip(zipPath, destDir)
+    finally new File(zipPath).delete() // staging temp, unlike caller-owned archives
+  }
 
   /** Extract `zipPath` under `destDir` (created if absent). Returns the
     * extracted file paths in archive order. Rejects entries whose
