@@ -201,16 +201,118 @@ object Multimodal {
     })
   }
 
-  /** STUB CODEC: deterministic pseudo-MFCC audio features from payload
-    * bytes; real batching/schema, fake DSP. */
+  // ---- audio ------------------------------------------------------------
+
+  /** Decoded audio record: interleaved PCM as float32 in [-1, 1] — the
+    * reference's universal value dtype (SURVEY §1.2). */
+  case class AudioRecord(key: Long, identifier: String, sampleRate: Float,
+                         channels: Int, nSamples: Int, samples: Array[Float])
+
+  /** REAL decode for WAV/AU/AIFF (pure-JDK `javax.sound.sampled` — no
+    * external codec needed): any PCM width/endianness is converted to
+    * 16-bit signed and scaled to float32. Returns None for formats the
+    * JDK cannot read (mp3/ogg/aac — those need a real codec lib in
+    * production). */
+  private def decodeAudioOne(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+        fmt.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      try {
+        val raw = pcm.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          val lo = raw(2 * i) & 0xff
+          val hi = raw(2 * i + 1)
+          out(i) = (((hi << 8) | lo).toShort) / 32768.0f
+          i += 1
+        }
+        Some((fmt.getSampleRate, fmt.getChannels, out))
+      } finally pcm.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Decode audio payloads to float32 PCM. Real codec for the JDK-native
+    * containers (WAV/AU/AIFF); undecodable payloads are dropped (route to
+    * a quarantine sink in production). Typed mapPartitions batch op like
+    * [[decodeImages]]. */
+  def decodeAudio(ds: Dataset[BinaryRecord]): Dataset[AudioRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      decodeAudioOne(r.payload).map { case (rate, ch, samples) =>
+        AudioRecord(r.key, r.identifier, rate, ch, samples.length / ch, samples)
+      }
+    })
+  }
+
+  /** Per-payload audio features. WAV/AU/AIFF payloads get REAL DSP over
+    * the decoded PCM: an `nCoeffs`-segment RMS energy envelope
+    * (deterministic, pure float arithmetic). Compressed formats the JDK
+    * cannot decode fall back to the DETERMINISTIC STUB (payload-hash
+    * features) so the pipeline shape stays total; swap in a codec lib to
+    * make that path real too. */
   def audioFeatures(ds: Dataset[BinaryRecord], nCoeffs: Int = 13): DataFrame = {
     import ds.sparkSession.implicits._
     ds.map { r =>
-      val feats = Array.tabulate(nCoeffs) { i =>
-        val h = java.util.Arrays.hashCode(r.payload) * (i + 1)
-        (h % 1000) / 1000.0f
+      val feats = decodeAudioOne(r.payload) match {
+        case Some((_, _, samples)) if samples.nonEmpty =>
+          // real path: RMS energy in nCoeffs equal time segments
+          Array.tabulate(nCoeffs) { seg =>
+            val from = (seg.toLong * samples.length / nCoeffs).toInt
+            val until = ((seg + 1).toLong * samples.length / nCoeffs).toInt
+            if (until <= from) 0.0f
+            else {
+              var acc = 0.0
+              var i = from
+              while (i < until) { acc += samples(i).toDouble * samples(i); i += 1 }
+              math.sqrt(acc / (until - from)).toFloat
+            }
+          }
+        case _ =>
+          // STUB: no JDK codec for this container (mp3/ogg/aac)
+          Array.tabulate(nCoeffs) { i =>
+            val h = java.util.Arrays.hashCode(r.payload) * (i + 1)
+            (h % 1000) / 1000.0f
+          }
       }
       (r.key, feats)
-    }.toDF("key", "mfcc")
+    }.toDF("key", "energy")
+  }
+
+  /** Deterministic synthetic WAV corpus (16-bit mono PCM sine, frequency
+    * and amplitude derived from the identifier hash) — real codec bytes
+    * through the real encode path, the audio twin of [[syntheticImages]]. */
+  def syntheticWavs(ds: Dataset[(Long, String)], sampleRate: Float = 8000f,
+                    nSamples: Int = 800): Dataset[BinaryRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { case (key, id) =>
+      val h = id.hashCode
+      val freq = 200.0 + math.abs(h % 1800)          // 200..1999 Hz
+      val amp = 0.25 + (math.abs(h / 7) % 50) / 100.0 // 0.25..0.74
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (amp * math.sin(2.0 * math.Pi * freq * i / sampleRate) * 32767.0).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      BinaryRecord(key, id, bos.toByteArray)
+    }
   }
 }

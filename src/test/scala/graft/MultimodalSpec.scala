@@ -84,9 +84,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frameIdx).toSeq == again.map(_.frameIdx).toSeq)
   }
 
-  test("audioFeatures: stubbed DSP, fixed coefficient count") {
-    val ds = Seq(BinaryRecord(1L, "wav", Array.fill[Byte](64)(3))).toDS()
+  test("audioFeatures: non-WAV payload falls back to the stub, fixed coefficient count") {
+    val ds = Seq(BinaryRecord(1L, "blob", Array.fill[Byte](64)(3))).toDS()
     val f = Multimodal.audioFeatures(ds).as[(Long, Array[Float])].collect().head
     assert(f._2.length == 13)
+  }
+
+  test("decodeAudio: real WAV round-trip — format, sample count, waveform (golden)") {
+    // known waveform, bypassing the hash-derived synthesizer: 440 Hz sine,
+    // amplitude 0.5, 8 kHz mono, 1600 samples
+    val rate = 8000f
+    val n = 1600
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2.0 * math.Pi * 440.0 * i / rate) * 32767.0).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(BinaryRecord(7L, "sine440", bos.toByteArray)).toDS()
+    val rec = Multimodal.decodeAudio(ds).collect().head
+    assert(rec.sampleRate == rate && rec.channels == 1 && rec.nSamples == n)
+    // decoded samples must be the exact 16-bit quantized sine
+    for (i <- Seq(0, 1, 100, 799, 1599)) {
+      val want = ((amp * math.sin(2.0 * math.Pi * 440.0 * i / rate) * 32767.0).toShort) / 32768.0f
+      assert(rec.samples(i) == want, s"sample $i: ${rec.samples(i)} != $want")
+    }
+    // real-DSP features: RMS of a constant-amplitude sine ≈ amp/√2 in every segment
+    val feats = Multimodal.audioFeatures(ds, nCoeffs = 4)
+      .as[(Long, Array[Float])].collect().head._2
+    assert(feats.length == 4)
+    feats.foreach(e => assert(math.abs(e - amp / math.sqrt(2)) < 0.01,
+      s"segment RMS $e != ${amp / math.sqrt(2)}"))
+  }
+
+  test("syntheticWavs: real codec bytes, decodable, per-id deterministic") {
+    val ds = Multimodal.syntheticWavs(Seq((1L, "a"), (2L, "b")).toDS())
+    val recs = Multimodal.decodeAudio(ds).collect().sortBy(_.key)
+    assert(recs.length == 2 && recs.forall(r => r.nSamples == 800 && r.channels == 1))
+    val again = Multimodal.decodeAudio(Multimodal.syntheticWavs(Seq((1L, "a")).toDS())).collect().head
+    assert(recs.head.samples.toSeq == again.samples.toSeq)
+    assert(recs(0).samples.toSeq != recs(1).samples.toSeq, "different ids → different waveforms")
   }
 }
