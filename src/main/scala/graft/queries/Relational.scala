@@ -1338,6 +1338,91 @@ object Relational {
           COUNT(*) AS n,
           ${Det.sqlMoneySum("l_extendedprice")} AS total
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        ORDER BY lvl, flag, status"""))
+        ORDER BY lvl, flag, status""")),
+
+    // ---- nested IN + correlated aggregate (TPC-H Q20 shape) -------------
+    // Dominant suppliers of a part family: suppliers who shipped > 20% of
+    // a 'bolt' part's total volume. The oracle keeps the classic nested
+    // form (IN over a grouped HAVING whose threshold is a correlated
+    // scalar subquery); the Spark plan decorrelates BY CONSTRUCTION:
+    //  - the part-family filter is broadcast-joined FIRST, so lineitem is
+    //    scanned once and pruned to the family before any aggregation
+    //    (the naive plan scans lineitem twice, once per subquery level);
+    //  - the correlated per-part total is a SUM WINDOW over the
+    //    per-(supp,part) aggregate, partitioned by part — deriving the
+    //    coarser aggregate from the finer one in the same pass (a
+    //    groupBy+self-join would plant the scan subtree twice: Catalyst
+    //    does not CSE identical aggregate branches, PlanShapeSpec gates
+    //    the single scan);
+    //  - qualification ends in a semi join (distinct suppliers), never a
+    //    row-multiplying inner join.
+    // Quantities are integer-valued doubles: every SUM (group or window)
+    // is exact in IEEE, and 0.2*total is one deterministic multiply
+    // cross-engine (q89 rule).
+    "q101_dominant_suppliers" -> Q(
+      (s, dir) => {
+        val boltParts = t(s, dir, "part")
+          .filter(col("p_name").like("%bolt")).select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+          .select("l_suppkey", "l_partkey", "l_quantity")
+        val qualified = li.groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("l_quantity")).as("ship_qty"))
+          .withColumn("part_qty",
+            sum(col("ship_qty")).over(Window.partitionBy("l_partkey")))
+          .filter(col("ship_qty") > lit(0.2) * col("part_qty"))
+          .select(col("l_suppkey")).distinct()
+        t(s, dir, "supplier")
+          .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l.l_suppkey FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(l.l_quantity) > 0.2 * (
+            SELECT SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey))
+        ORDER BY s_suppkey""")),
+
+    // ---- max over an aggregated view (TPC-H Q15 shape) ------------------
+    // Top supplier by quarterly revenue. The view aggregates ONCE and is
+    // reused for both the max and the equality filter — Spark expresses
+    // that as a window max over the aggregate (one shuffle on l_suppkey,
+    // then a |suppliers|-row exchange for the unpartitioned max over
+    // already-aggregated rows), never a second lineitem scan. The ship-
+    // date filter is pushed to the parquet scan on both paths. Revenue is
+    // the Det decimal product summed exactly, cast to double once per
+    // group — so the MAX equality compares bit-identical doubles
+    // cross-engine (ties would all surface, same as the SQL).
+    "q102_top_supplier" -> Q(
+      (s, dir) => {
+        val revenue = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-04-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+            .as("total_revenue"))
+        val withMax = revenue.withColumn("max_rev",
+          max(col("total_revenue")).over(Window.partitionBy()))
+        t(s, dir, "supplier")
+          .join(withMax.filter(col("total_revenue") === col("max_rev")).drop("max_rev"),
+            col("s_suppkey") === col("supplier_no"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-04-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey"""))
   )
 }

@@ -186,6 +186,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$plan")
   }
 
+  test("q101 decorrelation: ONE pruned lineitem scan, broadcast family filter, semi join") {
+    val df = SparkEntry.queries("q101_dominant_suppliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the nested-IN shape must not scan the fact table once per subquery
+    // level: one lineitem scan feeds both aggregation levels
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("FileScan")).toList
+    assert(liScans.size == 1, s"expected exactly 1 lineitem scan, got ${liScans.size}:\n$plan")
+    // scan must read only the 3 needed columns
+    assert(liScans.head.contains("l_partkey") && liScans.head.contains("l_quantity")
+      && !liScans.head.contains("l_extendedprice"),
+      s"lineitem scan not column-pruned:\n${liScans.head}")
+    assert(plan.contains("BroadcastHashJoin"), s"part family filter must broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"), s"supplier qualification must be a semi join:\n$plan")
+  }
+
+  test("q102 aggregated view is reused: one lineitem scan, pushed date filter") {
+    val df = SparkEntry.queries("q102_top_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("FileScan")).toList
+    assert(liScans.size == 1,
+      s"revenue view must aggregate once, got ${liScans.size} lineitem scans:\n$plan")
+    assert(liScans.head.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date filter not pushed to scan:\n${liScans.head}")
+    // the max runs over the |suppliers|-row aggregate, never raw lineitem:
+    // the Window's input must be the HashAggregate
+    assert(plan.contains("Window"), s"max-over-view must be a window:\n$plan")
+  }
+
   test("q97 latest-per-user plans as WindowGroupLimit on a user_id exchange") {
     val plan = SparkEntry.queries("q97_latest_per_user")(spark, dir)
       .queryExecution.executedPlan.toString
