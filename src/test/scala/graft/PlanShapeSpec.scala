@@ -9,6 +9,31 @@ class PlanShapeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("bucketed layout: lineitem ⋈ orders on orderkey joins with ZERO exchange") {
+    // the 100 TB storage story (Tables.bucketSpecs): both facts bucketed
+    // and sorted on orderkey, so their join moves nothing. Broadcast is
+    // disabled for the assertion — a small-fixture auto-broadcast would
+    // hide a lost co-location just as green.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.catalog.Tables.ensureBucketed(spark, dir)
+      val li = graft.catalog.Tables.load(spark, dir, "lineitem")
+      val o = graft.catalog.Tables.load(spark, dir, "orders")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(li("l_orderkey"), o("o_orderdate"), li("l_extendedprice"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed fact-fact join must be exchange-free:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scans are not reading the bucketed layout:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      graft.catalog.Tables.clearBucketed()
+    }
+  }
+
   test("q58 lateral: outer constraint reaches the orders parquet scan") {
     val df = SparkEntry.queries("q58_lateral_topn")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
