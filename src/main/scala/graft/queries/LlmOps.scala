@@ -423,8 +423,21 @@ object LlmOps {
         FROM p GROUP BY doc_id ORDER BY key""")),
 
     // ---- production-tier near-dup (xxhash64) — rows-only ----------------
+    // Summary columns (constant across rows): an unpartitioned window
+    // over the TINY pair result — one pass, no recompute of the LSH
+    // pipeline — gives the rows-only driver check a deterministic
+    // fingerprint (count + extremal ids + id checksum) in the cells
+    // artifact.
     "q40_neardups_fast" -> Q(
-      (s, dir) => Dedup.minhashNearDupsFast(docs(s, dir), "doc_id", "text"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy()
+        Dedup.minhashNearDupsFast(docs(s, dir), "doc_id", "text")
+          .withColumn("smry_pairs", count(lit(1)).over(w))
+          .withColumn("smry_min_a", min(col("a")).over(w))
+          .withColumn("smry_max_b", max(col("b")).over(w))
+          .withColumn("smry_id_sum", sum(col("a") + col("b")).over(w))
+      },
       None),
 
     // ---- IVF (KMeans-bucketed) ANN — second scale path -------------------
@@ -437,8 +450,14 @@ object LlmOps {
       (s, dir) => {
         val cents = ivfIndex(s, dir)
         val corpus = ivfCorpus(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy()
         graft.operators.Ivf.searchAssigned(
             corpus.filter(col("id") < 10), corpus, cents, k = 5, nProbe = 4)
+          .withColumn("smry_rows", count(lit(1)).over(w))
+          .withColumn("smry_min_nbr", min(col("neighbor_id")).over(w))
+          .withColumn("smry_max_nbr", max(col("neighbor_id")).over(w))
+          .withColumn("smry_id_sum", sum(col("neighbor_id")).over(w))
           .orderBy("query_id", "rank")
       },
       None),
@@ -498,12 +517,22 @@ object LlmOps {
     // Rows-only like q40 (the xxhash64 family is not SQL-reproducible);
     // q41 is the md5-tier oracle twin of the same funnel and CurateSpec
     // pins runFast ≡ run on the oracle-comparable stages.
+    // Summary columns: extremal kept ids + id checksum of the curated
+    // SET, broadcast-crossed onto the 1-row stats (the funnel's stage
+    // frames are persisted, so the extra aggregate reuses them instead
+    // of re-running the pipeline).
     "q60_curation_fast" -> Q(
-      (s, dir) => graft.operators.Curate.runFast(
-        docs(s, dir).filter(
-          col("doc_id") >= IncrSplit && col("doc_id") < 2 * IncrSplit),
-        "doc_id", "text",
-        historySketch = Some(fastDedupIndex(s, dir))).stats,
+      (s, dir) => {
+        val c = graft.operators.Curate.runFast(
+          docs(s, dir).filter(
+            col("doc_id") >= IncrSplit && col("doc_id") < 2 * IncrSplit),
+          "doc_id", "text",
+          historySketch = Some(fastDedupIndex(s, dir)))
+        c.stats.crossJoin(broadcast(c.curated.agg(
+          min(col("doc_id")).as("smry_min_kept"),
+          max(col("doc_id")).as("smry_max_kept"),
+          sum(col("doc_id")).as("smry_id_sum"))))
+      },
       None),
 
     // ---- PII redaction (training-data scrubbing) -------------------------

@@ -666,12 +666,19 @@ object Relational {
     // aggregates are oracle-checked in q08 (countDistinct).
     "q33_approx_stats" -> Q(
       (s, dir) => {
+        // exact_parts/min/max are deterministic anchors next to the
+        // sketch outputs: the rows-only driver check can't gate values,
+        // but the cells artifact makes sketch drift and data drift
+        // distinguishable round-over-round
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
           .orderBy("l_returnflag")
       },
       None),
