@@ -75,13 +75,94 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("sampleFrames: stubbed codec, real schema and fan-out") {
+  test("sampleFrames: compressed-format payload falls back to the stub, deterministic") {
     val ds = Seq(BinaryRecord(1L, "vid", Array.fill[Byte](100)(7))).toDS()
     val frames = Multimodal.sampleFrames(ds, everyNth = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(f => f.frameIdx % 2 == 0 && f.data.length == 48))
     val again = Multimodal.sampleFrames(ds, everyNth = 2).collect()
     assert(frames.map(_.frameIdx).toSeq == again.map(_.frameIdx).toSeq)
+  }
+
+  private def gifBytes(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("sampleFrames: REAL animated-GIF decode — frame sampling, indices, pixels (golden)") {
+    val gif = gifBytes(Seq(solid(4, 4, 0xff0000), solid(4, 4, 0x00ff00), solid(4, 4, 0x0000ff)))
+    val ds = Seq(BinaryRecord(1L, "anim", gif)).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 2).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(frames.forall(f => f.height == 4 && f.width == 4 && f.channels == 3))
+    def px0(f: Multimodal.FrameRecord) = (f.data(0) & 0xff, f.data(1) & 0xff, f.data(2) & 0xff)
+    assert(px0(frames(0)) == ((255, 0, 0)))
+    assert(px0(frames(1)) == ((0, 0, 255)))
+  }
+
+  test("sampleFrames: GIF partial frames composite onto the canvas (doNotDispose)") {
+    // frame 1 only covers the top-left 2x2; the rest of the canvas must
+    // still show frame 0's red
+    val gif = gifBytes(Seq(solid(4, 4, 0xff0000), solid(2, 2, 0x0000ff)))
+    val ds = Seq(BinaryRecord(1L, "partial", gif)).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 1).collect().sortBy(_.frameIdx)
+    assert(frames.length == 2)
+    val f1 = frames(1)
+    assert(f1.height == 4 && f1.width == 4)
+    def px(f: Multimodal.FrameRecord, x: Int, y: Int) = {
+      val o = (y * f.width + x) * 3
+      (f.data(o) & 0xff, f.data(o + 1) & 0xff, f.data(o + 2) & 0xff)
+    }
+    assert(px(f1, 0, 0) == ((0, 0, 255)), "overwritten region shows frame 1")
+    assert(px(f1, 3, 3) == ((255, 0, 0)), "untouched region retains frame 0")
+  }
+
+  test("sampleFrames: REAL Y4M decode — BT.601 conversion is exact (golden)") {
+    // hand-built 2x2 C420 video, 2 frames: frame 0 pure red (Y=81 U=90
+    // V=240), frame 1 white (Y=235 U=V=128); integer BT.601 expansion
+    val bos = new ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    for ((y, u, v) <- Seq((81, 90, 240), (235, 128, 128))) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      for (_ <- 0 until 4) bos.write(y)
+      bos.write(u); bos.write(v)
+    }
+    val ds = Seq(BinaryRecord(1L, "y4m", bos.toByteArray)).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 1).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 1))
+    assert(frames.forall(f => f.height == 2 && f.width == 2 && f.data.length == 12))
+    def px0(f: Multimodal.FrameRecord) = (f.data(0) & 0xff, f.data(1) & 0xff, f.data(2) & 0xff)
+    assert(px0(frames(0)) == ((255, 0, 0)), s"BT.601 red: ${px0(frames(0))}")
+    assert(px0(frames(1)) == ((255, 255, 255)), s"BT.601 white: ${px0(frames(1))}")
+  }
+
+  test("syntheticY4ms: real container bytes, demuxable, everyNth skips frames, deterministic") {
+    val ds = Multimodal.syntheticY4ms(Seq((1L, "a"), (2L, "b")).toDS(), side = 8, nFrames = 5)
+    val all = Multimodal.sampleFrames(ds, everyNth = 1).collect()
+    assert(all.count(_.key == 1L) == 5 && all.count(_.key == 2L) == 5)
+    assert(all.forall(f => f.height == 8 && f.width == 8 && f.data.length == 192))
+    val sampled = Multimodal.sampleFrames(ds, everyNth = 3).collect()
+    assert(sampled.filter(_.key == 1L).map(_.frameIdx).sorted.toSeq == Seq(0, 3))
+    val a1 = all.filter(f => f.key == 1L && f.frameIdx == 0).head
+    val a2 = Multimodal.sampleFrames(
+      Multimodal.syntheticY4ms(Seq((1L, "a")).toDS(), side = 8, nFrames = 5), everyNth = 1)
+      .collect().filter(_.frameIdx == 0).head
+    assert(a1.data.toSeq == a2.data.toSeq, "per-id deterministic")
+    val b1 = all.filter(f => f.key == 2L && f.frameIdx == 0).head
+    assert(a1.data.toSeq != b1.data.toSeq, "different ids → different pixels")
   }
 
   test("audioFeatures: non-WAV payload falls back to the stub, fixed coefficient count") {
