@@ -1,0 +1,195 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.catalog.Tables
+import graft.ingest.{Archive, BatchExport, Ingest}
+
+/** HTTP control plane — the thin service shim over the library API,
+  * reproducing the reference's only user interface
+  * (`/root/reference/server.py:42-88,176-205`): a single resource at
+  * `/download` whose GET is a status poll and whose POST carries a JSON
+  * `command` of `serialize` (fetch zip → extract → scan → sink) or
+  * `deserialize` (open the sunk dataset and drive the batched export,
+  * the engine's training hand-off, D1–D3).
+  *
+  * State machine (reference `serialized_flag`/`data` flags, `server.py:
+  * 57-88`): Idle → Serializing → Serialized → Training → Trained, plus
+  * Failed. Response strings match the reference's where a state exists
+  * on both sides. Intentional fixes over the reference: a failed
+  * download resets to Idle instead of wedging the flags (`server.py`
+  * leaves `self.data` set, so a typo'd URL bricks the server until
+  * restart), the download happens ONCE (the reference downloads every
+  * archive twice — `urlretrieve` then a manual loop, `server.py:96-99`),
+  * and training has its own observable status (the reference reports
+  * "serialization complete" forever while training runs).
+  *
+  * Scale note: this is a CONTROL plane — the data plane stays entirely
+  * in Spark jobs it launches. The servlet threads never hold rows; the
+  * serialize job's output is the parquet sink ([[Tables.save]]), and
+  * deserialize streams one batch at a time ([[BatchExport.epoch]]).
+  * Jobs run on one background thread: the reference service is
+  * single-dataset by construction (module-level LMDB_DIR), and we keep
+  * that contract rather than invent a multi-tenant scheduler here.
+  */
+final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
+  import ControlPlane._
+
+  @volatile private var state: State = Idle
+  /** Shapes reported by the last completed training hand-off. */
+  @volatile private var lastShapes: Map[String, Seq[Int]] = Map.empty
+  private var server: HttpServer = _
+
+  private val zipPath = s"$workDir/datasets/dataset.zip"
+  private val dataDir = s"$workDir/datasets/dataset"
+  /** Parquet successor of the reference's `lmdb/datumdb` sink dir. */
+  val sinkDir = s"$workDir/lmdb"
+  private val sinkName = "datumdb"
+
+  def currentState: State = state
+  def shapes: Map[String, Seq[Int]] = lastShapes
+
+  /** Start listening; returns the bound port (ephemeral when `port`=0). */
+  def start(): Int = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/download", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def respond(ex: HttpExchange, text: String, code: Int = 200): Unit = {
+    val bytes = text.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      ex.getRequestMethod match {
+        case "GET"  => respond(ex, statusText)
+        case "POST" => handlePost(ex)
+        case _      => respond(ex, "Please provide a valid command.", 405)
+      }
+    } catch {
+      case e: Exception => respond(ex, s"Error: ${e.getMessage}\n", 500)
+    }
+
+  private def statusText: String = state match {
+    case Idle          => "Send a POST request to the same address to serialize the data.\n"
+    case Serializing   => "Serializing the data. Try again later.\n"
+    case Serialized    => "Data Serialization complete!.\n" // sic — server.py:188
+    case Training      => "Training in progress.\n"
+    case Trained       => "Training complete.\n"
+    case Failed(why)   => s"Failed: $why\n"
+  }
+
+  private def handlePost(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val req = JsonMethods.parseOpt(body).getOrElse(JNothing)
+    def str(field: String): Option[String] =
+      req \ field match { case JString(s) => Some(s); case _ => None }
+    str("command") match {
+      case Some("serialize") =>
+        state match {
+          case Idle | Failed(_) =>
+            str("url") match {
+              case None => respond(ex, "Please provide a valid command.")
+              case Some(url) =>
+                state = Serializing
+                // Reference shape (server.py:64,150-153): respond when the
+                // download lands; serialization continues in background.
+                try Archive.fetch(url, zipPath)
+                catch {
+                  case e: Exception =>
+                    state = Idle // fixed: reference wedges here
+                    respond(ex, "Error downloading dataset.")
+                    return
+                }
+                val job = new Thread(() => runSerialize(req), "graft-serialize")
+                job.setDaemon(true)
+                job.start()
+                respond(ex, "Dataset downloaded.")
+            }
+          case Serializing => respond(ex, statusText)
+          case _ => respond(ex, "Serialization already done. You can deserialize it now.")
+        }
+      case Some("deserialize") =>
+        state match {
+          case Serialized | Trained =>
+            val batchSize = req \ "batch_size" match {
+              case JInt(n)    => n.toInt
+              case JString(s) => s.toInt
+              case _          => 32
+            }
+            state = Training
+            val job = new Thread(() => runTrainingHandOff(batchSize), "graft-train")
+            job.setDaemon(true)
+            job.start()
+            respond(ex, "Started training. Sit back.")
+          case _ => respond(ex, "Cannot deserialize before serialization.")
+        }
+      case _ => respond(ex, "Please provide a valid command.")
+    }
+  }
+
+  /** The serialize job: extract the staged zip, scan it with the layout
+    * the request's `input` spec selects (S3 single-input dir vs S4
+    * n-per-record streams — `server.py:131-146`), and sink to parquet. */
+  private def runSerialize(req: JValue): Unit =
+    try {
+      Archive.extractZip(zipPath, dataDir)
+      val nInputPerRecord = req \ "input" match {
+        case JArray(specs) if specs.length > 1 => specs.length
+        case JArray(List(one)) =>
+          one \ "nInputPerRecord" match { case JInt(n) => n.toInt; case _ => 1 }
+        case _ => 1
+      }
+      val scanned =
+        if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
+        else Ingest.readImageDir(spark, dataDir)
+      Tables.save(scanned, sinkDir, sinkName)
+      state = Serialized
+    } catch {
+      case e: Exception => state = Failed(s"serialize: ${e.getMessage}")
+    }
+
+  /** The deserialize job: D1 open + stats, D2 shapes, D3 batch stream.
+    * The reference trains a Keras model here (`server.py:207-210`); our
+    * contract ends at the shape-annotated batch iterator (SURVEY §2.1
+    * M1 ruling), so the hand-off drains one epoch to prove the stream. */
+  private def runTrainingHandOff(batchSize: Int): Unit =
+    try {
+      val df = spark.read.parquet(s"$sinkDir/$sinkName.parquet")
+      val inputCols = df.columns.filter(c => c != "key" && c != "slabel").toSeq
+      val export = BatchExport(df, "key", inputCols, Seq("slabel"), batchSize)
+      lastShapes = export.shapes
+      var n = 0L
+      export.epoch().foreach(_ => n += 1)
+      if (n != export.nBatches)
+        throw new IllegalStateException(s"epoch yielded $n of ${export.nBatches} batches")
+      state = Trained
+    } catch {
+      case e: Exception => state = Failed(s"train: ${e.getMessage}")
+    }
+}
+
+object ControlPlane {
+  sealed trait State
+  case object Idle extends State
+  case object Serializing extends State
+  case object Serialized extends State
+  case object Training extends State
+  case object Trained extends State
+  final case class Failed(why: String) extends State
+}

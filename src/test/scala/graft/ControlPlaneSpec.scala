@@ -1,0 +1,117 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import javax.imageio.ImageIO
+
+import graft.service.ControlPlane
+
+/** End-to-end drive of the HTTP control plane against a loopback zip
+  * fixture: the full reference session (`server.py`) — status poll,
+  * serialize, completion poll, re-serialize rejection, deserialize /
+  * training hand-off — over real HTTP. */
+class ControlPlaneSpec extends SparkSpec {
+
+  private def pngBytes(rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 2) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def datasetZip(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    for ((label, rgb) <- Seq("cat" -> 0xff0000, "dog" -> 0x00ff00)) {
+      z.putNextEntry(new ZipEntry(s"$label/a.png"))
+      z.write(pngBytes(rgb))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def withFixtureServer(bytes: Array[Byte])(f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/data.zip", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}/data.zip")
+    finally srv.stop(0)
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def get(url: String): String =
+    client.send(HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+  private def post(url: String, json: String): String =
+    client.send(HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def pollUntil(cp: ControlPlane, want: ControlPlane.State,
+                        timeoutMs: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (cp.currentState != want && System.currentTimeMillis() < deadline) {
+      cp.currentState match {
+        case ControlPlane.Failed(why) => fail(s"control plane failed: $why")
+        case _ => Thread.sleep(100)
+      }
+    }
+    assert(cp.currentState == want, s"timed out waiting for $want, at ${cp.currentState}")
+  }
+
+  test("full session: poll → serialize → poll → re-serialize → deserialize → trained") {
+    withFixtureServer(datasetZip()) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        assert(get(ep).startsWith("Send a POST request"))
+        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+          "Cannot deserialize before serialization.")
+        assert(post(ep, """{"command":"bogus"}""") == "Please provide a valid command.")
+
+        val r = post(ep, s"""{"command":"serialize","id":"ds1","url":"$zipUrl","input":[{}]}""")
+        assert(r == "Dataset downloaded.")
+        pollUntil(cp, ControlPlane.Serialized)
+        assert(get(ep) == "Data Serialization complete!.\n")
+        assert(post(ep, s"""{"command":"serialize","id":"ds1","url":"$zipUrl","input":[{}]}""") ==
+          "Serialization already done. You can deserialize it now.")
+
+        // the sink is real parquet with the scanned records
+        val sunk = spark.read.parquet(s"${cp.sinkDir}/datumdb.parquet")
+        assert(sunk.count() == 2)
+        assert(sunk.columns.toSet == Set("key", "path", "slabel", "content"))
+
+        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+          "Started training. Sit back.")
+        pollUntil(cp, ControlPlane.Trained)
+        assert(get(ep) == "Training complete.\n")
+        assert(cp.shapes.keySet == Set("path", "content", "slabel"))
+      } finally cp.stop()
+    }
+  }
+
+  test("failed download resets to Idle instead of wedging (reference bug fixed)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cp2").toString
+    val cp = new ControlPlane(spark, work)
+    val port = cp.start()
+    try {
+      val ep = s"http://127.0.0.1:$port/download"
+      val r = post(ep,
+        """{"command":"serialize","id":"x","url":"http://127.0.0.1:1/nope.zip","input":[{}]}""")
+      assert(r == "Error downloading dataset.")
+      assert(cp.currentState == ControlPlane.Idle)
+      // server is still usable: idle status, serialize accepted again
+      assert(get(ep).startsWith("Send a POST request"))
+    } finally cp.stop()
+  }
+}
