@@ -1430,6 +1430,96 @@ object Relational {
         SELECT s.s_suppkey, s.s_name, r.total_revenue
         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-        ORDER BY s.s_suppkey"""))
+        ORDER BY s.s_suppkey""")),
+
+    // ---- EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape) ---------------
+    // Suppliers solely responsible for a returned line in a multi-supplier
+    // finalized order (returnflag stands in for Q21's receipt>commit —
+    // the fixture lineitem carries no commit/receipt dates). The classic
+    // form is THREE scans of lineitem (l1 + EXISTS l2 + NOT EXISTS l3);
+    // the Spark plan folds both correlated subqueries into per-order
+    // DISTINCT-SUPPLIER WINDOW COUNTS — distinct suppliers and distinct
+    // returning suppliers over the orderkey partition — so lineitem is
+    // scanned ONCE and shuffled once on l_orderkey (the self-join form
+    // would plant the scan subtree twice; Catalyst does not CSE it,
+    // PlanShapeSpec gates the single scan): given l1 is returning, "some
+    // other supplier in the order" ⇔ n_supp > 1 and "no OTHER supplier
+    // returning" ⇔ n_ret_supp == 1. Window partitions are order-sized
+    // (≤ lines-per-order rows), so the collect_set state is bounded. At
+    // 100 TB this replaces two fact-fact self-joins with one window pass
+    // — the canonical Q21 rewrite.
+    "q103_waiting_suppliers" -> Q(
+      (s, dir) => {
+        val fOrders = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val li = t(s, dir, "lineitem")
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+        val w = Window.partitionBy("l_orderkey")
+        val waits = li
+          .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("n_ret_supp",
+            size(collect_set(when(col("l_returnflag") === "R", col("l_suppkey"))).over(w)))
+          .filter(col("l_returnflag") === "R" &&
+            col("n_supp") > 1 && col("n_ret_supp") === 1)
+        val counted = waits.groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+        t(s, dir, "supplier")
+          .join(counted, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_name"), col("numwait").cast("long").as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+      },
+      Some("""SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name""")),
+
+    // ---- semi join against a grouped HAVING (TPC-H Q18 shape) -----------
+    // Large-volume orders with their customers. The classic nested form
+    // aggregates lineitem TWICE (once inside the IN subquery, once in the
+    // outer GROUP BY); the Spark plan computes the per-order quantity
+    // ONCE and reuses it as both the qualification filter and the output
+    // column — one lineitem scan, one shuffle on l_orderkey, then
+    // dim-joins whose small sides AQE broadcasts. Ends in the top-k by
+    // total price (TakeOrderedAndProject — no global sort of the
+    // qualifying set), tie-broken by the unique order key. Quantities go
+    // through the Det decimal sum so the HAVING threshold compares
+    // bit-identically cross-engine.
+    "q104_large_orders" -> Q(
+      (s, dir) => {
+        val bigOrders = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(Det.moneySum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250.0)
+        t(s, dir, "orders")
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+          ${Det.sqlMoneySum("l.l_quantity")} AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING ${Det.sqlMoneySum("l_quantity")} > 250.0)
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100"""))
   )
 }

@@ -241,6 +241,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"max-over-view must be a window:\n$plan")
   }
 
+  test("q103 EXISTS/NOT-EXISTS folds to window counts: ONE lineitem scan, no self-join") {
+    val df = SparkEntry.queries("q103_waiting_suppliers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the classic Q21 form scans the fact table three times (l1 + EXISTS
+    // + NOT EXISTS); the window rewrite must scan it exactly once
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("FileScan")).toList
+    assert(liScans.size == 1, s"expected exactly 1 lineitem scan, got ${liScans.size}:\n$plan")
+    assert(liScans.head.contains("l_suppkey") && !liScans.head.contains("l_quantity"),
+      s"lineitem scan not column-pruned:\n${liScans.head}")
+    // both correlated counts ride one orderkey-partitioned window
+    assert(plan.contains("Window") && plan.contains("hashpartitioning(l_orderkey"),
+      s"per-order counts must be an orderkey window:\n$plan")
+    assert(plan.contains("LeftSemi"), s"F-order qualification must be a semi join:\n$plan")
+  }
+
+  test("q104 grouped-HAVING qualification aggregates lineitem once, ends in top-k") {
+    val df = SparkEntry.queries("q104_large_orders")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the nested-IN form aggregates lineitem twice; computing the
+    // per-order quantity once must leave a single fact scan
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("FileScan")).toList
+    assert(liScans.size == 1, s"expected exactly 1 lineitem scan, got ${liScans.size}:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy must plan as top-k, not a global sort:\n$plan")
+  }
+
   test("q97 latest-per-user plans as WindowGroupLimit on a user_id exchange") {
     val plan = SparkEntry.queries("q97_latest_per_user")(spark, dir)
       .queryExecution.executedPlan.toString
