@@ -92,16 +92,19 @@ object Multimodal {
     * twin of [[graft.functions.Hashing.h28]] (and DuckDB
     * `CAST('0x'||substr(md5(..),1,7) AS BIGINT)`), so feature queries over
     * [[syntheticDecoded]] corpora have an exact cross-engine oracle. */
+  /** First 28 bits of md5(key) — the JVM twin of
+    * [[graft.functions.Hashing.sqlH28]] (first 7 hex chars), read directly
+    * from the digest bytes, no hex string in per-pixel loops. */
+  private def h28v(key: String, md: java.security.MessageDigest): Long = {
+    val d = md.digest(key.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xff) >>> 4)
+  }
+
   def pixel(id: String, x: Int, y: Int, c: Int,
             md: java.security.MessageDigest =
-              java.security.MessageDigest.getInstance("MD5")): Int = {
-    val d = md.digest(s"$id:$x,$y,$c".getBytes("UTF-8"))
-    // first 7 hex chars = 28 leading bits of the digest, read directly
-    // from the bytes — no hex string in the per-pixel loop
-    val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-      ((d(2) & 0xffL) << 4) | ((d(3) & 0xff) >>> 4)
-    (v % 256).toInt
-  }
+              java.security.MessageDigest.getInstance("MD5")): Int =
+    (h28v(s"$id:$x,$y,$c", md) % 256).toInt
 
   /** Synthetic DECODED corpus from the pure [[pixel]] formula — no codec
     * in the loop, so downstream resize/feature queries are exactly
@@ -373,6 +376,49 @@ object Multimodal {
     }
   }
 
+  /** ORACLE-SHARED synthetic Y4M corpus: luma follows the md5 h28 family
+    * (`16 + h28("<id>:<frame>:<x>,<y>") % 220`, the Y4M-legal 16..235
+    * range) and chroma is a per-video md5 constant (`16 + h28("<id>:u"|
+    * ":v") % 209`) — every plane byte is reproducible in SQL, so a query
+    * over the REAL encode → demux → BT.601 pipeline has an exact DuckDB
+    * twin that computes the expected RGB directly (the video analogue of
+    * [[pixel]]/[[syntheticDecoded]] for images, but gating the codec path
+    * itself). Constant per-video chroma makes C420 subsampling lossless,
+    * so the oracle needn't model the half-resolution planes. */
+  def syntheticY4msOracle(ds: Dataset[(Long, String)], side: Int = 4,
+                          nFrames: Int = 2): Dataset[BinaryRecord] = {
+    import ds.sparkSession.implicits._
+    require(side % 2 == 0, "C420 needs even dims")
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (key, id) =>
+        val u = (16 + h28v(s"$id:u", md) % 209).toInt
+        val v = (16 + h28v(s"$id:v", md) % 209).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(s"YUV4MPEG2 W$side H$side F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+        var f = 0
+        while (f < nFrames) {
+          bos.write("FRAME\n".getBytes("US-ASCII"))
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              bos.write((16 + h28v(s"$id:$f:$x,$y", md) % 220).toInt); x += 1
+            }
+            y += 1
+          }
+          val cPlane = side / 2 * (side / 2)
+          var c = 0
+          while (c < cPlane) { bos.write(u); c += 1 }
+          c = 0
+          while (c < cPlane) { bos.write(v); c += 1 }
+          f += 1
+        }
+        BinaryRecord(key, id, bos.toByteArray)
+      }
+    }
+  }
+
   /** Deterministic synthetic Y4M corpus (C420, luma a hash-derived
     * gradient per frame, constant chroma per video) — real container
     * bytes through the real demux path, the video twin of
@@ -488,6 +534,38 @@ object Multimodal {
       }
       (r.key, feats)
     }.toDF("key", "energy")
+  }
+
+  /** ORACLE-SHARED synthetic WAV corpus: sample `i` is the 16-bit PCM
+    * value `(h28("<id>:a<i>") % 65536) - 32768` — SQL-reproducible, so a
+    * query over the REAL WAV encode → `javax.sound.sampled` decode →
+    * float32 scaling pipeline has an exact DuckDB twin (the audio
+    * analogue of [[syntheticY4msOracle]]). The float scaling is lossless
+    * to invert: `v / 32768f` is exact for |v| ≤ 2^15 (mantissa fits), so
+    * `(sample * 32768).toInt` recovers the original integer. */
+  def syntheticWavsOracle(ds: Dataset[(Long, String)], nSamples: Int = 64,
+                          sampleRate: Float = 8000f): Dataset[BinaryRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (key, id) =>
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val v = ((h28v(s"$id:a$i", md) % 65536) - 32768).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        BinaryRecord(key, id, bos.toByteArray)
+      }
+    }
   }
 
   /** Deterministic synthetic WAV corpus (16-bit mono PCM sine, frequency

@@ -422,6 +422,95 @@ object LlmOps {
                CAST(AVG(pg) AS REAL) AS mean_g, CAST(AVG(pb) AS REAL) AS mean_b
         FROM p GROUP BY doc_id ORDER BY key""")),
 
+    // ---- video pipeline, HASH-GATED end-to-end ---------------------------
+    // The whole video path — Y4M container ENCODE, demux, BT.601 YCbCr→RGB
+    // in exact integer arithmetic, per-frame channel sums — against an
+    // oracle that never sees a container: the synthetic corpus's luma and
+    // chroma follow the md5 h28 family (Multimodal.syntheticY4msOracle),
+    // so DuckDB recomputes each decoded pixel DIRECTLY from the formula
+    // and the sums match bit-for-bit only if encode→demux→convert is
+    // byte-faithful (the video q46). Per-video constant chroma makes the
+    // C420 half-resolution planes lossless, so the oracle needn't model
+    // subsampling. Sums are integer-exact; the clamp's negative branch is
+    // CASE'd explicitly because DuckDB's `//` and Java's `>> 8` only
+    // agree on non-negatives.
+    "q105_video_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+          .as[(Long, String)]
+        val vids = graft.operators.Multimodal.syntheticY4msOracle(src, side = 4, nFrames = 2)
+        graft.operators.Multimodal.sampleFrames(vids, everyNth = 1)
+          .map { fr =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < fr.data.length) {
+              sr += fr.data(i) & 0xff
+              sg += fr.data(i + 1) & 0xff
+              sb += fr.data(i + 2) & 0xff
+              i += 3
+            }
+            (fr.key, fr.frameIdx.toLong, sr, sg, sb)
+          }.toDF("key", "frame_idx", "sum_r", "sum_g", "sum_b")
+          .orderBy("key", "frame_idx")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, source, f, x, y FROM documents
+                 CROSS JOIN range(2) rf(f) CROSS JOIN range(4) rx(x) CROSS JOIN range(4) ry(y)),
+        p AS (SELECT doc_id, f,
+                298 * (${H.sqlH28("source || ':' || CAST(f AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR)")} % 220) AS cy,
+                (${H.sqlH28("source || ':u'")} % 209) - 112 AS d,
+                (${H.sqlH28("source || ':v'")} % 209) - 112 AS e
+              FROM g),
+        rgb AS (SELECT doc_id, f,
+                CASE WHEN cy + 409*e + 128 < 0 THEN 0
+                     ELSE LEAST(255, (cy + 409*e + 128) // 256) END AS r,
+                CASE WHEN cy - 100*d - 208*e + 128 < 0 THEN 0
+                     ELSE LEAST(255, (cy - 100*d - 208*e + 128) // 256) END AS gg,
+                CASE WHEN cy + 516*d + 128 < 0 THEN 0
+                     ELSE LEAST(255, (cy + 516*d + 128) // 256) END AS b
+              FROM p)
+        SELECT doc_id AS key, CAST(f AS BIGINT) AS frame_idx,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(gg) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b
+        FROM rgb GROUP BY doc_id, f ORDER BY key, frame_idx""")),
+
+    // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
+    // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
+    // against an oracle that recomputes each PCM sample from the md5
+    // formula (Multimodal.syntheticWavsOracle). The float round-trip is
+    // exactly invertible (v/2^15 is lossless for 16-bit v), so integer
+    // absolute-sum and energy match bit-for-bit only if the container
+    // bytes and the decoder's endianness/width handling are faithful.
+    "q106_audio_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+          .as[(Long, String)]
+        val wavs = graft.operators.Multimodal.syntheticWavsOracle(src, nSamples = 64)
+        graft.operators.Multimodal.decodeAudio(wavs)
+          .map { rec =>
+            var sumAbs = 0L; var energy = 0L
+            var i = 0
+            while (i < rec.samples.length) {
+              val v = (rec.samples(i) * 32768f).toInt
+              sumAbs += math.abs(v); energy += v.toLong * v
+              i += 1
+            }
+            (rec.key, rec.nSamples.toLong, sumAbs, energy)
+          }.toDF("key", "n_samples", "sum_abs", "energy")
+          .orderBy("key")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, source, i FROM documents
+                 CROSS JOIN range(64) ri(i)),
+        p AS (SELECT doc_id,
+                (${H.sqlH28("source || ':a' || CAST(i AS VARCHAR)")} % 65536) - 32768 AS v
+              FROM g)
+        SELECT doc_id AS key, CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+               CAST(SUM(v * v) AS BIGINT) AS energy
+        FROM p GROUP BY doc_id ORDER BY key""")),
+
     // ---- production-tier near-dup (xxhash64) — rows-only ----------------
     // Summary columns (constant across rows): an unpartitioned window
     // over the TINY pair result — one pass, no recompute of the LSH

@@ -41,6 +41,16 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
   import ControlPlane._
 
   @volatile private var state: State = Idle
+  /** Guards check-then-act state transitions: the handler pool is
+    * multi-threaded (unlike the reference's single-threaded reactor, which
+    * serializes `render_POST` for free), so two concurrent serialize
+    * POSTs must not both observe Idle and both start jobs. */
+  private val transition = new Object
+  /** Atomically move `from` → `to`; false if the state changed meanwhile. */
+  private def tryTransition(from: State => Boolean, to: State): Boolean =
+    transition.synchronized {
+      if (from(state)) { state = to; true } else false
+    }
   /** Shapes reported by the last completed training hand-off. */
   @volatile private var lastShapes: Map[String, Seq[Int]] = Map.empty
   private var server: HttpServer = _
@@ -102,41 +112,43 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
     str("command") match {
       case Some("serialize") =>
         state match {
-          case Idle | Failed(_) =>
-            str("url") match {
-              case None => respond(ex, "Please provide a valid command.")
-              case Some(url) =>
-                state = Serializing
-                // Reference shape (server.py:64,150-153): respond when the
-                // download lands; serialization continues in background.
-                try Archive.fetch(url, zipPath)
-                catch {
-                  case e: Exception =>
-                    state = Idle // fixed: reference wedges here
-                    respond(ex, "Error downloading dataset.")
-                    return
-                }
-                val job = new Thread(() => runSerialize(req), "graft-serialize")
-                job.setDaemon(true)
-                job.start()
-                respond(ex, "Dataset downloaded.")
-            }
           case Serializing => respond(ex, statusText)
-          case _ => respond(ex, "Serialization already done. You can deserialize it now.")
+          case Serialized | Training | Trained =>
+            respond(ex, "Serialization already done. You can deserialize it now.")
+          case _ => str("url") match {
+            case None => respond(ex, "Please provide a valid command.")
+            case Some(url)
+              if tryTransition(s => s == Idle || s.isInstanceOf[Failed], Serializing) =>
+              // Reference shape (server.py:64,150-153): respond when the
+              // download lands; serialization continues in background.
+              try Archive.fetch(url, zipPath)
+              catch {
+                case _: Exception =>
+                  state = Idle // fixed: reference wedges here
+                  respond(ex, "Error downloading dataset.")
+                  return
+              }
+              val job = new Thread(() => runSerialize(req), "graft-serialize")
+              job.setDaemon(true)
+              job.start()
+              respond(ex, "Dataset downloaded.")
+            // lost the transition race to a concurrent POST: poll semantics
+            case Some(_) => respond(ex, statusText)
+          }
         }
       case Some("deserialize") =>
-        state match {
-          case Serialized | Trained =>
-            val batchSize = req \ "batch_size" match {
-              case JInt(n)    => n.toInt
-              case JString(s) => s.toInt
-              case _          => 32
-            }
-            state = Training
-            val job = new Thread(() => runTrainingHandOff(batchSize), "graft-train")
-            job.setDaemon(true)
-            job.start()
-            respond(ex, "Started training. Sit back.")
+        if (tryTransition(s => s == Serialized || s == Trained, Training)) {
+          val batchSize = req \ "batch_size" match {
+            case JInt(n)    => n.toInt
+            case JString(s) => s.toInt
+            case _          => 32
+          }
+          val job = new Thread(() => runTrainingHandOff(batchSize), "graft-train")
+          job.setDaemon(true)
+          job.start()
+          respond(ex, "Started training. Sit back.")
+        } else state match {
+          case Training => respond(ex, statusText)
           case _ => respond(ex, "Cannot deserialize before serialization.")
         }
       case _ => respond(ex, "Please provide a valid command.")
