@@ -149,6 +149,32 @@ class MultimodalSpec extends SparkSpec {
     assert(px0(frames(1)) == ((255, 255, 255)), s"BT.601 white: ${px0(frames(1))}")
   }
 
+  test("sampleFrames: corrupt/truncated Y4M falls back to the deterministic stub (total op)") {
+    // valid magic + header, but the frame payload is cut short mid-plane:
+    // the demuxer must reject it (None) and the stub keep the op total
+    val bos = new ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n".getBytes("US-ASCII"))
+    for (_ <- 0 until 7) bos.write(99) // 7 of the 16+4+4 plane bytes
+    val ds = Seq(Multimodal.BinaryRecord(1L, "torn", bos.toByteArray)).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 1).collect()
+    assert(frames.nonEmpty, "stub fallback keeps the operator total")
+    assert(frames.forall(f => f.height == 4 && f.width == 4 && f.data.length == 48))
+    val again = Multimodal.sampleFrames(ds, everyNth = 1).collect()
+    assert(frames.map(_.frameIdx).toSeq == again.map(_.frameIdx).toSeq)
+  }
+
+  test("syntheticY4msOracle / syntheticWavsOracle: demuxable, per-id deterministic") {
+    val src = Seq((1L, "a"), (2L, "b")).toDS()
+    val vf = Multimodal.sampleFrames(Multimodal.syntheticY4msOracle(src), everyNth = 1).collect()
+    assert(vf.count(_.key == 1L) == 2 && vf.forall(f => f.height == 4 && f.width == 4))
+    val af = Multimodal.decodeAudio(Multimodal.syntheticWavsOracle(src)).collect().sortBy(_.key)
+    assert(af.length == 2 && af.forall(_.nSamples == 64))
+    assert(af(0).samples.toSeq != af(1).samples.toSeq)
+    val again = Multimodal.decodeAudio(Multimodal.syntheticWavsOracle(Seq((1L, "a")).toDS()))
+      .collect().head
+    assert(af(0).samples.toSeq == again.samples.toSeq)
+  }
+
   test("syntheticY4ms: real container bytes, demuxable, everyNth skips frames, deterministic") {
     val ds = Multimodal.syntheticY4ms(Seq((1L, "a"), (2L, "b")).toDS(), side = 8, nFrames = 5)
     val all = Multimodal.sampleFrames(ds, everyNth = 1).collect()
