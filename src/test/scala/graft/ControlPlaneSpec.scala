@@ -100,6 +100,54 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("S4 multi-input layout: input list > 1 routes to the n-per-record scan") {
+    // dir/<stream>/<label>/<img> layout — two streams, one label, one
+    // record; serialize with a 2-element input spec must pivot to one
+    // wide row per record (Ingest.readImageStreams)
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    for (stream <- Seq("rgb", "depth")) {
+      z.putNextEntry(new ZipEntry(s"$stream/cat/a.png"))
+      z.write(pngBytes(0x123456))
+      z.closeEntry()
+    }
+    z.close()
+    withFixtureServer(bos.toByteArray) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-s4").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        post(ep, s"""{"command":"serialize","id":"s4","url":"$zipUrl","input":[{},{}]}""")
+        pollUntil(cp, ControlPlane.Serialized)
+        val sunk = spark.read.parquet(s"${cp.sinkDir}/datumdb.parquet")
+        assert(sunk.count() == 1, "one wide record, not one row per file")
+        assert(sunk.columns.contains("rgb") && sunk.columns.contains("depth"))
+      } finally cp.stop()
+    }
+  }
+
+  test("PipelineClient drives the control plane like the reference CLI (C3)") {
+    withFixtureServer(datasetZip()) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-cli").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        assert(graft.service.PipelineClient.send("GET", None, ep)
+          .startsWith("Send a POST request"))
+        val reqFile = java.nio.file.Files.createTempFile("req", ".json")
+        java.nio.file.Files.writeString(reqFile,
+          s"""{"command":"serialize","id":"cli","url":"$zipUrl","input":[{}]}""")
+        assert(graft.service.PipelineClient.send("POST", Some(reqFile.toString), ep) ==
+          "Dataset downloaded.")
+        pollUntil(cp, ControlPlane.Serialized)
+        assert(graft.service.PipelineClient.send("GET", None, ep) ==
+          "Data Serialization complete!.\n")
+      } finally cp.stop()
+    }
+  }
+
   test("failed download resets to Idle instead of wedging (reference bug fixed)") {
     val work = java.nio.file.Files.createTempDirectory("graft-cp2").toString
     val cp = new ControlPlane(spark, work)
