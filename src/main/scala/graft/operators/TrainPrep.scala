@@ -160,4 +160,74 @@ object TrainPrep {
         lit(1000000L)) < col("keep_ppm"))
       .select(col(idCol), col(domainCol), col("n_tok"), col("keep_ppm"))
   }
+
+  /** Per-doc integrity digest used by the shard manifest: xxhash64 over
+    * id and text, XOR-folded per shard (XOR is order-independent and
+    * cannot overflow, so the checksum is stable under any read/write row
+    * order and safe under ANSI arithmetic — a SUM of full-range 64-bit
+    * hashes would overflow). */
+  private def docDigest(idCol: String, textCol: String) =
+    xxhash64(col(idCol).cast("string"), col(textCol))
+
+  /** Export the corpus as size-bounded training shards plus an INTEGRITY
+    * MANIFEST — the trainer hand-off artifact. Shards are contiguous
+    * `docsPerShard`-document slices of the deterministic [[shuffled]]
+    * order (equal-sized except the tail, reproducible across runs and
+    * file layouts); data lands at `<dir>/data/shard=<k>/` (partition
+    * pruning = a trainer reading shard k touches only shard k's files)
+    * and the manifest at `<dir>/manifest` records each shard's doc
+    * count, token count, position range and an order-independent content
+    * checksum.
+    *
+    * At 100 TB the manifest is what makes the export OPERABLE: a resumed
+    * or parallel trainer can prove a shard complete without re-reading
+    * the corpus ([[verifyShards]] is the read-back half). The manifest
+    * aggregate is |shards| rows — thousands at most — so its single-file
+    * write is a driver-side metadata cost, not a data move. The shuffle
+    * positions ride the narrowed (id, hkey) sort from [[shuffled]]; the
+    * payload joins back by id afterwards (id-bucketed and exchange-free
+    * under the bucketed warehouse layout).
+    *
+    * Returns the manifest DataFrame (shard, n_docs, n_tokens, pos_min,
+    * pos_max, checksum). */
+  def writeShards(df: DataFrame, idCol: String, textCol: String, dir: String,
+                  docsPerShard: Long = 1000L): DataFrame = {
+    require(docsPerShard > 0, s"docsPerShard must be positive, got $docsPerShard")
+    val assigned = shuffled(df.select(col(idCol), col(textCol)), idCol)
+      .withColumn("shard", expr(s"pos DIV $docsPerShard"))
+      .drop("hkey")
+      .join(df.select(col(idCol), col(textCol)), idCol)
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+    val manifest = assigned.withColumn("digest", docDigest(idCol, textCol))
+      .groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"),
+      min(col("pos")).as("pos_min"),
+      max(col("pos")).as("pos_max"),
+      expr("bit_xor(digest)").as("checksum"))
+    manifest.coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+    manifest
+  }
+
+  /** Read-back integrity check: recompute every shard's doc count and
+    * content checksum from the written data and compare to the manifest.
+    * Returns one row per shard with an `ok` flag — a shard with missing,
+    * duplicated or altered rows (torn write, partial copy, bit rot)
+    * fails closed. Full-outer joined so a shard present on only one side
+    * (manifest without data, data without manifest) also surfaces. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String, textCol: String): DataFrame = {
+    val actual = spark.read.parquet(s"$dir/data")
+      .withColumn("digest", docDigest(idCol, textCol))
+      .groupBy("shard").agg(
+        count(lit(1)).as("a_docs"),
+        expr("bit_xor(digest)").as("a_checksum"))
+    val expected = spark.read.json(s"$dir/manifest")
+      .select(col("shard"), col("n_docs"), col("checksum"))
+    expected.join(actual, Seq("shard"), "full_outer")
+      .withColumn("ok",
+        col("n_docs") === col("a_docs") && col("checksum") === col("a_checksum"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
+      .select("shard", "n_docs", "a_docs", "checksum", "a_checksum", "ok")
+  }
 }

@@ -117,4 +117,45 @@ class TrainPrepSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == again)
   }
+
+  // ---- writeShards / verifyShards --------------------------------------
+
+  private def bigCorpus = (0L until 100L)
+    .map(i => (i, s"doc $i body " + ("tok " * (i % 7).toInt)))
+    .toDF("doc_id", "text")
+
+  test("writeShards: contiguous equal shards, manifest matches data, read-back verifies") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = TrainPrep.writeShards(bigCorpus, "doc_id", "text", dir, docsPerShard = 32)
+      .orderBy("shard").collect()
+    assert(manifest.map(_.getAs[Long]("shard")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_.getAs[Long]("n_docs")).toSeq == Seq(32L, 32L, 32L, 4L))
+    // contiguous position slices, no overlap
+    assert(manifest.map(r => (r.getAs[Long]("pos_min"), r.getAs[Long]("pos_max"))).toSeq ==
+      Seq((0L, 31L), (32L, 63L), (64L, 95L), (96L, 99L)))
+    // every doc lands exactly once; shard dirs are partition-pruned paths
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == 100 &&
+      data.select("doc_id").distinct().count() == 100)
+    assert(new java.io.File(s"$dir/data/shard=0").isDirectory)
+    val check = TrainPrep.verifyShards(spark, dir, "doc_id", "text")
+    assert(check.count() == 4 && check.filter(!col("ok")).count() == 0)
+    // deterministic export: rewriting yields the identical manifest
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    val manifest2 = TrainPrep.writeShards(bigCorpus, "doc_id", "text", dir2, docsPerShard = 32)
+      .orderBy("shard").collect()
+    assert(manifest.map(_.toSeq).toSeq == manifest2.map(_.toSeq).toSeq)
+  }
+
+  test("verifyShards fails closed on a torn shard (missing data file)") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-torn").toString
+    TrainPrep.writeShards(bigCorpus, "doc_id", "text", dir, docsPerShard = 32)
+    // simulate a torn copy: drop one parquet part from one shard dir
+    val shardDir = new java.io.File(s"$dir/data/shard=1")
+    val part = shardDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val check = TrainPrep.verifyShards(spark, dir, "doc_id", "text")
+    val bad = check.filter(!col("ok")).select("shard").as[Long].collect()
+    assert(bad.toSeq == Seq(1L), s"only the torn shard flags: ${bad.toSeq}")
+  }
 }
