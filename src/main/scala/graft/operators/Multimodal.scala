@@ -456,12 +456,60 @@ object Multimodal {
   case class AudioRecord(key: Long, identifier: String, sampleRate: Float,
                          channels: Int, nSamples: Int, samples: Array[Float])
 
-  /** REAL decode for WAV/AU/AIFF (pure-JDK `javax.sound.sampled` — no
-    * external codec needed): any PCM width/endianness is converted to
-    * 16-bit signed and scaled to float32. Returns None for formats the
-    * JDK cannot read (mp3/ogg/aac — those need a real codec lib in
-    * production). */
+  /** Fast path: canonical RIFF/WAVE with 16-bit integer PCM (`fmt `
+    * audioFormat 1, bits 16 — the overwhelmingly common container),
+    * parsed directly. `AudioSystem.getAudioInputStream` runs SPI format
+    * probing and builds a conversion-stream chain PER PAYLOAD — pure
+    * constant-factor overhead when decoding millions of small clips in a
+    * `mapPartitions` batch; this parser is a chunk walk over the byte
+    * array. Chunks may appear in any order with strangers (LIST, fact)
+    * between them; anything non-canonical returns None and takes the
+    * general [[decodeAudioOne]] path, so behavior is identical. */
+  private def parseCanonicalWav(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] = {
+    if (bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = -1f; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = bb.getInt(pos) // little-endian fourcc
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == 0x20746d66) { // "fmt "
+        if (size < 16) return None
+        val audioFormat = bb.getShort(pos + 8) & 0xffff
+        channels = bb.getShort(pos + 10) & 0xffff
+        rate = bb.getInt(pos + 12).toFloat
+        val bits = bb.getShort(pos + 22) & 0xffff
+        if (audioFormat != 1 || bits != 16 || channels <= 0) return None
+      } else if (id == 0x61746164) { // "data"
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = bb.getShort(dataOff + 2 * i) / 32768.0f
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** REAL decode for WAV/AU/AIFF (pure-JDK — no external codec needed):
+    * canonical 16-bit PCM WAV takes the direct [[parseCanonicalWav]]
+    * chunk walk; everything else goes through `javax.sound.sampled`,
+    * where any PCM width/endianness is converted to 16-bit signed and
+    * scaled to float32. Returns None for formats the JDK cannot read
+    * (mp3/ogg/aac — those need a real codec lib in production). */
   private def decodeAudioOne(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
+    parseCanonicalWav(bytes).orElse(decodeAudioJavax(bytes))
+
+  private def decodeAudioJavax(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))

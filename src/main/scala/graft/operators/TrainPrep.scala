@@ -217,13 +217,25 @@ object TrainPrep {
     * (manifest without data, data without manifest) also surfaces. */
   def verifyShards(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String, textCol: String): DataFrame = {
-    val actual = spark.read.parquet(s"$dir/data")
-      .withColumn("digest", docDigest(idCol, textCol))
-      .groupBy("shard").agg(
-        count(lit(1)).as("a_docs"),
-        expr("bit_xor(digest)").as("a_checksum"))
-    val expected = spark.read.json(s"$dir/manifest")
-      .select(col("shard"), col("n_docs"), col("checksum"))
+    // an empty export writes no parquet/json parts, so schema inference
+    // on read-back fails — treat either side as zero shards (an
+    // empty-vs-nonempty mismatch still fails via the full-outer join)
+    def orEmpty(read: => DataFrame, cols: Seq[String]): DataFrame =
+      try read catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).selectExpr(cols.map(c => s"id AS $c"): _*)
+      }
+    val actual = orEmpty(
+      spark.read.parquet(s"$dir/data")
+        .withColumn("digest", docDigest(idCol, textCol))
+        .groupBy("shard").agg(
+          count(lit(1)).as("a_docs"),
+          expr("bit_xor(digest)").as("a_checksum")),
+      Seq("shard", "a_docs", "a_checksum"))
+    val expected = orEmpty(
+      spark.read.json(s"$dir/manifest")
+        .select(col("shard"), col("n_docs"), col("checksum")),
+      Seq("shard", "n_docs", "checksum"))
     expected.join(actual, Seq("shard"), "full_outer")
       .withColumn("ok",
         col("n_docs") === col("a_docs") && col("checksum") === col("a_checksum"))

@@ -77,4 +77,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(TrainPrep.bm25(noDocs, "doc_id", "text", Seq("x")).count() == 0)
     assert(TrainPrep.uniformMixture(noLang, "doc_id", "lang", "text").count() == 0)
   }
+
+  test("shard export on an empty corpus: empty manifest, verify is a no-op") {
+    import graft.operators.TrainPrep
+    val dir = java.nio.file.Files.createTempDirectory("shards-empty").toString
+    assert(TrainPrep.writeShards(noDocs, "doc_id", "text", dir).count() == 0)
+    assert(TrainPrep.verifyShards(spark, dir, "doc_id", "text").count() == 0)
+  }
 }
