@@ -1520,6 +1520,28 @@ object Relational {
           HAVING ${Det.sqlMoneySum("l_quantity")} > 250.0)
         GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
         ORDER BY o.o_totalprice DESC, o.o_orderkey
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // ---- dataset profiling (D1 stats, per-column) -----------------------
+    // One-pass audit report: null/distinct counts and extrema per column
+    // (operators.Profile). The wide aggregate computes every stat in a
+    // single scan (multi-count-distinct plans as one Expand); the
+    // stack() transpose is one-row-in, |cols|-rows-out. The oracle is the
+    // classic per-column UNION ALL — which scans the table once PER
+    // COLUMN: the single-scan profile is the point of the operator.
+    "q107_profile" -> Q(
+      (s, dir) => graft.operators.Profile.profile(
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(MIN($c) AS VARCHAR) AS min_s,
+             CAST(MAX($c) AS VARCHAR) AS max_s FROM orders"""
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
+      })
   )
 }
