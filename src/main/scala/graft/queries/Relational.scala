@@ -1542,6 +1542,39 @@ object Relational {
              CAST(MAX($c) AS VARCHAR) AS max_s FROM orders"""
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
           .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
-      })
+      }),
+
+    // ---- VARIANT shredding (semi-structured, Spark 4) --------------------
+    // Construct → parse_json → typed-path extraction → aggregate: each
+    // event is serialized to a JSON document (string, long, double-array
+    // fields), parsed into Spark's VARIANT binary encoding, and shredded
+    // back with typed `variant_get` paths (including an array index). The
+    // oracle computes the same aggregate DIRECTLY from the base columns —
+    // so the hash gate proves the whole encode→VARIANT→extract round
+    // trip is lossless, including the JSON number round-trip of 2-decimal
+    // doubles (shortest-repr printing re-parses bit-exactly). At scale
+    // VARIANT's binary form replaces per-query JSON string re-parsing;
+    // the extraction is codegen'd, not a per-row UDF.
+    "q108_variant_shred" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .withColumn("doc", to_json(struct(
+            col("event_type").as("t"),
+            col("user_id").as("u"),
+            array(col("value"), col("value") * 2).as("vals"))))
+          .select(parse_json(col("doc")).as("v"))
+          .select(
+            expr("variant_get(v, '$.t', 'string')").as("t"),
+            expr("variant_get(v, '$.u', 'long')").as("u"),
+            expr("variant_get(v, '$.vals[1]', 'double')").as("v2"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"),
+            Det.moneySum(col("v2")).as("total_v2"))
+          .orderBy("t")
+      },
+      Some(s"""SELECT event_type AS t, COUNT(*) AS n,
+          CAST(SUM(user_id) AS BIGINT) AS sum_u,
+          ${Det.sqlMoneySum("value * 2")} AS total_v2
+        FROM events GROUP BY event_type ORDER BY t"""))
   )
 }
