@@ -42,6 +42,14 @@ object Det {
   /** Exact sum of a 2-decimal money column, as double. */
   def moneySum(c: Column): Column = sum(money(c)).cast(DoubleType)
 
+  /** Finest-grain money sum kept DECIMAL (no double cast yet) — the
+    * first level of a two-level aggregate (cube/rollup over a
+    * pre-aggregate). Re-fold with [[refoldMoney]], which performs the
+    * single final cast; the composition equals a direct [[moneySum]]
+    * exactly because decimal addition is associative. */
+  def moneySumExact(c: Column): Column = sum(money(c))
+  def refoldMoney(c: Column): Column = sum(c).cast(DoubleType)
+
   /** Deterministic average: exact decimal sum as double over count —
     * a single IEEE division, identical in any engine. */
   def moneyAvg(c: Column): Column = sum(money(c)).cast(DoubleType) / count(c)

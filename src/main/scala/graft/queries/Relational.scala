@@ -184,11 +184,17 @@ object Relational {
       (s, dir) => {
         val r = t(s, dir, "region"); val n = t(s, dir, "nation")
         val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // two-level: aggregate to (region, nation) grain first — no Expand
+        // over the fact rows — then rollup the |nations|-row result (q10's
+        // rewrite; values identical, decimal re-fold exact)
+        val finest = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(Det.moneySumExact(col("o_totalprice")).as("fr"), count(lit(1)).as("fn"))
+        finest
           .rollup(col("r_name"), col("n_name"))
-          .agg(Det.moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"),
+          .agg(Det.refoldMoney(col("fr")).as("revenue"), sum(col("fn")).as("n_orders"),
                grouping_id().cast("long").as("gid"))
           .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
       },
@@ -201,11 +207,22 @@ object Relational {
         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
 
     // ---- cube -----------------------------------------------------------
+    // Two-level aggregate: the naive `cube` over raw lineitem plants an
+    // Expand that multiplies EVERY fact row by the grouping-set count (4)
+    // before the partial aggregate — at 100 TB that's 4× the scan volume
+    // into the shuffle. Aggregating to the finest grain FIRST (plain
+    // partial+final, no Expand), then cubing the |flags × statuses| ≈ 6
+    // result rows, computes identical values (counts and decimal sums
+    // re-fold exactly) with the Expand demoted to a 6-row input.
+    // PlanShapeSpec gates Expand-above-Aggregate.
     "q10_cube_counts" -> Q(
       (s, dir) => {
-        t(s, dir, "lineitem")
+        val finest = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("fn"), Det.moneySumExact(col("l_quantity")).as("fq"))
+        finest
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), Det.moneySum(col("l_quantity")).as("sum_qty"),
+          .agg(sum(col("fn")).as("n"), Det.refoldMoney(col("fq")).as("sum_qty"),
                grouping_id().cast("long").as("gid"))
           .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
@@ -357,11 +374,16 @@ object Relational {
     "q45_grouping_sets" -> Q(
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        // two-level (q10's rewrite), kept on the SQL surface: the inner
+        // aggregate reaches the finest grain without an Expand; the
+        // grouping-set Expand runs over its ~6 rows
         s.sql(s"""SELECT l_returnflag, l_linestatus,
-            COUNT(*) AS n,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            SUM(fn) AS n,
+            CAST(SUM(fq) AS DOUBLE) AS sum_qty,
             CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
-          FROM lineitem_gs
+          FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS fn,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS fq
+                FROM lineitem_gs GROUP BY l_returnflag, l_linestatus)
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
       },
@@ -1329,10 +1351,13 @@ object Relational {
     // partial-aggregate shape as any rollup: one exchange of partials.
     "q100_rollup_grouping" -> Q(
       (s, dir) => {
+        // two-level (q10's rewrite): no Expand over fact rows
         t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("fn"), Det.moneySumExact(col("l_extendedprice")).as("fp"))
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(grouping_id().as("lvl"), count(lit(1)).as("n"),
-            Det.moneySum(col("l_extendedprice")).as("total"))
+          .agg(grouping_id().as("lvl"), sum(col("fn")).as("n"),
+            Det.refoldMoney(col("fp")).as("total"))
           .select(
             coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
             coalesce(col("l_linestatus"), lit("<all>")).as("status"),

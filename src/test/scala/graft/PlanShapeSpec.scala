@@ -241,6 +241,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"max-over-view must be a window:\n$plan")
   }
 
+  test("cube/rollup/grouping-sets queries expand AGGREGATES, not fact rows (q09/q10/q45/q100)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan}
+    // the naive plan's Expand multiplies every fact row by the
+    // grouping-set count before the partial aggregate; the two-level
+    // rewrite must feed each Expand from a finest-grain Aggregate
+    def expandFedByAggregate(p: LogicalPlan): Boolean = {
+      val expands = p.collect { case e: Expand => e }
+      expands.nonEmpty && expands.forall(_.child.collectFirst { case a: Aggregate => a }.nonEmpty)
+    }
+    for (q <- Seq("q09_rollup_revenue", "q10_cube_counts", "q45_grouping_sets",
+        "q100_rollup_grouping")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      assert(expandFedByAggregate(plan), s"$q: Expand runs over raw rows:\n$plan")
+    }
+  }
+
   test("q103 EXISTS/NOT-EXISTS folds to window counts: ONE lineitem scan, no self-join") {
     val df = SparkEntry.queries("q103_waiting_suppliers")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
