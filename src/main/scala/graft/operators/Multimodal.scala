@@ -87,11 +87,6 @@ object Multimodal {
     }
   }
 
-  /** Pixel value of the ORACLE-SHARED synthetic image formula:
-    * first 7 md5 hex chars of `"<id>:<x>,<y>,<c>"` mod 256 — the plain-JVM
-    * twin of [[graft.functions.Hashing.h28]] (and DuckDB
-    * `CAST('0x'||substr(md5(..),1,7) AS BIGINT)`), so feature queries over
-    * [[syntheticDecoded]] corpora have an exact cross-engine oracle. */
   /** First 28 bits of md5(key) — the JVM twin of
     * [[graft.functions.Hashing.sqlH28]] (first 7 hex chars), read directly
     * from the digest bytes, no hex string in per-pixel loops. */
@@ -101,6 +96,11 @@ object Multimodal {
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xff) >>> 4)
   }
 
+  /** Pixel value of the ORACLE-SHARED synthetic image formula:
+    * first 7 md5 hex chars of `"<id>:<x>,<y>,<c>"` mod 256 — the plain-JVM
+    * twin of [[graft.functions.Hashing.h28]] (and DuckDB
+    * `CAST('0x'||substr(md5(..),1,7) AS BIGINT)`), so feature queries over
+    * [[syntheticDecoded]] corpora have an exact cross-engine oracle. */
   def pixel(id: String, x: Int, y: Int, c: Int,
             md: java.security.MessageDigest =
               java.security.MessageDigest.getInstance("MD5")): Int =
@@ -465,7 +465,7 @@ object Multimodal {
     * array. Chunks may appear in any order with strangers (LIST, fact)
     * between them; anything non-canonical returns None and takes the
     * general [[decodeAudioOne]] path, so behavior is identical. */
-  private def parseCanonicalWav(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] = {
+  private[graft] def parseCanonicalWav(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] = {
     if (bytes.length < 44 ||
       bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
@@ -509,7 +509,7 @@ object Multimodal {
   private def decodeAudioOne(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
     parseCanonicalWav(bytes).orElse(decodeAudioJavax(bytes))
 
-  private def decodeAudioJavax(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
+  private[graft] def decodeAudioJavax(bytes: Array[Byte]): Option[(Float, Int, Array[Float])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))

@@ -209,3 +209,53 @@ object PropertySpec extends Properties("graft") {
       got == want && twice == got
     }
 }
+
+/** WAV decode equivalence: the direct RIFF fast path must be
+  * indistinguishable from the javax.sound general path on every
+  * canonical 16-bit PCM container the JDK writer can produce. */
+object WavPathPropertySpec extends Properties("graft.wav") {
+  import org.scalacheck.Prop.propBoolean
+
+  private def wavBytes(rate: Float, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (samples.length / channels).toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  property("fast RIFF path == javax path on canonical PCM16 WAV") =
+    forAll(Gen.oneOf(8000f, 16000f, 44100f), Gen.choose(1, 2),
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue, Short.MaxValue))) { (rate, ch, vals) =>
+      val samples = (vals ++ vals.take(vals.length % ch)).toArray // frame-align
+      val bytes = wavBytes(rate, ch, samples)
+      val fast = graft.operators.Multimodal.parseCanonicalWav(bytes)
+      val general = graft.operators.Multimodal.decodeAudioJavax(bytes)
+      (fast.nonEmpty :| "fast path recognizes the container") &&
+        (general.nonEmpty :| "javax recognizes the container") && {
+          val (fr, fc, fs) = fast.get
+          val (gr, gc, gs) = general.get
+          (fr == gr && fc == gc) :| s"format: ($fr,$fc) vs ($gr,$gc)" &&
+            (fs.toSeq == gs.toSeq) :| "identical samples"
+        }
+    }
+
+  property("fast path rejects non-RIFF and truncated payloads (falls to general)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      // must never throw; None is the only acceptable failure mode
+      graft.operators.Multimodal.parseCanonicalWav(arr) match {
+        case None => true
+        case Some((r, c, s)) => r > 0 && c > 0 && s != null
+      }
+    }
+}
