@@ -257,6 +257,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q107 profile reads the table ONCE for all per-column stats") {
+    val df = SparkEntry.queries("q107_profile")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-column UNION ALL oracle scans once per column; the
+    // one-pass wide aggregate is the operator's point
+    val scans = plan.linesIterator
+      .filter(l => l.contains("orders.parquet") && l.contains("FileScan")).toList
+    assert(scans.size == 1, s"expected exactly 1 orders scan, got ${scans.size}:\n$plan")
+  }
+
   test("q103 EXISTS/NOT-EXISTS folds to window counts: ONE lineitem scan, no self-join") {
     val df = SparkEntry.queries("q103_waiting_suppliers")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
