@@ -253,4 +253,33 @@ object DocStreams {
       Some(spark.read.parquet(indexDir).select("id", "shingles", "sig"))
     else None
   }
+
+  /** Continuous training-shard export: every micro-batch becomes a
+    * standalone manifest-ed shard set at `<dir>/epoch=<id>` via
+    * [[graft.operators.TrainPrep.writeShards]] — the streaming half of
+    * the trainer hand-off (continuous pretraining-data refresh). The
+    * exactly-once construction is the [[maintainIndex]] one: the epoch id
+    * names the output directory and `writeShards` overwrites it, so a
+    * replayed batch after a crash-between-sink-and-checkpoint rewrites
+    * the SAME epoch deterministically (the shuffle permutation is
+    * md5-keyed), duplicating nothing. Each epoch verifies independently
+    * with [[graft.operators.TrainPrep.verifyShards]]; a trainer consumes
+    * epochs in id order as they appear.
+    *
+    * Scale: per-batch cost is one batch-sized narrow sort + write —
+    * nothing global, no cross-epoch state. Shard size inside an epoch is
+    * governed by `docsPerShard` exactly as in the batch exporter. */
+  def exportShards(docs: DataFrame, dir: String, checkpointDir: String,
+                   idCol: String, textCol: String,
+                   docsPerShard: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        graft.operators.TrainPrep.writeShards(
+          batch.select(col(idCol), col(textCol)), idCol, textCol,
+          s"$dir/epoch=$epochId", docsPerShard)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.streaming.DocStreams
+import org.apache.spark.sql.functions.col
 
 class DocStreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -301,5 +302,37 @@ class DocStreamsSpec extends SparkSpec {
       DocStreams.streamedSketch(spark, dir).get, "doc_id", "text")
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(probe.contains((1L, 9L)), s"streamed index not probe-able: $probe")
+  }
+
+  test("exportShards: each epoch is a verified shard set; replay rewrites, never duplicates") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("streamshards").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("streamshards_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.exportShards(
+      mem.toDF().toDF("doc_id", "text"), dir, ckpt, "doc_id", "text", docsPerShard = 2)
+    mem.addData((0L until 5L).map(i => (i, s"doc $i body")): _*)
+    q.processAllAvailable()
+    mem.addData((10L, "late doc"), (11L, "later doc"))
+    q.processAllAvailable()
+    q.stop()
+    // each epoch verifies independently
+    import graft.operators.TrainPrep
+    for (epoch <- Seq(0L, 1L)) {
+      val check = TrainPrep.verifyShards(spark, s"$dir/epoch=$epoch", "doc_id", "text")
+      assert(check.count() > 0 && check.filter(!col("ok")).count() == 0,
+        s"epoch $epoch fails verification")
+    }
+    assert(spark.read.parquet(s"$dir/epoch=0/data").count() == 5)
+    assert(spark.read.parquet(s"$dir/epoch=1/data").count() == 2)
+    // crash replay: re-running a committed epoch rewrites it bit-identically
+    val before = TrainPrep.verifyShards(spark, s"$dir/epoch=1", "doc_id", "text")
+      .select("shard", "checksum").as[(Long, Long)].collect().toSet
+    TrainPrep.writeShards(Seq((10L, "late doc"), (11L, "later doc")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/epoch=1", docsPerShard = 2)
+    val after = TrainPrep.verifyShards(spark, s"$dir/epoch=1", "doc_id", "text")
+      .select("shard", "checksum").as[(Long, Long)].collect().toSet
+    assert(before == after, "replayed epoch changed the export")
+    assert(spark.read.parquet(s"$dir/epoch=1/data").count() == 2, "replay duplicated rows")
   }
 }
