@@ -117,4 +117,28 @@ object Similarity {
       .select("a", "b", "cos")
       .orderBy("a", "b")
   }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|v| / 127, q_i = floor(v_i / max|v| · 127 + 0.5) ∈
+    * [-127, 127] (the affine-free variant used for embedding storage —
+    * 4× smaller than float32, dot products stay a cheap integer
+    * kernel). All-zero vectors quantize to zeros with scale 0.
+    *
+    * Determinism: max is order-independent; the per-element expression
+    * is a fixed two-op IEEE chain plus floor, so the oracle reproduces
+    * every quantized value exactly (q109). Map-only; no shuffle.
+    *
+    * Returns (id, scale, qvec: array<long>); dequantize as q_i · scale. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("amax",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .select(col("id"), (col("amax") / 127.0).as("scale"),
+        when(col("amax") === 0.0,
+            transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("amax") * 127.0 + 0.5).cast("long")))
+          .as("qvec"))
+  }
 }

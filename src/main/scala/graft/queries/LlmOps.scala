@@ -475,6 +475,36 @@ object LlmOps {
                CAST(SUM(b) AS BIGINT) AS sum_b
         FROM rgb GROUP BY doc_id, f ORDER BY key, frame_idx""")),
 
+    // ---- int8 embedding quantization (storage compression) --------------
+    // Symmetric per-vector int8: scale = max|v|/127, q = floor(v/max|v|
+    // ·127 + 0.5) — 4× smaller embedding storage with integer dot-product
+    // kernels. Map-only (plan has no exchange until the final sort). The
+    // oracle recomputes every quantized value from the same fixed IEEE
+    // chain (both engines read identical float32, widen to double, and
+    // floor is exact), so the integer summaries hash-match bit-for-bit.
+    "q109_embed_quantize" -> Q(
+      (s, dir) => {
+        val q = graft.operators.Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        q.select(col("id"),
+            size(col("qvec")).cast("long").as("n_dims"),
+            aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x)).as("sum_abs_q"),
+            aggregate(col("qvec"), lit(0L), (a, x) => a + x * x).as("sum_sq_q"),
+            aggregate(col("qvec"), lit(0L), (a, x) => greatest(a, abs(x))).as("max_abs_q"))
+          .orderBy("id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id,
+            CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                 ELSE list_transform(v, x -> floor(x / amax * 127.0 + 0.5)) END AS qv
+          FROM q)
+        SELECT vec_id AS id, CAST(len(qv) AS BIGINT) AS n_dims,
+          CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq_q,
+          CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs_q
+        FROM e ORDER BY id""")),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5

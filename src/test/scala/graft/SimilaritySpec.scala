@@ -65,4 +65,32 @@ class SimilaritySpec extends SparkSpec {
     // planted near-dup shares the sketch with its source
     assert(s1(5L) == s1(40L))
   }
+
+  test("quantizeInt8: range, reconstruction bound, zero vector, determinism") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-3.0f, 2.0f, 1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("scale"),
+          r.getAs[scala.collection.Seq[Long]]("qvec").toSeq))).toMap
+    // extremum maps to ±127; everything inside [-127, 127]
+    assert(q(1L)._2 == Seq(64L, -127L, 32L, 16L))
+    assert(q.values.forall(_._2.forall(v => v >= -127 && v <= 127)))
+    // zero vector: zeros with scale 0
+    assert(q(2L) == ((0.0, Seq(0L, 0L, 0L, 0L))))
+    // reconstruction: |q*scale - v| <= scale/2 + eps per element
+    for ((id, (scale, qv)) <- q if scale > 0) {
+      val orig = vecs.filter($"vec_id" === id).collect()
+        .head.getAs[scala.collection.Seq[Float]]("embedding")
+      qv.zip(orig).foreach { case (qi, vi) =>
+        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-12,
+          s"id=$id: $qi*$scale vs $vi")
+      }
+    }
+    val again = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[scala.collection.Seq[Long]]("qvec").toSeq).toSet
+    assert(again == q.values.map(_._2.toSeq).toSet)
+  }
 }
