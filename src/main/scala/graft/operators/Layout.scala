@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-dimension file skipping.
+  *
+  * At 100 TB, the dominant cost of a selective query is the files it CANNOT
+  * skip. Sorting a table by one column gives perfect min/max pruning on that
+  * column and none on any other; interleaving the bits of several bucketed
+  * dimensions into one Morton key and range-partitioning on it gives every
+  * interleaved dimension partial locality, so parquet footer min/max stats
+  * prune files for predicates on ANY of them (the technique behind
+  * Delta/Iceberg OPTIMIZE ZORDER; Morton 1966).
+  *
+  * Scale design:
+  *  - [[zValue]] is a compile-time-unrolled bit-arithmetic Column — pure
+  *    codegen'd longs, no UDF, no shuffle; it stays inside WholeStageCodegen.
+  *  - Dimension bucketing is min-max affine (two cheap global aggregates,
+  *    broadcast back as literals via a 1-row cross join) — integer-exact,
+  *    so an external system can reproduce the key bit-for-bit (q110).
+  *  - [[writeZOrdered]] = repartitionByRange on the key + sortWithinPartitions
+  *    — one range shuffle, the same cost as any global sort layout.
+  *  - Skew: repartitionByRange samples the key distribution, so heavily
+  *    duplicated (x,y) points still split across files; pruning quality
+  *    degrades gracefully (overlapping file ranges), never correctness.
+  */
+object Layout {
+
+  /** Morton-interleave two pre-bucketed non-negative int columns (each in
+    * [0, 2^bits)) into one long: bit i of x lands at 2i, of y at 2i+1.
+    * Unrolled at plan-build time into a flat codegen'd expression. */
+  def zValue(xBucket: Column, yBucket: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(xBucket, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yBucket, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Min-max affine bucket of an integer column into [0, 2^bits), given the
+    * global min/max as columns (from a broadcast 1-row aggregate):
+    * b = (x - min) * 2^bits div (max - min + 1), matching SQL `//` for
+    * non-negative operands. Integer division is built as
+    * (num - pmod(num, den)) / den: the dividend is exactly divisible and
+    * < 2^53, so the double division is bit-exact — no `floor` rounding
+    * hazard, no string `expr`. */
+  def minMaxBucket(x: Column, mn: Column, mx: Column, bits: Int = 16): Column = {
+    val num = (x - mn) * lit(1L << bits)
+    val den = mx - mn + lit(1L)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** df + a `zval` column Morton-interleaving the two integer dimensions,
+    * bucketed by their global min/max. One aggregate job + a broadcast
+    * 1-row cross join; the per-row key math is map-only. */
+  def withZValue(df: DataFrame, dimX: String, dimY: String,
+                 bits: Int = 16): DataFrame = {
+    val mm = df.agg(
+      min(col(dimX)).cast("long").as("__xmin"),
+      max(col(dimX)).cast("long").as("__xmax"),
+      min(col(dimY)).cast("long").as("__ymin"),
+      max(col(dimY)).cast("long").as("__ymax"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("zval", zValue(
+        minMaxBucket(col(dimX).cast("long"), col("__xmin"), col("__xmax"), bits),
+        minMaxBucket(col(dimY).cast("long"), col("__ymin"), col("__ymax"), bits),
+        bits))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax")
+  }
+
+  /** Write df z-ordered on (dimX, dimY) into ~numFiles parquet files:
+    * range-partition on the Morton key, sort within partitions, drop the
+    * key. Readers prune files on EITHER dimension via footer min/max. */
+  def writeZOrdered(df: DataFrame, dimX: String, dimY: String, path: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    withZValue(df, dimX, dimY, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max) of a column across a parquet directory, read in a
+    * single scan grouped by `input_file_name()` — the test-scale stand-in
+    * for reading footer stats. Returns (file, lo, hi). */
+  def fileRanges(spark: SparkSession, path: String, dim: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(dim)).cast("long").as("lo"), max(col(dim)).cast("long").as("hi"))
+
+  /** How many files a predicate `dim BETWEEN lo AND hi` must touch under
+    * footer min/max pruning — the metric z-ordering exists to shrink. */
+  def filesTouched(spark: SparkSession, path: String, dim: String,
+                   lo: Long, hi: Long): Long =
+    fileRanges(spark, path, dim)
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .count()
+}

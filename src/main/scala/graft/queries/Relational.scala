@@ -1600,6 +1600,39 @@ object Relational {
       Some(s"""SELECT event_type AS t, COUNT(*) AS n,
           CAST(SUM(user_id) AS BIGINT) AS sum_u,
           ${Det.sqlMoneySum("value * 2")} AS total_v2
-        FROM events GROUP BY event_type ORDER BY t"""))
+        FROM events GROUP BY event_type ORDER BY t""")),
+
+    // ---- Z-order (Morton) layout key (file-skipping data layout) --------
+    // operators.Layout: min-max bucket both dimensions to 16 bits (exact
+    // integer affine), interleave bits into one Morton key (compile-time-
+    // unrolled codegen'd longs, no UDF, map-only). The hash gate proves an
+    // external system reproduces the layout key bit-for-bit — the property
+    // that makes z-ordered files portable across writers. The oracle
+    // recomputes the interleave with a list-comprehension over bit
+    // positions; integer math end-to-end, so zmin/zmax/zxor match exactly.
+    "q110_zorder_curve" -> Q(
+      (s, dir) => {
+        val z = graft.operators.Layout.withZValue(
+          t(s, dir, "lineitem").select("l_returnflag", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey")
+        z.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            min(col("zval")).as("zmin"), max(col("zval")).as("zmax"),
+            expr("bit_xor(zval)").as("zxor"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH mm AS (SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+                   min(l_suppkey) smin, max(l_suppkey) smax FROM lineitem),
+        b AS (SELECT l_returnflag,
+                ((l_partkey - pmin) * 65536) // (pmax - pmin + 1) AS bx,
+                ((l_suppkey - smin) * 65536) // (smax - smin + 1) AS by
+              FROM lineitem, mm),
+        z AS (SELECT l_returnflag,
+                list_sum(list_transform(range(0,16),
+                  i -> (((bx >> i) & 1) << (2*i)) + (((by >> i) & 1) << (2*i+1)))) AS zval
+              FROM b)
+        SELECT l_returnflag, count(*) AS n, CAST(min(zval) AS BIGINT) AS zmin,
+               CAST(max(zval) AS BIGINT) AS zmax, CAST(bit_xor(zval) AS BIGINT) AS zxor
+        FROM z GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
