@@ -26,6 +26,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter join pruning (pinned, not left to version
+      // defaults): a selective dim predicate becomes a map-side
+      // might_contain() on the fact BEFORE its shuffle — at 100 TB the
+      // non-joining fact rows never enter the exchange. The 10 GB
+      // application-side gate stays at default: only genuinely large scans
+      // pay the filter-build. Plan-gated in PlanShapeSpec.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet — read as Long, convert in Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -306,6 +306,36 @@ class PlanShapeSpec extends SparkSpec {
       s"window not partitioned by user_id:\n$plan")
   }
 
+  test("runtime bloom filter: selective dim filter reaches the fact scan") {
+    // the 100 TB shuffle-join story: when the dim side is too big to
+    // broadcast but carries a selective predicate, Spark's InjectRuntimeFilter
+    // builds a bloom filter from the filtered dim keys and applies it
+    // map-side on the fact BEFORE the shuffle — fact rows that cannot join
+    // never enter the exchange. GraftSession enables the rule; the
+    // application-side size gate (10 GB default — correct in prod, where
+    // the fact side is the 100 TB table) is lowered here so the rule fires
+    // on the test fixture.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = graft.catalog.Tables.load(spark, dir, "lineitem")
+      val p = graft.catalog.Tables.load(spark, dir, "part")
+        .filter(org.apache.spark.sql.functions.col("p_size") === 1)
+      val j = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(li("l_orderkey"), p("p_name"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom runtime filter injected on the fact side:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q92 mode window ranks counts, never raw lineitem rows") {
     import org.apache.spark.sql.catalyst.plans.logical._
     val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
