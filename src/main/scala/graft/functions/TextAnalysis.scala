@@ -185,4 +185,30 @@ object TextAnalysis {
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
+
+  // ---- PII redaction (training-data scrubbing) ------------------------
+  /** Ordered (pattern, replacement) pairs, applied first-to-last. The
+    * patterns are restricted to the RE2-compatible subset (character
+    * classes, bounded repeats, `\b`, non-capturing groups — no lookaround,
+    * no backrefs) so Java (Spark) and RE2 (DuckDB) match IDENTICAL spans
+    * and the redacted text hash-matches across engines (q111). Order
+    * matters: SSN (ddd-dd-dddd) before phone (ddd-ddd-dddd) — the shapes
+    * are disjoint, but a fixed order makes the output reproducible by
+    * construction, not by accident. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact all PII patterns, in order. A chain of codegen'd
+    * regexp_replace calls — per-row, no UDF, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Count of matches of one PII pattern (pre-redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
 }

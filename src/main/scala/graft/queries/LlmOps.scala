@@ -505,6 +505,89 @@ object LlmOps {
           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs_q
         FROM e ORDER BY id""")),
 
+    // ---- PII redaction (training-data scrubbing) ------------------------
+    // The fixture corpus carries no PII, so each doc is augmented with a
+    // deterministic synthetic block derived from doc_id (doc_id%3 emails,
+    // one IP / SSN / phone — same construction formula both engines, the
+    // codec-corpus pattern of q105/q106). The gate hash-matches md5 of the
+    // REDACTED text, so both the RE2-safe patterns and the fixed
+    // replacement order are proven to produce byte-identical output.
+    "q111_pii_redact" -> Q(
+      (s, dir) => {
+        val id = col("doc_id")
+        def piiLpad(c: org.apache.spark.sql.Column, n: Int) =
+          lpad(c.cast("string"), n, "0")
+        val aug = docs(s, dir)
+          .withColumn("em", concat(lit("user"), id.cast("string"), lit("@example.com ")))
+          .withColumn("aug", concat(
+            col("text"), lit(" contact "),
+            expr("repeat(em, CAST(doc_id % 3 AS INT))"),
+            lit("srv "), pmod(id * 7, lit(256)).cast("string"), lit("."),
+            pmod(id * 13, lit(256)).cast("string"), lit(".0.1 id "),
+            piiLpad(pmod(id * 37, lit(1000)), 3), lit("-"),
+            piiLpad(pmod(id, lit(100)), 2), lit("-"),
+            piiLpad(pmod(id * 11, lit(10000)), 4), lit(" ph "),
+            piiLpad(pmod(id, lit(1000)), 3), lit("-"),
+            piiLpad(pmod(id * 3, lit(1000)), 3), lit("-"),
+            piiLpad(pmod(id * 7, lit(10000)), 4)))
+        val red = TextAnalysis.redactPii(col("aug"))
+        aug.select(id,
+            TextAnalysis.piiCount(col("aug"), TextAnalysis.PiiPatterns.head._1).as("n_email"),
+            md5(red).as("red_md5"),
+            length(red).cast("long").as("red_len"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val Seq(email, ip, ssn, phone) = TextAnalysis.PiiPatterns.map(_._1)
+        s"""WITH a AS (SELECT doc_id,
+             text || ' contact ' ||
+             repeat('user' || CAST(doc_id AS VARCHAR) || '@example.com ', CAST(doc_id % 3 AS INT)) ||
+             'srv ' || CAST(doc_id*7 % 256 AS VARCHAR) || '.' || CAST(doc_id*13 % 256 AS VARCHAR) || '.0.1 id ' ||
+             lpad(CAST(doc_id*37 % 1000 AS VARCHAR),3,'0') || '-' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0') || '-' || lpad(CAST(doc_id*11 % 10000 AS VARCHAR),4,'0') ||
+             ' ph ' || lpad(CAST(doc_id % 1000 AS VARCHAR),3,'0') || '-' || lpad(CAST(doc_id*3 % 1000 AS VARCHAR),3,'0') || '-' || lpad(CAST(doc_id*7 % 10000 AS VARCHAR),4,'0') AS aug
+           FROM documents),
+        r AS (SELECT doc_id, aug,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+               '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+               '$ssn', '<SSN>', 'g'), '$phone', '<PHONE>', 'g') AS red
+           FROM a)
+        SELECT doc_id, CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+               md5(red) AS red_md5, CAST(len(red) AS BIGINT) AS red_len
+        FROM r ORDER BY doc_id"""
+      }),
+
+    // ---- Gopher repetition filters (operators.Quality) ------------------
+    // Per-doc repetition profile via explode → count → per-doc max (the
+    // shuffle carries (doc, gram) pairs; never a per-row O(n²) lambda).
+    // Every stat is an exact integer; dup_word_frac is the one division.
+    "q112_repetition_stats" -> Q(
+      (s, dir) => graft.operators.Quality
+        .repetitionStats(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+        w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                 CAST(count(*) AS BIGINT) AS n_distinct_words,
+                 CAST(max(c) AS BIGINT) AS top_word_cnt FROM wc GROUP BY 1),
+        g0 AS (SELECT doc_id, list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1]) AS grams FROM t),
+        g AS (SELECT doc_id, unnest(grams) AS g FROM g0),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                 CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+                 CAST(max(c) AS BIGINT) AS top_2gram_cnt,
+                 CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_2gram_words
+               FROM gc GROUP BY 1)
+        SELECT wa.doc_id, n_words, n_distinct_words, top_word_cnt,
+               CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+               COALESCE(n_2grams, 0) AS n_2grams,
+               COALESCE(n_distinct_2grams, 0) AS n_distinct_2grams,
+               COALESCE(top_2gram_cnt, 0) AS top_2gram_cnt,
+               COALESCE(dup_2gram_words, 0) AS dup_2gram_words
+        FROM wa LEFT JOIN ga USING (doc_id) ORDER BY doc_id""")),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5
