@@ -500,4 +500,78 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
       .orderBy("a", "b")
   }
+
+  // ---- content-defined chunk dedup (exact-substring, shift-invariant) ----
+
+  /** Exact-substring dedup at content-defined chunk granularity — the
+    * distributed stand-in for a suffix-array exact-substring pass
+    * (RefinedWeb / Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): repeated token runs are removed from every
+    * occurrence after the first, and the surviving chunks are stitched
+    * back into the document.
+    *
+    * Chunk boundaries are CONTENT-DEFINED (the rsync/CDC trick): a token
+    * opens a new chunk iff hash(token) % avgChunkTokens == 0. Because the
+    * boundary depends only on token content, an identical token run
+    * produces identical interior chunks wherever it appears — chunking is
+    * shift-invariant, which fixed-width tiles are not. Expected chunk
+    * length is avgChunkTokens.
+    *
+    * Keep-first semantics: an occurrence survives iff it is the first in
+    * (doc_id, position) order over ALL occurrences of that chunk content,
+    * within-document repeats included.
+    *
+    * Scale design (100 TB): the per-token shuffle carries (doc, pos,
+    * token); the running boundary sum is a window PARTITIONED BY doc (work
+    * bounded by document length, never corpus length); the global
+    * keep-first pass is a row_number over chunk-content partitions — the
+    * same keyed-shuffle shape as word count, with each partition a handful
+    * of occurrences. No suffix array, no all-pairs, nothing super-linear.
+    *
+    * Returns (id, n_chunks, n_kept, clean_len, clean_md5) — every input
+    * doc appears; a fully-deduplicated doc has n_kept = 0 and the md5 of
+    * the empty string. */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               avgChunkTokens: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+
+    val pos = toks.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("bf",
+        when(col("pos") > 0 &&
+          pmod(Hashing.h28(concat(lit("cdc:"), col("tok"))),
+            lit(avgChunkTokens)) === 0, 1).otherwise(0))
+
+    val perDoc = Window.partitionBy("id").orderBy("pos")
+    val chunks = pos
+      .withColumn("chunk_id", sum(col("bf")).over(perDoc))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(min(col("pos")).as("cpos"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as("chunk"))
+
+    val firstOcc = Window.partitionBy("chunk").orderBy("id", "cpos")
+    val kept = chunks
+      .withColumn("rk", row_number().over(firstOcc))
+      .withColumn("keep", col("rk") === 1)
+
+    val perDocStats = kept.groupBy("id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("cpos"), col("chunk"))))),
+        x => x("chunk"))).as("clean"))
+
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDocStats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
 }

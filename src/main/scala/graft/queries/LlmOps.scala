@@ -588,6 +588,39 @@ object LlmOps {
                COALESCE(dup_2gram_words, 0) AS dup_2gram_words
         FROM wa LEFT JOIN ga USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- content-defined chunk dedup (exact-substring tier) -------------
+    // Dedup.cdcDedup scaladoc has the full design; the gate hash-matches
+    // the md5 of each RECONSTRUCTED post-dedup document, so boundary
+    // placement, global keep-first choice and chunk reassembly order are
+    // all proven identical across engines. Both sides share the md5-h28
+    // boundary hash (probe: ~4.5% of 5-gram blocks in the fixture repeat
+    // cross-doc, so the gate exercises real removals, not a no-op).
+    "q113_cdc_dedup" -> Q(
+      (s, dir) => graft.operators.Dedup
+        .cdcDedup(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+        p AS (SELECT doc_id, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS pos FROM t),
+        b AS (SELECT doc_id, pos, tok,
+                CASE WHEN pos > 1 AND ${H.sqlH28("'cdc:' || tok")} % 4 = 0
+                     THEN 1 ELSE 0 END AS bf FROM p),
+        c AS (SELECT doc_id, pos, tok,
+                SUM(bf) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM b),
+        ch AS (SELECT doc_id, chunk_id, MIN(pos) AS cpos,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk FROM c GROUP BY 1, 2),
+        k AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rk FROM ch),
+        s AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+                COALESCE(string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY cpos), '') AS clean
+              FROM k GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(COALESCE(clean, '')) AS BIGINT) AS clean_len,
+               md5(COALESCE(clean, '')) AS clean_md5
+        FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5

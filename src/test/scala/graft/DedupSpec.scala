@@ -176,4 +176,51 @@ class DedupSpec extends SparkSpec {
     val sig2 = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()
     assert(sig.toSeq == sig2.toSeq)
   }
+
+  test("cdcDedup: exact dup doc is fully removed, original untouched") {
+    val uniq = "the quick brown fox jumps over the lazy dog and runs far away"
+    val out = Dedup.cdcDedup(
+      Seq((0L, uniq), (1L, uniq),
+        (2L, "totally fresh tokens nobody else uses anywhere")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    assert(out(0)._2 > 0 && out(0)._2 == out(0)._3) // doc 0 keeps everything
+    assert(out(1)._3 == 0)                          // doc 1 loses every chunk
+    assert(out(2)._2 == out(2)._3)
+  }
+
+  test("cdcDedup: within-document repetition is removed (base repeats x4)") {
+    val out = Dedup.cdcDedup(Seq((0L, base)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("n_chunks", "n_kept").as[(Long, Long)].collect().head
+    assert(out._2 < out._1) // 3 of the 4 sentence copies' chunks go
+  }
+
+  test("cdcDedup is shift-invariant: shared run removed at a different offset") {
+    // The shared run sits at token offset 0 in doc 0 and offset 3 in doc 1.
+    // Content-defined boundaries make its interior chunks identical in
+    // both docs, so doc 1 must lose chunks even though nothing aligns on
+    // fixed tile boundaries.
+    val run = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon") // 20 tokens
+    val d0 = run + " ending words here"
+    val d1 = "prefix tokens first " + run + " other suffix"
+    val out = Dedup.cdcDedup(
+      Seq((0L, d0), (1L, d1)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    assert(out(0)._2 == out(0)._3)      // first occurrence keeps all
+    assert(out(1)._3 < out(1)._2)       // second loses the shared chunks
+  }
+
+  test("cdcDedup: empty and missing-token docs survive with zero chunks") {
+    val out = Dedup.cdcDedup(
+      Seq((0L, ""), (1L, "one")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_chunks", "n_kept", "clean_len")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == ((0L, 0L, 0L, 0L)))
+    assert(out(1) == ((1L, 1L, 1L, 3L)))
+  }
 }

@@ -351,4 +351,18 @@ class PlanShapeSpec extends SparkSpec {
         s"window consumes un-aggregated base rows:\n${w.treeString}")
     }
   }
+
+  test("q113 cdc-dedup: every window is partitioned (no global sort point)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // the scale claim: the running boundary sum partitions by document and
+    // the keep-first rank partitions by chunk content — an empty partition
+    // spec anywhere would serialize the whole corpus through one reducer
+    val df = SparkEntry.queries("q113_cdc_dedup")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.size >= 2, "expected the per-doc and per-chunk windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in cdc dedup:\n${w.treeString}")
+    }
+  }
 }
