@@ -621,6 +621,24 @@ object LlmOps {
                md5(COALESCE(clean, '')) AS clean_md5
         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- trained BPE tokenizer (operators.Bpe) ---------------------------
+    // Rows-only by design: the merge loop is not SQL-expressible (like
+    // q34's KMeans), so the driver records rows+schema and the cells
+    // artifact carries the exact per-doc counts. The algorithm itself is
+    // spec-gated: BpeSpec pins the hand-computed Sennrich merge sequence,
+    // deterministic tie-breaks, lossless round trip, and exact counts.
+    // All output cells are integers (plus one exact-integer division), so
+    // any round-over-round drift in the artifact is real, not float noise.
+    "q114_bpe_stats" -> Q(
+      (s, dir) => {
+        val m = graft.operators.Bpe.train(docs(s, dir), "text", nMerges = 60)
+        graft.operators.Bpe
+          .encodeStats(s, docs(s, dir), "doc_id", "text", m)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      None),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic Sennrich corpus: low x5, lower x2, newest x6, widest x3
+  private def corpus = Seq(
+    (0L, Seq.fill(5)("low").mkString(" ")),
+    (1L, Seq.fill(2)("lower").mkString(" ")),
+    (2L, Seq.fill(6)("newest").mkString(" ")),
+    (3L, Seq.fill(3)("widest").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("train learns the hand-computed merge sequence with deterministic ties") {
+    // pair counts round 1: es=9 st=9 we=8 lo=7 ow=7 ne=6 ew=6 er=2 ...
+    // ties break lexicographically: (e,s) < (s,t); (l,o) < (o,w);
+    // round 5 is a 3-way tie at 6 among (n,e) (e,w) (w,est) -> (e,w)
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    assert(m.ranks == Seq(
+      ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+  }
+
+  test("encodeWord replays merges by rank: lowest -> [low, est]") {
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    assert(m.encodeWord("lowest") == Seq("low", "est"))
+    assert(m.encodeWord("low") == Seq("low"))
+    assert(m.encodeWord("newest") == Seq("n", "ew", "est"))
+    assert(m.encodeWord("zzz") == Seq("z", "z", "z")) // fully OOV chars
+    assert(m.encodeWord("") == Seq.empty)
+  }
+
+  test("encoding is lossless: subwords concatenate back to the word") {
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "wes", "a")
+    words.foreach(w => assert(m.encodeWord(w).mkString == w))
+  }
+
+  test("train stops early when no pairs remain") {
+    val m = Bpe.train(Seq((0L, "ab ab")).toDF("doc_id", "text"), "text",
+      nMerges = 50)
+    assert(m.ranks == Seq(("a", "b"))) // one possible merge, then exhausted
+  }
+
+  test("encodingTable covers every distinct word once") {
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    val enc = Bpe.encodingTable(spark, corpus, "text", m)
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc.keySet == Set("low", "lower", "newest", "widest"))
+    assert(enc("newest") == Seq("n", "ew", "est"))
+    assert(enc("lower") == Seq("low", "e", "r"))
+  }
+
+  test("encodeStats: exact token and char counts per doc") {
+    val m = Bpe.train(corpus, "text", nMerges = 5)
+    val rows = Bpe.encodeStats(spark, corpus, "doc_id", "text", m)
+      .orderBy("id")
+      .select("id", "n_words", "n_bpe_tokens", "n_word_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 0: 5 x "low" -> 1 subword each; doc 2: 6 x "newest" -> 3 each
+    assert(rows(0) == ((0L, 5L, 5L, 15L)))
+    assert(rows(1) == ((1L, 2L, 6L, 10L))) // lower -> low,e,r
+    assert(rows(2) == ((2L, 6L, 18L, 36L)))
+    assert(rows(3) == ((3L, 3L, 12L, 18L))) // widest -> w,i,d,est
+  }
+}
