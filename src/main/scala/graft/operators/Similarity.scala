@@ -118,6 +118,19 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): drop every
+    * vector that has a near-duplicate (cosine ≥ theta) with a SMALLER id —
+    * the deterministic one-sided sweep that keeps exactly one
+    * representative per duplicate pair chain's minimum. Candidate
+    * generation is the same SRP-banded LSH as [[nearDupByCosine]] (no
+    * all-pairs join); the removal itself is one anti-join on the distinct
+    * dominated ids. Returns the kept ids, ordered. */
+  def semanticDedup(corpus: DataFrame, theta: Double): DataFrame = {
+    val dominated = nearDupByCosine(corpus, theta)
+      .select(col("b").as("id")).distinct()
+    corpus.select("id").join(dominated, Seq("id"), "left_anti").orderBy("id")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|v| / 127, q_i = floor(v_i / max|v| · 127 + 0.5) ∈
     * [-127, 127] (the affine-free variant used for embedding storage —

@@ -975,6 +975,29 @@ object LlmOps {
                FROM cand JOIN n qn ON qn.vec_id = cand.a JOIN n cn ON cn.vec_id = cand.b)
         SELECT a, b, cos FROM sc WHERE cos >= 0.45 ORDER BY a, b""")),
 
+    // ---- semantic dedup (SemDeDup sweep over the q31 pair graph) ---------
+    // Keep-smallest-id sweep: a vector survives iff no smaller id is
+    // cosine-theta-close. Same banded candidates as q31, so the gate
+    // proves candidate generation AND the sweep agree across engines.
+    // theta 0.25 (vs q31's 0.45): the fixture embeddings are near-
+    // orthogonal, so the lower threshold makes the gate exercise 85
+    // real removals at sf0.01 instead of 1.
+    "q115_semantic_dedup" -> Q(
+      (s, dir) => Similarity.semanticDedup(
+          Similarity.normed(emb(s, dir), "vec_id", "embedding"), 0.25)
+        .withColumnRenamed("id", "vec_id"),
+      Some(s"""WITH $SqlNormed,
+        $sqlSketch,
+        cand AS (SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+                 FROM bd ba JOIN bd bb
+                 ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.vec_id < bb.vec_id),
+        dup AS (SELECT DISTINCT cand.b AS vec_id
+                FROM cand JOIN n qn ON qn.vec_id = cand.a
+                          JOIN n cn ON cn.vec_id = cand.b
+                WHERE list_reduce([qn.v[i] * cn.v[i] for i in range(1, $D1)], (x, y) -> x + y)
+                        / (qn.nrm * cn.nrm) >= 0.25)
+        SELECT n.vec_id FROM n ANTI JOIN dup USING (vec_id) ORDER BY vec_id""")),
+
     // ---- language ID (char-trigram profiles, Cavnar-Trenkle 1994) --------
     // Robust where q24's stopword heuristic has zero hits (short text);
     // the SQL profile literals are generated from the SAME Scala constants

@@ -93,4 +93,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getAs[scala.collection.Seq[Long]]("qvec").toSeq).toSet
     assert(again == q.values.map(_._2.toSeq).toSet)
   }
+
+  test("semanticDedup removes the planted near-dup, keeps its smaller twin") {
+    val n = Similarity.normed(vecs, "vec_id", "embedding")
+    val kept = Similarity.semanticDedup(n, 0.9).as[Long].collect().toSet
+    assert(kept.contains(5L))   // the original survives (smallest in pair)
+    assert(!kept.contains(40L)) // the planted copy is dominated by 5
+    // near-orthogonal random vectors are untouched at theta 0.9
+    assert(kept.size == 40)
+  }
 }
