@@ -1547,6 +1547,92 @@ object Relational {
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT 100""")),
 
+    // ---- correlated MIN over a join (TPC-H Q2 shape) ---------------------
+    // Cheapest EUROPE supplier per STANDARD mid-size part. The classic
+    // form re-evaluates the scoped join inside a correlated MIN subquery;
+    // here the scoped relation is built ONCE (lineitem with all three
+    // dimension joins broadcast — part/supplier/nation/region are the
+    // small sides) and the per-part minimum is a WINDOW over p_partkey,
+    // so the fact table is scanned once and shuffled once on the part
+    // key. unit cost is one IEEE division of two stored doubles —
+    // bit-identical across engines, so the min-equality filter selects
+    // identical rows.
+    "q116_min_cost_supplier" -> Q(
+      (s, dir) => {
+        val scoped = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")),
+            col("p_partkey") === col("l_partkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("r_regionkey") === col("n_regionkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+            col("s_acctbal"), col("n_name"),
+            (col("l_extendedprice") / col("l_quantity")).as("ucost"))
+        scoped
+          .withColumn("min_cost", min(col("ucost")).over(Window.partitionBy("p_partkey")))
+          .filter(col("ucost") === col("min_cost"))
+          .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "min_cost")
+          .distinct()
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""WITH scoped AS (
+          SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+                 n.n_name, l.l_extendedprice / l.l_quantity AS ucost
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+               AND p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE')
+        SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+               n_name, ucost AS min_cost
+        FROM scoped a
+        WHERE ucost = (SELECT MIN(ucost) FROM scoped b
+                       WHERE b.p_partkey = a.p_partkey)
+        ORDER BY p_partkey, s_suppkey""")),
+
+    // ---- global scalar + anti-join prospect report (TPC-H Q22 shape) -----
+    // Well-funded but LAPSED customers in target segments — above the
+    // segment-wide average positive balance (scalar subquery; decimal-
+    // exact sum so the threshold is the same bits on both engines) with
+    // no orders since 2000 (NOT EXISTS on a date-filtered build side,
+    // planned as an anti join whose right side is pre-pruned by the
+    // pushed date predicate) — rolled up per nation. Every customer in
+    // the fixture has SOME order, so the lapsed-window form is also what
+    // keeps the gate non-degenerate (32 qualifying rows at sf0.01).
+    "q117_sales_prospects" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg(Det.moneyAvg(col("c_acctbal")).as("avg_bal"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            Det.moneySum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("n_name")
+      },
+      Some(s"""WITH cust AS (
+          SELECT * FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+        SELECT n.n_name, COUNT(*) AS numcust,
+               ${Det.sqlMoneySum("c.c_acctbal")} AS totacctbal
+        FROM cust c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_acctbal > (SELECT ${Det.sqlMoneyAvg("c_acctbal")}
+                             FROM cust WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY n.n_name ORDER BY n.n_name""")),
+
     // ---- dataset profiling (D1 stats, per-column) -----------------------
     // One-pass audit report: null/distinct counts and extrema per column
     // (operators.Profile). The wide aggregate computes every stat in a

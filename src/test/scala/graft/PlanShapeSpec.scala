@@ -352,6 +352,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q116 min-cost supplier: ONE lineitem scan, dims broadcast, part-keyed window") {
+    val df = SparkEntry.queries("q116_min_cost_supplier")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated-MIN classic form would plant the scoped join twice;
+    // the window rewrite scans the fact table exactly once
+    val liScans = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("FileScan")).toList
+    assert(liScans.size == 1, s"expected exactly 1 lineitem scan, got ${liScans.size}:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast, never shuffle the fact side:\n$plan")
+    assert(plan.contains("Window") && plan.contains("hashpartitioning(p_partkey"),
+      s"per-part minimum must be a p_partkey window:\n$plan")
+  }
+
   test("q113 cdc-dedup: every window is partitioned (no global sort point)") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     // the scale claim: the running boundary sum partitions by document and
