@@ -1633,6 +1633,30 @@ object Relational {
                             AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY n.n_name ORDER BY n.n_name""")),
 
+    // ---- PageRank over the event-transition graph -----------------------
+    // Edges = consecutive events per user (LAG over the user_id
+    // partition, (ts, event_id) tie-break); parallel edges act as
+    // weights. operators.PageRank runs in exact BIGINT micro-units —
+    // every division a positive floor div, every sum integer — so five
+    // iterations later both engines hold identical bits and the gate
+    // hash-checks an ITERATIVE graph computation end-to-end (the oracle
+    // SQL chain is generated from the same constants).
+    "q118_event_pagerank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = t(s, dir, "events")
+          .withColumn("src", lag(col("event_type"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .select(col("src"), col("event_type").as("dst"))
+        graft.operators.PageRank.ranks(edges, "src", "dst", iters = 5)
+      },
+      Some(graft.operators.PageRank.oracleSql(
+        """SELECT prev AS src, event_type AS dst FROM (
+             SELECT event_type, LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events)
+           WHERE prev IS NOT NULL""", iters = 5))),
+
     // ---- dataset profiling (D1 stats, per-column) -----------------------
     // One-pass audit report: null/distinct counts and extrema per column
     // (operators.Profile). The wide aggregate computes every stat in a

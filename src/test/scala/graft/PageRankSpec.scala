@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A -> B, A -> C, B -> C; C dangling (its mass leaks, documented)
+  private def tri = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+
+  test("one iteration matches the hand-computed integer arithmetic") {
+    // n=3: init = 10^12 div 3 = 333333333333
+    //      base = ((10^12 * 15) div 100) div 3 = 50000000000
+    // contribs: A's 333333333333 div 2 = 166666666666 to each of B, C;
+    //           B's 333333333333 div 1 to C
+    // A: base + 0                                      = 50000000000
+    // B: base + (85 * 166666666666) div 100            = 191666666666
+    // C: base + (85 * (166666666666+333333333333)) div 100 = 474999999999
+    val got = PageRank.ranks(tri, "s", "d", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "A" -> 50000000000L, "B" -> 191666666666L, "C" -> 474999999999L))
+  }
+
+  test("parallel edges act as weights") {
+    // A -> B twice, A -> C once: B must outrank C
+    val g = Seq(("A", "B"), ("A", "B"), ("A", "C")).toDF("s", "d")
+    val got = PageRank.ranks(g, "s", "d", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got("B") > got("C"))
+  }
+
+  test("deterministic under repartitioning") {
+    val a = PageRank.ranks(tri, "s", "d", iters = 5).as[(String, Long)].collect().toSeq
+    val b = PageRank.ranks(tri.repartition(7), "s", "d", iters = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("total mass never grows (floors and dangling C only leak)") {
+    val total = PageRank.ranks(tri, "s", "d", iters = 4)
+      .as[(String, Long)].collect().map(_._2).sum
+    assert(total <= 1000000000000L && total > 0L)
+  }
+}
