@@ -41,6 +41,8 @@ object PageRank {
     // the two scalar constants of the recurrence, computed ONCE:
     // base = ((unit * (dampDen - dampNum)) div dampDen) div n
     val n = nodes.count()
+    if (n == 0) // empty graph: empty ranks, not a divide-by-zero
+      return nodes.select(col("node"), lit(0L).as("rank_units"))
     val base = (unit * (dampDen - dampNum) / dampDen) / n
     val init = unit / n
 

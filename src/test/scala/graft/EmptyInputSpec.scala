@@ -84,4 +84,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(TrainPrep.writeShards(noDocs, "doc_id", "text", dir).count() == 0)
     assert(TrainPrep.verifyShards(spark, dir, "doc_id", "text").count() == 0)
   }
+
+  test("round-5 operators on empty input") {
+    import graft.operators.{Bpe, PageRank, Quality}
+    assert(Quality.repetitionStats(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.cdcDedup(noDocs, "doc_id", "text").count() == 0)
+    val n = Similarity.normed(noVecs, "vec_id", "embedding")
+    assert(Similarity.semanticDedup(n, 0.5).count() == 0)
+    val m = Bpe.train(noDocs, "text", nMerges = 5)
+    assert(m.ranks.isEmpty)
+    assert(Bpe.encodeStats(spark, noDocs, "doc_id", "text", m).count() == 0)
+    assert(PageRank.ranks(
+      Seq.empty[(String, String)].toDF("s", "d"), "s", "d",
+      iters = 1).count() == 0)
+  }
 }
