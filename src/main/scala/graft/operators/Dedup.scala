@@ -531,28 +531,34 @@ object Dedup {
     * Returns (id, n_chunks, n_kept, clean_len, clean_md5) — every input
     * doc appears; a fully-deduplicated doc has n_kept = 0 and the md5 of
     * the empty string. */
-  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
-               avgChunkTokens: Int = 4): DataFrame = {
+  /** The content-defined chunk table of a corpus: (id, chunk_id, cpos,
+    * chunk) — one row per chunk, cpos the first token position. Shared by
+    * [[cdcDedup]] and the streaming twin
+    * ([[graft.streaming.DocStreams]] chunk-index path). */
+  def cdcChunkTable(docs: DataFrame, idCol: String, textCol: String,
+                    avgChunkTokens: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-
     val pos = toks.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .withColumn("bf",
         when(col("pos") > 0 &&
           pmod(Hashing.h28(concat(lit("cdc:"), col("tok"))),
             lit(avgChunkTokens)) === 0, 1).otherwise(0))
-
     val perDoc = Window.partitionBy("id").orderBy("pos")
-    val chunks = pos
+    pos
       .withColumn("chunk_id", sum(col("bf")).over(perDoc))
       .groupBy(col("id"), col("chunk_id"))
       .agg(min(col("pos")).as("cpos"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x("tok"))).as("chunk"))
+  }
 
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               avgChunkTokens: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunkTable(docs, idCol, textCol, avgChunkTokens)
     val firstOcc = Window.partitionBy("chunk").orderBy("id", "cpos")
     val kept = chunks
       .withColumn("rk", row_number().over(firstOcc))

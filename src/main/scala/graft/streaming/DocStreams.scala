@@ -282,4 +282,109 @@ object DocStreams {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  // ---- incremental exact-substring (CDC chunk) dedup ---------------------
+
+  /** Clean one micro-batch against the accumulated chunk-hash history:
+    * the streaming twin of [[graft.operators.Dedup.cdcDedup]]. A chunk is
+    * dropped when its 60-bit content hash already exists in `historyHashes`
+    * (a one-column `h` DataFrame, or None before the first batch) or when
+    * an earlier (id, cpos) occurrence exists WITHIN the batch; survivors
+    * are stitched back per document, exactly like the batch operator.
+    *
+    * The index carries 8-byte hashes, never chunk text — the history side
+    * of the anti join ships nothing but keys. (60-bit hashes collide
+    * around 2^30 distinct chunks; a production deployment at that scale
+    * would widen to 128-bit, same construction.)
+    *
+    * Returns (id, n_chunks, n_kept, clean_len, clean_md5). */
+  def cleanBatchVsChunkIndex(batch: DataFrame, historyHashes: Option[DataFrame],
+                             idCol: String, textCol: String,
+                             avgChunkTokens: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.operators.Dedup
+      .cdcChunkTable(batch, idCol, textCol, avgChunkTokens)
+      .withColumn("h", graft.functions.Hashing.h60(col("chunk")))
+    val withinFirst = Window.partitionBy("h").orderBy("id", "cpos")
+    val marked0 = chunks.withColumn("rk", row_number().over(withinFirst))
+    val marked = historyHashes match {
+      case Some(hist) => marked0.join(hist.select(col("h")).distinct()
+          .withColumn("in_hist", lit(true)), Seq("h"), "left")
+      case None => marked0.withColumn("in_hist", lit(null).cast("boolean"))
+    }
+    val flagged = marked.withColumn("keep",
+      col("rk") === 1 && col("in_hist").isNull)
+    val stats = flagged.groupBy("id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("cpos"), col("chunk"))))),
+        x => x("chunk"))).as("clean"))
+    batch.select(col(idCol).as("id")).distinct()
+      .join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
+  /** Append one micro-batch's distinct chunk hashes to the index —
+    * idempotent per batchId (same per-batch-partition overwrite as
+    * [[appendBatchSketch]]), so crash-replay rewrites rather than
+    * duplicates. */
+  def appendBatchChunkHashes(batch: DataFrame, batchId: Long, indexDir: String,
+                             idCol: String, textCol: String,
+                             avgChunkTokens: Int = 4): Unit =
+    graft.operators.Dedup
+      .cdcChunkTable(batch, idCol, textCol, avgChunkTokens)
+      .select(graft.functions.Hashing.h60(col("chunk")).as("h"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+
+  /** The accumulated chunk-hash history, or None before the first batch.
+    * `beforeBatch` restricts to strictly-earlier batch partitions — the
+    * replay guard: a crash-replayed batch must NOT see the hashes its
+    * first attempt already wrote, or every chunk would look historical
+    * and the rewritten output would be empty instead of identical. */
+  def chunkHashHistory(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String,
+                       beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val all = spark.read.parquet(indexDir)
+      val scoped = beforeBatch match {
+        case Some(b) => all.filter(col("batch") < b)
+        case None => all
+      }
+      Some(scoped.select("h"))
+    } else None
+  }
+
+  /** Continuous exact-substring dedup: each micro-batch is cleaned
+    * against everything streamed before it, the cleaned documents land at
+    * `<outDir>/batch=<id>`, and the batch's own chunk hashes join the
+    * index for the NEXT batch — so repeated content is removed from its
+    * second occurrence onward across the whole stream's lifetime. Both
+    * writes are per-batch-directory overwrites (idempotent under
+    * foreachBatch's at-least-once replay). Per-batch cost: the batch's
+    * own chunking + one anti join against an 8-byte-key history; nothing
+    * global, no growing driver state. */
+  def dedupStream(docs: DataFrame, outDir: String, indexDir: String,
+                  checkpointDir: String, idCol: String, textCol: String,
+                  avgChunkTokens: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hist = chunkHashHistory(spark, indexDir, beforeBatch = Some(batchId))
+        cleanBatchVsChunkIndex(batch, hist, idCol, textCol, avgChunkTokens)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        appendBatchChunkHashes(batch, batchId, indexDir, idCol, textCol,
+          avgChunkTokens)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -335,4 +335,43 @@ class DocStreamsSpec extends SparkSpec {
     assert(before == after, "replayed epoch changed the export")
     assert(spark.read.parquet(s"$dir/epoch=1/data").count() == 2, "replay duplicated rows")
   }
+
+  test("streaming cdc dedup: later batch loses the run it shares with history") {
+    implicit val sq = spark.sqlContext
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val out = java.nio.file.Files.createTempDirectory("cdc-out").toString
+    val idx = java.nio.file.Files.createTempDirectory("cdc-idx").toString
+    val ckp = java.nio.file.Files.createTempDirectory("cdc-ckp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dedupStream(mem.toDF().toDF("doc_id", "text"),
+      out, idx, ckp, "doc_id", "text")
+    mem.addData((1L, run + " ending words here"))
+    q.processAllAvailable()
+    mem.addData((2L, "prefix tokens first " + run + " other suffix"),
+      (3L, "totally fresh content nobody streamed before now"))
+    q.processAllAvailable()
+    q.stop()
+
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    assert(b0.head._2 == b0.head._3, "first arrival must keep everything")
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(b1(0)._3 < b1(0)._2, "doc 2 must lose the chunks shared with doc 1")
+    assert(b1(1)._2 == b1(1)._3, "fresh doc 3 must keep everything")
+
+    // crash replay of batch 1: cleaning against STRICTLY EARLIER batches
+    // reproduces the same output even though batch 1's hashes are indexed
+    val replayed = DocStreams.cleanBatchVsChunkIndex(
+      Seq((2L, "prefix tokens first " + run + " other suffix"),
+        (3L, "totally fresh content nobody streamed before now"))
+        .toDF("doc_id", "text"),
+      DocStreams.chunkHashHistory(spark, idx, beforeBatch = Some(1L)),
+      "doc_id", "text")
+      .select("id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(replayed == b1, "replay must be bit-identical, not emptied by its own index")
+  }
 }
