@@ -639,6 +639,31 @@ object LlmOps {
       },
       None),
 
+    // ---- inverted index (operators.InvertedIndex) ------------------------
+    // Bounded-state posting lists: the rank filter caps per-term reducer
+    // state BEFORE any list materializes (WindowGroupLimit pushes the
+    // truncation below the exchange), df is a separate count that never
+    // builds a list, and postings are delta-encoded ascending ids —
+    // all-integer, so the gate hash-matches arrays exactly.
+    "q119_inverted_index" -> Q(
+      (s, dir) => graft.operators.InvertedIndex
+        .build(docs(s, dir), "doc_id", "text", cap = 100)
+        .withColumn("postings", array_join(col("postings"), ",")),
+      Some("""WITH t AS (SELECT doc_id,
+                unnest(list_distinct(regexp_extract_all(text, '\w+'))) AS term
+              FROM documents),
+        d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        r AS (SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM t),
+        c AS (SELECT term, list_sort(list(doc_id)) AS ids
+              FROM r WHERE rn <= 100 GROUP BY term),
+        p AS (SELECT term, list_transform(range(1, len(ids) + 1),
+                i -> CASE WHEN i = 1 THEN ids[1]
+                          ELSE ids[i] - ids[i - 1] END) AS postings FROM c)
+        SELECT d.term, CAST(df AS BIGINT) AS df, df > 100 AS overflow,
+               array_to_string(postings, ',') AS postings
+        FROM d JOIN p USING (term) ORDER BY term""")),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.InvertedIndex
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (10L, "alpha beta gamma"),
+    (20L, "beta gamma delta"),
+    (35L, "gamma alpha alpha")) // repeated token counts once per doc
+    .toDF("doc_id", "text")
+
+  test("postings are delta-encoded ascending doc ids; df is per-doc") {
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+      .withColumn("p", col("postings"))
+      .select("term", "df", "overflow", "p")
+      .as[(String, Long, Boolean, Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(idx("alpha")._2 == 2 && idx("alpha")._4 == Seq(10L, 25L)) // 10, 35
+    assert(idx("beta")._4 == Seq(10L, 10L))                          // 10, 20
+    assert(idx("gamma")._2 == 3 && idx("gamma")._4 == Seq(10L, 10L, 15L))
+    assert(idx("delta")._4 == Seq(20L))
+    assert(idx.values.forall(!_._3)) // nothing overflows at cap 100
+  }
+
+  test("cap truncates postings to the smallest ids and sets overflow") {
+    val many = (1L to 50L).map(i => (i, "common")).toDF("doc_id", "text")
+    val row = InvertedIndex.build(many, "doc_id", "text", cap = 10)
+      .select("df", "overflow", "postings")
+      .as[(Long, Boolean, Seq[Long])].collect().head
+    assert(row._1 == 50 && row._2)
+    assert(row._3.size == 10)
+    assert(row._3.head == 1L && row._3.tail.forall(_ == 1L)) // ids 1..10
+  }
+
+  test("decodePostings inverts the delta encoding") {
+    val decoded = InvertedIndex.build(docs, "doc_id", "text")
+      .select(col("term"), InvertedIndex.decodePostings(col("postings")).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(decoded("alpha") == Seq(10L, 35L))
+    assert(decoded("gamma") == Seq(10L, 20L, 35L))
+  }
+
+  test("the cap is planned as WindowGroupLimit (bounded reducer state)") {
+    val plan = InvertedIndex.build(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cap must push below the exchange:\n$plan")
+  }
+}
