@@ -21,6 +21,35 @@ class StorageSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the fact at runtime") {
+    // The 100 TB mechanism static pruning can't give: the fact's partition
+    // filter only becomes known AFTER the dim side is filtered — DPP
+    // injects the dim's qualifying keys as a runtime subquery into the
+    // fact scan, so a day-partitioned 100 TB fact joined to "last week's"
+    // dim rows reads 7 partitions, not all of them.
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    // two trip-wires this test pins: (1) partition-column inference types
+    // day_key as INT — a mismatched dim key casts the fact's key and
+    // defeats DPP; (2) the dim must be FILE-backed — a local Seq dim
+    // constant-folds its Filter into a LocalRelation, and with no Filter
+    // node left the rule sees no selective predicate and never fires.
+    (1 to 300).map(i => (i.toLong, i % 10, i * 2.0))
+      .toDF("id", "day_key", "v")
+      .write.partitionBy("day_key").parquet(s"$dir/fact")
+    (0 to 9).map(d => (d, if (d < 2) "keep" else "drop"))
+      .toDF("day_key", "tag").write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+
+    val fact = spark.read.parquet(s"$dir/fact")
+    val joined = fact.join(dim.filter(col("tag") === "keep"), Seq("day_key"))
+      .agg(sum(col("v")).as("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a runtime DPP filter on the fact scan:\n$plan")
+    assert(joined.select(col("s")).as[Double].collect().head ==
+      (1 to 300).filter(i => i % 10 < 2).map(_ * 2.0).sum)
+  }
+
   test("widened estimates scan tasks from the file listing, not df.rdd") {
     // file-backed frame: the estimate comes from size+open-cost bin
     // packing over the listing — a single small fixture file plans as one
