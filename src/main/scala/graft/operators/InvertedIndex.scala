@@ -59,4 +59,55 @@ object InvertedIndex {
   def decodePostings(postings: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(sequence(lit(1), size(postings)), i =>
       aggregate(slice(postings, lit(1), i), lit(0L), (acc, x) => acc + x))
+
+  /** Index-served BM25 retrieval: first-stage candidates from the probe
+    * terms' (capped) posting lists, exact BM25 scoring on the candidates
+    * ONLY. The 100 TB shape this buys: the corpus is never re-scored —
+    * scoring touches ≤ cap·|terms| documents regardless of corpus size;
+    * df comes from the index rows and n_docs/sum_dl are two index-time
+    * scalars, so the only corpus-wide work is the index build this reuses
+    * (persisted at ingest in production, derived here so the gate is
+    * self-contained). The cap makes first-stage recall approximate
+    * (smallest-id truncation — a production index would impact-order
+    * postings instead; id order is what cross-engine reproducibility
+    * needs); scoring on the surviving candidates is exact, ONE shared
+    * [[graft.operators.TrainPrep.bm25Score]] IEEE chain.
+    *
+    * Returns (id, dl, tf_<t>…, score), top `k` by (score desc, id). */
+  def searchBm25(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int = 10, cap: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one probe term")
+    val idx = build(docs, idCol, textCol, cap)
+      .filter(col("term").isin(terms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val cands = idx
+      .select(explode(decodePostings(col("postings"))).as("id")).distinct()
+
+    // one-row stats: corpus scalars + per-term df pivoted from the index
+    // (a term with no postings scores via df = 0)
+    val dfCols = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df_$t"))
+    val termDfs = idx.agg(dfCols.head, dfCols.tail: _*)
+    val corpus = docs.select(
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
+    val stats = corpus.crossJoin(termDfs)
+
+    // tokenize CANDIDATES only — the semi join comes before the scan of
+    // text, which is the whole point of serving from the index
+    val candDocs = docs.select(col(idCol).as("id"), col(textCol).as("t0"))
+      .join(cands, Seq("id"), "left_semi")
+      .select(col("id"), TextAnalysis.tokens(col("t0")).as("toks"))
+      .select(col("id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.map(t => size(filter(col("toks"), x => x === lit(t)))
+          .cast("long").as(s"tf_$t")): _*)
+
+    candDocs.crossJoin(broadcast(stats))
+      .withColumn("score", TrainPrep.bm25Score(terms))
+      .select(col("id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+
+        col("score"): _*)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

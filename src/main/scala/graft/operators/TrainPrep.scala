@@ -92,6 +92,25 @@ object TrainPrep {
     * Score is a fixed-order sum over the term list (no float-agg
     * reordering).
     */
+  /** The BM25 scoring expression over a frame carrying `dl`, `tf_<t>`,
+    * `df_<t>`, `n_docs`, `sum_dl` columns — ONE definition of the IEEE
+    * chain, shared by [[bm25]] (full-corpus scoring) and
+    * [[graft.operators.InvertedIndex.searchBm25]] (index-served
+    * candidates), so the two paths cannot drift. avgdl comes from exact
+    * integer sums; constants are the same decimal literals the oracle SQL
+    * parses (2.2 = k1+1 precomputed). */
+  def bm25Score(terms: Seq[String]): org.apache.spark.sql.Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    }
+    terms.map(termScore).reduce(_ + _)
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
@@ -105,18 +124,7 @@ object TrainPrep {
       terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val joined = perDoc.crossJoin(broadcast(stats))
-    // avgdl from exact integer sums; one division. Constants appear as
-    // the same decimal literals in the oracle SQL (2.2 = k1+1 precomputed
-    // so both engines parse the literal rather than re-deriving it).
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    def termScore(t: String) = {
-      val tf = col(s"tf_$t").cast("double")
-      val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
-        (col(s"df_$t").cast("double") + lit(0.5))
-      idf * ((tf * lit(2.2)) /
-        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
-    }
-    val score = terms.map(termScore).reduce(_ + _)
+    val score = bm25Score(terms)
     joined
       .withColumn("score", score)
       .filter(col("score") > 0)

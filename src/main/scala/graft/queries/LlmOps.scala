@@ -664,6 +664,43 @@ object LlmOps {
                array_to_string(postings, ',') AS postings
         FROM d JOIN p USING (term) ORDER BY term""")),
 
+    // ---- index-served BM25 retrieval (q119's index answering queries) ----
+    // Candidates from the probe terms' capped postings, exact BM25 on the
+    // candidates only (df from the index, corpus scalars from index-time
+    // aggregates, ONE shared IEEE score chain with q68 — see
+    // InvertedIndex.searchBm25). The oracle rebuilds the same candidate
+    // set and formula, so candidate truncation, df bookkeeping and
+    // scoring all gate together.
+    "q120_index_search" -> Q(
+      (s, dir) => graft.operators.InvertedIndex
+        .searchBm25(docs(s, dir), "doc_id", "text", Bm25Terms, k = 15)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+              FROM documents),
+        u AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+        r AS (SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM u WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})),
+        cand AS (SELECT DISTINCT doc_id FROM r WHERE rn <= 100),
+        st AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM t),
+        dfs AS (SELECT
+                ${Bm25Terms.map(t => s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS df_$t").mkString(",\n                ")}
+                FROM u),
+        d AS (SELECT t.doc_id, len(toks) AS dl,
+                ${Bm25Terms.map(t => s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n                ")}
+              FROM t JOIN cand USING (doc_id)),
+        sc AS (SELECT d.doc_id, d.dl,
+                ${Bm25Terms.map(t => s"d.tf_$t").mkString(", ")},
+                ${Bm25Terms.map(t =>
+                  s"""((CAST(st.n_docs AS DOUBLE) - CAST(dfs.df_$t AS DOUBLE) + 0.5) / (CAST(dfs.df_$t AS DOUBLE) + 0.5))
+                   * ((CAST(d.tf_$t AS DOUBLE) * 2.2) / (CAST(d.tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))"""
+                ).mkString("\n                 + ")} AS score
+               FROM d CROSS JOIN st CROSS JOIN dfs)
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+          ${Bm25Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+          score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 15""")),
+
     // ---- audio pipeline, HASH-GATED end-to-end ---------------------------
     // WAV container ENCODE → javax.sound.sampled decode → float32 scaling,
     // against an oracle that recomputes each PCM sample from the md5

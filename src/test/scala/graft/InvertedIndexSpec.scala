@@ -43,6 +43,31 @@ class InvertedIndexSpec extends SparkSpec {
     assert(decoded("gamma") == Seq(10L, 20L, 35L))
   }
 
+  test("searchBm25 with an untruncated cap equals full-corpus bm25") {
+    import graft.operators.TrainPrep
+    val corpus = Seq(
+      (1L, "vector merge stream vector"),
+      (2L, "stream stream other words here"),
+      (3L, "nothing relevant at all"),
+      (4L, "vector vector vector merge merge stream"))
+      .toDF("doc_id", "text")
+    val terms = Seq("vector", "stream", "merge")
+    val full = TrainPrep.bm25(corpus, "doc_id", "text", terms, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    val served = InvertedIndex.searchBm25(corpus, "doc_id", "text", terms,
+        k = 3, cap = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    assert(served == full) // same docs, same order, bit-equal scores
+  }
+
+  test("searchBm25 cap truncates the candidate set deterministically") {
+    val corpus = (1L to 30L).map(i => (i, "vector filler")).toDF("doc_id", "text")
+    val out = InvertedIndex.searchBm25(corpus, "doc_id", "text",
+        Seq("vector"), k = 30, cap = 5)
+      .select("id").as[Long].collect().toSet
+    assert(out == (1L to 5L).toSet) // smallest ids survive the cap
+  }
+
   test("the cap is planned as WindowGroupLimit (bounded reducer state)") {
     val plan = InvertedIndex.build(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
