@@ -1743,6 +1743,75 @@ object Relational {
               FROM b)
         SELECT l_returnflag, count(*) AS n, CAST(min(zval) AS BIGINT) AS zmin,
                CAST(max(zval) AS BIGINT) AS zmax, CAST(bit_xor(zval) AS BIGINT) AS zxor
-        FROM z GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM z GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- copy-on-write mutation: CDC upsert + GDPR delete ---------------
+    // catalog.Mutate applied end-to-end: orders is materialized as an
+    // o_orderstatus-partitioned table, a CDC batch upserts (updates into
+    // F/O, inserts into a NEW partition 'N'), then an erasure batch
+    // deletes keyed rows from P — each rewrite reads ONLY the partitions
+    // the batch names (partition-pruned scan + broadcast anti-join,
+    // MutateSpec proves untouched partitions keep their exact files; the
+    // rewrite is staged-then-swapped per partition with crash recovery).
+    // The oracle computes the expected post-mutation state LOGICALLY
+    // (anti-join + unions over the same deterministic batches), so the
+    // physical merge machinery is hash-gated against declarative
+    // semantics. All-integer output; key/partition sets of the two
+    // batches are disjoint, so batch order cannot matter.
+    "q121_merge_upsert" -> Q(
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val work = Tables.derivedDir("graft_mutate", s"$dir|orders_v1")
+        Tables.derivedClear(work) // mutation is the thing under test: rebuild
+        val table = s"$work/orders.parquet"
+        orders.write.partitionBy("o_orderstatus").parquet(table)
+        val updates = orders
+          .filter(col("o_orderkey") % 97 === 0 &&
+            col("o_orderstatus").isin("F", "O"))
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+          .withColumn("o_orderpriority", lit("0-UPDATED"))
+        val inserts = orders
+          .filter(col("o_orderkey") % 499 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("o_orderpriority", lit("0-INSERTED"))
+        graft.catalog.Mutate.upsert(s, table, updates.unionByName(inserts),
+          Seq("o_orderkey"), "o_orderstatus")
+        graft.catalog.Mutate.delete(s, table,
+          orders.filter(col("o_orderkey") % 193 === 0 &&
+              col("o_orderstatus") === "P")
+            .select("o_orderkey", "o_orderstatus"),
+          Seq("o_orderkey"), "o_orderstatus")
+        s.read.parquet(table)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority").startsWith("0-"), 1L)
+              .otherwise(0L)).as("n_mutated"),
+            sum(col("o_custkey")).as("sum_cust"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+                FROM orders),
+        upd AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+                  '0-UPDATED' AS o_orderpriority
+                FROM base WHERE o_orderkey % 97 = 0 AND o_orderstatus IN ('F', 'O')),
+        ins AS (SELECT o_orderkey + 900000000 AS o_orderkey, o_custkey,
+                  'N' AS o_orderstatus, '0-INSERTED' AS o_orderpriority
+                FROM base WHERE o_orderkey % 499 = 0),
+        del AS (SELECT o_orderkey FROM base
+                WHERE o_orderkey % 193 = 0 AND o_orderstatus = 'P'),
+        merged AS (
+          SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN o_orderpriority LIKE '0-%' THEN 1 ELSE 0 END) AS BIGINT) AS n_mutated,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
