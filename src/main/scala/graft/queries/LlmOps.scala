@@ -644,11 +644,14 @@ object LlmOps {
     // state BEFORE any list materializes (WindowGroupLimit pushes the
     // truncation below the exchange), df is a separate count that never
     // builds a list, and postings are delta-encoded ascending ids —
-    // all-integer, so the gate hash-matches arrays exactly.
+    // all-integer, so the gate hash-matches arrays exactly. The index is
+    // built once at ingest and PERSISTED (ensureIndex, fingerprint-
+    // guarded); this gate reads the stored artifact back.
     "q119_inverted_index" -> Q(
-      (s, dir) => graft.operators.InvertedIndex
-        .build(docs(s, dir), "doc_id", "text", cap = 100)
-        .withColumn("postings", array_join(col("postings"), ",")),
+      (s, dir) => s.read.parquet(
+          s"${graft.operators.InvertedIndex.ensureIndex(s, dir, cap = 100)}/index.parquet")
+        .withColumn("postings", array_join(col("postings"), ","))
+        .orderBy("term"),
       Some("""WITH t AS (SELECT doc_id,
                 unnest(list_distinct(regexp_extract_all(text, '\w+'))) AS term
               FROM documents),
@@ -665,15 +668,16 @@ object LlmOps {
         FROM d JOIN p USING (term) ORDER BY term""")),
 
     // ---- index-served BM25 retrieval (q119's index answering queries) ----
-    // Candidates from the probe terms' capped postings, exact BM25 on the
-    // candidates only (df from the index, corpus scalars from index-time
-    // aggregates, ONE shared IEEE score chain with q68 — see
-    // InvertedIndex.searchBm25). The oracle rebuilds the same candidate
-    // set and formula, so candidate truncation, df bookkeeping and
-    // scoring all gate together.
+    // Served from the PERSISTED q119 index: the query-time plan reads the
+    // probe terms' index rows + candidate docs only — no corpus-wide
+    // tokenize, no rebuild (df from the index, corpus scalars from the
+    // stored stats row, ONE shared IEEE score chain with q68 — see
+    // InvertedIndex.searchBm25Served). The oracle rebuilds the same
+    // candidate set and formula, so candidate truncation, df bookkeeping
+    // and scoring all gate together.
     "q120_index_search" -> Q(
       (s, dir) => graft.operators.InvertedIndex
-        .searchBm25(docs(s, dir), "doc_id", "text", Bm25Terms, k = 15)
+        .searchBm25Served(s, dir, Bm25Terms, k = 15)
         .withColumnRenamed("id", "doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
               FROM documents),

@@ -68,6 +68,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(out == (1L to 5L).toSet) // smallest ids survive the cap
   }
 
+  test("served search from the persisted index == self-contained search") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.catalog.Tables.load(spark, dir, "documents")
+    val terms = Seq("vector", "stream", "merge")
+    val full = InvertedIndex.searchBm25(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    val served = InvertedIndex.searchBm25Served(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    assert(served == full)
+    // second ensure serves from disk: the completeness artifact is not rewritten
+    val statsFile = java.nio.file.Paths.get(
+      InvertedIndex.ensureIndex(spark, dir), "stats.parquet", "_SUCCESS")
+    val before = java.nio.file.Files.getLastModifiedTime(statsFile)
+    InvertedIndex.ensureIndex(spark, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(statsFile) == before)
+  }
+
   test("the cap is planned as WindowGroupLimit (bounded reducer state)") {
     val plan = InvertedIndex.build(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
