@@ -173,9 +173,18 @@ object Tables {
   def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) footer, read as a nanos Long
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) footer — Spark infers
+      // TIMESTAMP_NTZ; normalize to the session type (UTC session ⇒ same
+      // instant DuckDB's naive read produces) so LTZ-only functions
+      // (unix_micros, to_utc_timestamp) and streaming watermarks work
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    } else raw
   }
 
   /** Single-row-group fixture files cannot be split by the scan, so one
