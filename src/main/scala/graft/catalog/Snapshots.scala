@@ -1,0 +1,305 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Manifest-based table snapshots: versioned reads, time travel, and
+  * copy-on-write commits over an immutable file pool — the metadata layer
+  * that removes the "no concurrent readers" constraint [[Tables.compact]]
+  * and [[Mutate]] carry. The reference pipeline rewrites whole LMDB
+  * datasets per request (`/root/reference/serialize.py:434-492` — every
+  * serialize is a fresh environment, no versioning, no readers-during-
+  * write story); a 100 TB corpus needs the opposite: writers publish a
+  * new immutable version, readers resolve a manifest and are never
+  * affected by concurrent commits or crashes.
+  *
+  * Layout under the table root:
+  * {{{
+  *   _data/v00000001/<part>-<file>.parquet   immutable once referenced
+  *   _manifests/v00000001.manifest           file list + partition values
+  * }}}
+  * A manifest is a text file: `#version` / `#partcol` / `#schema` header
+  * lines, one `relpath\tpartitionValue` line per data file, and a final
+  * `#end` marker. The `#end` line is the commit point: a manifest without
+  * it (torn write, crashed committer) is invisible — readers fall back to
+  * the previous version. Data files carry the FULL schema (the partition
+  * column is a regular column in the file); partition values live in the
+  * manifest, so partition-level pruning is a metadata operation that
+  * never opens files — the Delta/Iceberg shape, not the hive-dir shape.
+  *
+  * Scale: a commit costs (new data written) + (one small manifest). A
+  * [[replacePartitions]] touching 0.01% of a 100 TB table writes 0.01%
+  * of the data and RE-REFERENCES every untouched file by path — no
+  * copying, no renames of live data, no window where any path a reader
+  * might hold is missing. Version history is bounded by [[vacuum]],
+  * which deletes only files no retained manifest references.
+  *
+  * Concurrency: readers need no coordination (manifests and data files
+  * are immutable). Writers are optimistic: two concurrent commits race
+  * to create the same next manifest; the loser observes the winner's
+  * manifest and throws `ConcurrentModificationException` — its orphaned
+  * data files are swept by the next [[vacuum]]. [[vacuum]] must not run
+  * concurrently with readers of the versions it drops (standard
+  * retention semantics; document the retention window operationally).
+  */
+object Snapshots {
+
+  private val DataDir = "_data"
+  private val ManifestDir = "_manifests"
+
+  final case class Manifest(version: Int, partCol: Option[String],
+                            schemaDdl: String, files: Seq[(String, String)])
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vName(v: Int) = f"v$v%08d"
+  private def manifestPath(dir: String, v: Int) =
+    new Path(s"$dir/$ManifestDir/${vName(v)}.manifest")
+
+  // ---- manifest IO ------------------------------------------------------
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val fs = fsOf(spark, dir)
+    val target = manifestPath(dir, m.version)
+    if (fs.exists(target))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshots: version ${m.version} already committed at $target")
+    val tmp = new Path(s"$dir/$ManifestDir/.tmp-${vName(m.version)}-${java.util.UUID.randomUUID()}")
+    val sb = new StringBuilder
+    sb.append(s"#version ${m.version}\n")
+    m.partCol.foreach(c => sb.append(s"#partcol $c\n"))
+    sb.append(s"#schema ${m.schemaDdl}\n")
+    m.files.foreach { case (p, v) => sb.append(s"$p\t$v\n") }
+    sb.append("#end\n")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    // Create-exclusive commit point: rename fails (or the exists-check
+    // catches it) when a concurrent committer won the race.
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshots: lost commit race for version ${m.version}")
+    }
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Option[Manifest] = {
+    val fs = fsOf(spark, dir)
+    val p = manifestPath(dir, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1)
+    if (!lines.contains("#end")) return None // torn manifest: invisible
+    var partCol: Option[String] = None
+    var schema = ""
+    val files = ArrayBuffer.empty[(String, String)]
+    lines.takeWhile(_ != "#end").foreach {
+      case l if l.startsWith("#version ") => ()
+      case l if l.startsWith("#partcol ") => partCol = Some(l.drop(9))
+      case l if l.startsWith("#schema ")  => schema = l.drop(8)
+      case l if l.nonEmpty =>
+        val i = l.indexOf('\t')
+        files += ((l.substring(0, i), l.substring(i + 1)))
+      case _ => ()
+    }
+    Some(Manifest(v, partCol, schema, files.toSeq))
+  }
+
+  /** All committed (complete) version numbers, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val fs = fsOf(spark, dir)
+    val md = new Path(s"$dir/$ManifestDir")
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+      .filter(v => readManifest(spark, dir, v).isDefined)
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshots: no committed version at $dir")
+    vs.last
+  }
+
+  // ---- data-file pool ---------------------------------------------------
+
+  /** Write `df` into the pool under the next version's subdir and return
+    * (relpath, partitionValue) entries. Uses a shadow `__part` column so
+    * the REAL partition column stays inside the data files while the
+    * hive-style tmp layout tells us each file's partition value. */
+  private def poolWrite(spark: SparkSession, dir: String, df: DataFrame,
+                        partCol: Option[String], v: Int): Seq[(String, String)] = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(s"$dir/$DataDir/.write-${vName(v)}-${java.util.UUID.randomUUID()}")
+    partCol match {
+      case Some(c) =>
+        df.withColumn("__part", col(c).cast("string"))
+          .write.partitionBy("__part").parquet(tmp.toString)
+      case None =>
+        df.write.parquet(tmp.toString)
+    }
+    val destRoot = new Path(s"$dir/$DataDir/${vName(v)}")
+    fs.mkdirs(destRoot)
+    val out = ArrayBuffer.empty[(String, String)]
+    def moveFiles(src: Path, partValue: String): Unit =
+      fs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".parquet")) {
+          val destName = (if (partValue.nonEmpty) s"$partValue-" else "") + n
+          val dest = new Path(destRoot, destName)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"snapshots: cannot move ${st.getPath} -> $dest")
+          out += ((s"$DataDir/${vName(v)}/$destName", partValue))
+        }
+      }
+    partCol match {
+      case Some(_) =>
+        fs.listStatus(tmp).filter(_.isDirectory).foreach { pd =>
+          val value = pd.getPath.getName.stripPrefix("__part=")
+          moveFiles(pd.getPath, value)
+        }
+      case None => moveFiles(tmp, "")
+    }
+    fs.delete(tmp, true)
+    out.toSeq
+  }
+
+  // ---- commits ----------------------------------------------------------
+
+  /** Create version 1 from `df`. `partCol`, when given, must be a column
+    * of `df` with non-null filesystem-plain string-castable values; it
+    * becomes the manifest-pruning key for [[replacePartitions]] /
+    * [[readPartitions]]. */
+  def init(spark: SparkSession, dir: String, df: DataFrame,
+           partCol: Option[String] = None): Int = {
+    require(versions(spark, dir).isEmpty, s"snapshots: $dir already initialized")
+    val files = poolWrite(spark, dir, df, partCol, v = 1)
+    writeManifest(spark, dir, Manifest(1, partCol, df.schema.toDDL, files))
+    1
+  }
+
+  /** Append-only commit: new files join the current file list. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val v = cur.version + 1
+    val files = poolWrite(spark, dir, df, cur.partCol, v)
+    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.files ++ files))
+    v
+  }
+
+  /** Copy-on-write partition replacement: every partition value present
+    * in `df` is replaced by `df`'s rows for it; every other partition's
+    * files are re-referenced BY PATH (no read, no copy, no rename). A
+    * partition value in `dropValues` is removed without replacement. */
+  def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
+                        dropValues: Seq[String] = Seq.empty): Int = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val partCol = cur.partCol.getOrElse(
+      throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
+    val v = cur.version + 1
+    val newFiles = poolWrite(spark, dir, df, Some(partCol), v)
+    val replaced = newFiles.map(_._2).toSet ++ dropValues
+    val kept = cur.files.filterNot { case (_, pv) => replaced.contains(pv) }
+    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, kept ++ newFiles))
+    v
+  }
+
+  // ---- reads ------------------------------------------------------------
+
+  private def readFiles(spark: SparkSession, dir: String, m: Manifest,
+                        files: Seq[(String, String)]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        .parquet(files.map { case (p, _) => s"$dir/$p" }: _*)
+
+  /** The table at `version` (default: current). */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val m = readManifest(spark, dir, v).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
+    readFiles(spark, dir, m, m.files)
+  }
+
+  /** Manifest-level partition pruning: only files whose partition value
+    * is in `values` are opened. Metadata-only — no footer reads, no
+    * directory listing of the pool. */
+  def readPartitions(spark: SparkSession, dir: String, values: Seq[String],
+                     version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val m = readManifest(spark, dir, v).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
+    require(m.partCol.isDefined, s"snapshots: $dir is not partitioned")
+    val want = values.toSet
+    readFiles(spark, dir, m, m.files.filter { case (_, pv) => want.contains(pv) })
+  }
+
+  /** Paths (relative) a given version references — for tests/tools. */
+  def fileList(spark: SparkSession, dir: String, version: Int): Seq[(String, String)] =
+    readManifest(spark, dir, version).map(_.files).getOrElse(Seq.empty)
+
+  // ---- retention --------------------------------------------------------
+
+  /** Drop all but the newest `keepLast` versions and delete every pool
+    * file no retained manifest references (including orphans from lost
+    * commit races and torn writes). Returns deleted pool-relative paths.
+    * Operational constraint: no reader may hold a dropped version. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "snapshots: keepLast must be >= 1")
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshots: no committed version at $dir")
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = keep.flatMap(v => readManifest(spark, dir, v).get.files.map(_._1)).toSet
+    // delete dropped manifests first: a crash mid-vacuum must not leave a
+    // manifest whose files are gone
+    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // sweep torn manifests: .tmp- leftovers AND numbered manifests with no
+    // #end (a crashed direct writer / lost commit race) — a torn numbered
+    // manifest would otherwise pin its version number forever, wedging
+    // every future commit that targets it
+    val md = new Path(s"$dir/$ManifestDir")
+    fs.listStatus(md).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-")) fs.delete(st.getPath, false)
+      else if (n.startsWith("v") && n.endsWith(".manifest")) {
+        val v = n.stripPrefix("v").stripSuffix(".manifest").toInt
+        if (readManifest(spark, dir, v).isEmpty) fs.delete(st.getPath, false)
+      }
+    }
+    val deleted = ArrayBuffer.empty[String]
+    val dataRoot = new Path(s"$dir/$DataDir")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { vd =>
+        if (vd.isDirectory && vd.getPath.getName.startsWith(".write-")) {
+          fs.delete(vd.getPath, true) // torn pool write
+          deleted += s"$DataDir/${vd.getPath.getName}"
+        } else if (vd.isDirectory) {
+          fs.listStatus(vd.getPath).foreach { f =>
+            val rel = s"$DataDir/${vd.getPath.getName}/${f.getPath.getName}"
+            if (!referenced.contains(rel)) {
+              fs.delete(f.getPath, false)
+              deleted += rel
+            }
+          }
+          if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+        }
+      }
+    }
+    deleted.toSeq
+  }
+}

@@ -1812,6 +1812,51 @@ object Relational {
           CAST(SUM(CASE WHEN o_orderpriority LIKE '0-%' THEN 1 ELSE 0 END) AS BIGINT) AS n_mutated,
           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
-        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- snapshot time travel: manifest-versioned reads ------------------
+    // catalog.Snapshots end-to-end: orders becomes a manifest-versioned
+    // table (v1), a copy-on-write commit replaces ONLY partition 'F'
+    // (every other partition's files are re-referenced by path — no
+    // rewrite, no rename of live data, SnapshotsSpec proves identical
+    // paths across manifests), and the query reads BOTH versions: time
+    // travel answers "what did the corpus look like before the commit"
+    // from the same table. The oracle replays both logical states, so the
+    // manifest/pool machinery is hash-gated against declarative
+    // semantics. All-integer output.
+    "q122_time_travel" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val work = Tables.derivedDir("graft_snap", s"$dir|orders_tt")
+        Tables.derivedClear(work) // versioning is the thing under test: rebuild
+        val table = s"$work/orders"
+        graft.catalog.Snapshots.init(s, table, base, Some("o_orderstatus"))
+        val replacement = base
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        graft.catalog.Snapshots.replacePartitions(s, table, replacement)
+        val v1 = graft.catalog.Snapshots.read(s, table, Some(1))
+          .withColumn("version", lit(1L))
+        val v2 = graft.catalog.Snapshots.read(s, table, Some(2))
+          .withColumn("version", lit(2L))
+        v1.unionByName(v2)
+          .groupBy("version", "o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .orderBy("version", "o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        v2f AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus
+                FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0),
+        v2 AS (SELECT * FROM base WHERE o_orderstatus <> 'F'
+               UNION ALL SELECT * FROM v2f),
+        u AS (SELECT CAST(1 AS BIGINT) AS version, * FROM base
+              UNION ALL SELECT CAST(2 AS BIGINT), * FROM v2)
+        SELECT version, o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
+        FROM u GROUP BY version, o_orderstatus
+        ORDER BY version, o_orderstatus"""))
   )
 }

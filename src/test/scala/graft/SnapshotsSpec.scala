@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import graft.catalog.Snapshots
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_snap").resolve("t").toString
+
+  private def rows(dir: String, v: Option[Int] = None): Set[(Long, String, String)] =
+    Snapshots.read(spark, dir, v).select("id", "v", "p")
+      .as[(Long, String, String)].collect().toSet
+
+  private val base = Seq(
+    (1L, "one", "a"), (2L, "two", "a"),
+    (3L, "three", "b"), (4L, "four", "b"),
+    (5L, "five", "c"))
+
+  test("init + append: old versions are immutable, current sees both") {
+    val dir = freshDir()
+    assert(Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p")) == 1)
+    assert(rows(dir) == base.toSet)
+    val v2 = Snapshots.append(spark, dir, Seq((6L, "six", "c")).toDF("id", "v", "p"))
+    assert(v2 == 2)
+    assert(rows(dir, Some(1)) == base.toSet)
+    assert(rows(dir) == base.toSet + ((6L, "six", "c")))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+  }
+
+  test("replacePartitions reuses untouched files by path and time-travels") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    val v2 = Snapshots.replacePartitions(spark, dir,
+      Seq((1L, "ONE", "a"), (9L, "nine", "a")).toDF("id", "v", "p"))
+    assert(v2 == 2)
+    // v2 state: partition a replaced, b and c untouched
+    assert(rows(dir) == Set(
+      (1L, "ONE", "a"), (9L, "nine", "a"),
+      (3L, "three", "b"), (4L, "four", "b"), (5L, "five", "c")))
+    // time travel: v1 unchanged
+    assert(rows(dir, Some(1)) == base.toSet)
+    // copy-on-write proof: untouched partitions' file PATHS are identical
+    // across the two manifests (re-referenced, not rewritten)
+    val f1 = Snapshots.fileList(spark, dir, 1).toMap
+    val f2 = Snapshots.fileList(spark, dir, 2).toMap
+    val untouched1 = f1.filter { case (_, pv) => pv != "a" }
+    val untouched2 = f2.filter { case (_, pv) => pv != "a" }
+    assert(untouched1 == untouched2 && untouched1.nonEmpty)
+    assert(f2.exists { case (path, pv) => pv == "a" && !f1.contains(path) })
+  }
+
+  test("dropValues removes a partition; empty table still readable via schema header") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir,
+      Seq((1L, "one", "a")).toDF("id", "v", "p"), Some("p"))
+    Snapshots.replacePartitions(spark, dir,
+      spark.emptyDataset[(Long, String, String)].toDF("id", "v", "p"),
+      dropValues = Seq("a"))
+    val df = Snapshots.read(spark, dir)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id", "v", "p"))
+  }
+
+  test("manifest-level partition pruning opens only the named partition's files") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    val pruned = Snapshots.readPartitions(spark, dir, Seq("b"))
+    assert(pruned.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val opened = pruned.inputFiles.toSet
+    val bFiles = Snapshots.fileList(spark, dir, 1)
+      .filter(_._2 == "b").map { case (p, _) => s"$dir/$p" }
+    assert(opened.forall(f => bFiles.exists(b => f.endsWith(b.stripPrefix(dir)))))
+    assert(opened.size == bFiles.size)
+  }
+
+  test("a torn manifest (no #end) is invisible; current falls back") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    val torn = java.nio.file.Paths.get(dir, "_manifests", "v00000002.manifest")
+    Files.write(torn, "#version 2\n_data/v00000002/missing.parquet\t\n".getBytes("UTF-8"))
+    assert(Snapshots.currentVersion(spark, dir) == 1)
+    assert(rows(dir) == base.toSet)
+  }
+
+  test("vacuum drops old versions, keeps every file the retained manifests reference") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    Snapshots.replacePartitions(spark, dir, Seq((1L, "ONE", "a")).toDF("id", "v", "p"))
+    Snapshots.replacePartitions(spark, dir, Seq((3L, "THREE", "b")).toDF("id", "v", "p"))
+    val before = rows(dir)
+    val deleted = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(Snapshots.versions(spark, dir) == Seq(3))
+    assert(rows(dir) == before) // current version fully intact
+    // v1's replaced partition-a file is gone from the pool
+    val pool = java.nio.file.Paths.get(dir, "_data", "v00000001")
+    import scala.jdk.CollectionConverters._
+    val v1Files = if (Files.exists(pool))
+      Files.list(pool).iterator().asScala.map(_.getFileName.toString).toSet
+    else Set.empty[String]
+    assert(!v1Files.exists(_.startsWith("a-")))
+    // but v1's partition-c file survives (still referenced by v3)
+    assert(v1Files.exists(_.startsWith("c-")))
+  }
+
+  test("concurrent commit race: loser throws, winner's manifest stands") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // Writer A has already created v2's manifest FILE (a torn one — so
+    // writer B still resolves current=1 and targets v2, exactly the race
+    // window). B's commit must fail without clobbering A's file.
+    val clash = java.nio.file.Paths.get(dir, "_manifests", "v00000002.manifest")
+    Files.write(clash, "#version 2\n".getBytes("UTF-8"))
+    val winner = new String(Files.readAllBytes(clash), "UTF-8")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.append(spark, dir, Seq((6L, "six", "c")).toDF("id", "v", "p"))
+    }
+    assert(new String(Files.readAllBytes(clash), "UTF-8") == winner)
+    // B's orphaned pool files are swept by vacuum
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(rows(dir) == base.toSet)
+  }
+}
