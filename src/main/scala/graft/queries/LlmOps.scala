@@ -1814,7 +1814,55 @@ object LlmOps {
           FROM p GROUP BY tok)
         SELECT tok, CAST(ppm_a AS BIGINT) AS ppm_a, CAST(ppm_b AS BIGINT) AS ppm_b,
           CAST(ABS(ppm_a - ppm_b) AS BIGINT) AS drift
-        FROM w ORDER BY drift DESC, tok LIMIT 20"""))
+        FROM w ORDER BY drift DESC, tok LIMIT 20""")),
+
+    // ---- bigram LM likelihood scoring (CCNet-style quality filter) ------
+    // The CCNet/Gopher recipe scores documents with an n-gram language
+    // model and keeps the most "in-distribution" ones. Here the model is
+    // a bigram LM trained on THE CORPUS ITSELF (c1 = prefix counts, c2 =
+    // bigram counts), and each document's score is the mean conditional
+    // micro-probability of its bigrams — floor-divided micro-units end to
+    // end (the q118 PageRank trick), so a trained-model scoring pipeline
+    // hash-matches bit-for-bit instead of drowning in float log-prob
+    // divergence. Scale: the model tables are corpus aggregates (map-side
+    // partial counts); scoring re-joins them on exact keys — shuffle joins
+    // AQE can re-plan, no all-pairs anywhere, no driver state. The top-k
+    // ends as TakeOrderedAndProject.
+    "q123_lm_bigram_score" -> Q(
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val pairs = toks.select(col("doc_id"),
+            explode(arrays_zip(
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+              slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("p_micro", expr("(c2 * CAST(1000000 AS BIGINT)) div c1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("s"))
+          .withColumn("avg_microprob", expr("s div n_bigrams"))
+          .select("doc_id", "n_bigrams", "avg_microprob")
+          .orderBy(col("avg_microprob").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+               FROM documents),
+        b AS (SELECT doc_id,
+                unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+                unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+              FROM w WHERE len(toks) >= 2),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+        sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                 SUM((c2.c2 * 1000000) // c1.c1) AS s
+               FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+               GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, CAST(s // n_bigrams AS BIGINT) AS avg_microprob
+        FROM sc ORDER BY avg_microprob DESC, doc_id LIMIT 15"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
