@@ -211,4 +211,31 @@ object TextAnalysis {
   /** Count of matches of one PII pattern (pre-redaction). */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
+
+  // ---- markup stripping (HTML → text for web-scrape ingestion) --------
+  /** Ordered (pattern, replacement) pairs. RE2-compatible subset (no
+    * lookaround/backrefs) so Spark (java.util.regex) and DuckDB (RE2)
+    * strip IDENTICAL spans — the q111 trick applied to HTML cleaning.
+    * Order is load-bearing and is the SAFE order: script/style blocks
+    * first, then all tags, then entity decoding, then whitespace
+    * collapse. Decoding entities before tag removal would let encoded
+    * markup (`&lt;script&gt;`) re-enter the tag stripper — the classic
+    * sanitizer-ordering bug; this order cannot. Block contents are
+    * matched as `[^<]*` (no dotall dependence): a script body containing
+    * a bare `<` ends the block early — identically on both engines. */
+  val MarkupStrip: Seq[(String, String)] = Seq(
+    "<script[^>]*>[^<]*</script>" -> " ",
+    "<style[^>]*>[^<]*</style>" -> " ",
+    "<[^>]+>" -> " ",
+    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+    "[ \\t\\r\\n]+" -> " ")
+
+  /** Strip markup from `html`, in [[MarkupStrip]] order, and trim. A
+    * chain of codegen'd regexp_replace calls — per-row, no UDF, no
+    * shuffle; at 100 TB this is a map stage fused into the scan. */
+  def stripMarkup(html: Column): Column =
+    trim(MarkupStrip.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
 }

@@ -1862,7 +1862,46 @@ object LlmOps {
                FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
                GROUP BY doc_id)
         SELECT doc_id, n_bigrams, CAST(s // n_bigrams AS BIGINT) AS avg_microprob
-        FROM sc ORDER BY avg_microprob DESC, doc_id LIMIT 15"""))
+        FROM sc ORDER BY avg_microprob DESC, doc_id LIMIT 15""")),
+
+    // ---- markup stripping (HTML → text, the web-scrape ingest step) ----
+    // Every document is wrapped in a deterministic HTML shell (style +
+    // script blocks, attributes, encoded entities) and pushed through
+    // TextAnalysis.stripMarkup; the oracle builds the SAME shell and
+    // strips with a regexp_replace chain GENERATED from the same pattern
+    // table, so the cleaner's exact output text is hash-gated. Per-row
+    // codegen'd regex chain — no UDF, no shuffle; the aggregate-free map
+    // fuses into the scan.
+    "q124_strip_markup" -> Q(
+      (s, dir) => {
+        val ids = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style></head><body><p class=\"d"),
+          ids, lit("\">"), col("text"),
+          lit("</p><script>var x="), ids,
+          lit(";</script>&amp; &lt;tail&gt;&nbsp;ok</body></html>"))
+        docs(s, dir)
+          .withColumn("html", html)
+          .select(col("doc_id"),
+            TextAnalysis.piiCount(col("html"), "<[^>]+>").as("n_tags"),
+            md5(TextAnalysis.stripMarkup(col("html"))).as("clean_md5"),
+            length(TextAnalysis.stripMarkup(col("html"))).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val chain = TextAnalysis.MarkupStrip.foldLeft("html") { case (e, (p, r)) =>
+          s"regexp_replace($e, '$p', '${r.replace("'", "''")}', 'g')"
+        }
+        s"""WITH a AS (SELECT doc_id,
+             '<html><head><style>p{color:red}</style></head><body><p class="d' ||
+             CAST(doc_id AS VARCHAR) || '">' || text || '</p><script>var x=' ||
+             CAST(doc_id AS VARCHAR) || ';</script>&amp; &lt;tail&gt;&nbsp;ok</body></html>' AS html
+           FROM documents),
+        c AS (SELECT doc_id, html, trim($chain) AS clean FROM a)
+        SELECT doc_id, CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+               md5(clean) AS clean_md5, CAST(len(clean) AS BIGINT) AS clean_len
+        FROM c ORDER BY doc_id"""
+      })
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
