@@ -50,8 +50,19 @@ object Snapshots {
   private val DataDir = "_data"
   private val ManifestDir = "_manifests"
 
+  /** Per-file footer statistics carried in the manifest: row count plus
+    * min/max for every INT64 column (read once from the parquet footer at
+    * commit time, never recomputed). `mins`/`maxs` are keyed by column
+    * name; a column absent from the maps has no usable stats (null-only
+    * chunks, or a pre-stats manifest) and is treated conservatively. */
+  final case class FileStats(rows: Long, mins: Map[String, Long], maxs: Map[String, Long])
+
+  final case class Entry(path: String, partValue: String, stats: Option[FileStats])
+
   final case class Manifest(version: Int, partCol: Option[String],
-                            schemaDdl: String, files: Seq[(String, String)])
+                            schemaDdl: String, entries: Seq[Entry]) {
+    def files: Seq[(String, String)] = entries.map(e => (e.path, e.partValue))
+  }
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,7 +84,14 @@ object Snapshots {
     sb.append(s"#version ${m.version}\n")
     m.partCol.foreach(c => sb.append(s"#partcol $c\n"))
     sb.append(s"#schema ${m.schemaDdl}\n")
-    m.files.foreach { case (p, v) => sb.append(s"$p\t$v\n") }
+    m.entries.foreach { e =>
+      val st = e.stats.map { fs =>
+        val cols = fs.mins.keys.toSeq.sorted
+          .map(c => s"$c=${fs.mins(c)}..${fs.maxs(c)}").mkString(";")
+        s"\t${fs.rows}\t$cols"
+      }.getOrElse("")
+      sb.append(s"${e.path}\t${e.partValue}$st\n")
+    }
     sb.append("#end\n")
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
@@ -102,17 +120,29 @@ object Snapshots {
     if (!lines.contains("#end")) return None // torn manifest: invisible
     var partCol: Option[String] = None
     var schema = ""
-    val files = ArrayBuffer.empty[(String, String)]
+    val entries = ArrayBuffer.empty[Entry]
     lines.takeWhile(_ != "#end").foreach {
       case l if l.startsWith("#version ") => ()
       case l if l.startsWith("#partcol ") => partCol = Some(l.drop(9))
       case l if l.startsWith("#schema ")  => schema = l.drop(8)
       case l if l.nonEmpty =>
-        val i = l.indexOf('\t')
-        files += ((l.substring(0, i), l.substring(i + 1)))
+        val f = l.split("\t", -1)
+        val stats =
+          if (f.length >= 4)
+            Some(FileStats(f(2).toLong,
+              mins = f(3).split(";").filter(_.nonEmpty).map { kv =>
+                val Array(c, rng) = kv.split("=", 2)
+                c -> rng.split("\\.\\.", 2)(0).toLong
+              }.toMap,
+              maxs = f(3).split(";").filter(_.nonEmpty).map { kv =>
+                val Array(c, rng) = kv.split("=", 2)
+                c -> rng.split("\\.\\.", 2)(1).toLong
+              }.toMap))
+          else None
+        entries += Entry(f(0), f(1), stats)
       case _ => ()
     }
-    Some(Manifest(v, partCol, schema, files.toSeq))
+    Some(Manifest(v, partCol, schema, entries.toSeq))
   }
 
   /** All committed (complete) version numbers, ascending. */
@@ -135,12 +165,46 @@ object Snapshots {
 
   // ---- data-file pool ---------------------------------------------------
 
+  /** Row count + INT64 min/max per column, read from one parquet footer
+    * (a metadata read, not a data scan). A column whose chunks carry no
+    * usable stats is omitted. */
+  private def footerStats(spark: SparkSession, path: Path): FileStats = {
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = rd.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map.empty[String, Long]
+      val maxs = scala.collection.mutable.Map.empty[String, Long]
+      val bad = scala.collection.mutable.Set.empty[String]
+      blocks.foreach(_.getColumns.asScala.foreach { cc =>
+        if (cc.getPrimitiveType.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+            cc.getPath.size() == 1) {
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+            val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+            mins(name) = mins.get(name).fold(lo)(math.min(_, lo))
+            maxs(name) = maxs.get(name).fold(hi)(math.max(_, hi))
+          } else bad += name // a statless chunk poisons the whole column
+        }
+      })
+      bad.foreach { c => mins.remove(c); maxs.remove(c) }
+      FileStats(rows, mins.toMap, maxs.toMap)
+    } finally rd.close()
+  }
+
   /** Write `df` into the pool under the next version's subdir and return
-    * (relpath, partitionValue) entries. Uses a shadow `__part` column so
-    * the REAL partition column stays inside the data files while the
-    * hive-style tmp layout tells us each file's partition value. */
+    * manifest entries (relpath, partitionValue, footer stats). Uses a
+    * shadow `__part` column so the REAL partition column stays inside the
+    * data files while the hive-style tmp layout tells us each file's
+    * partition value. */
   private def poolWrite(spark: SparkSession, dir: String, df: DataFrame,
-                        partCol: Option[String], v: Int): Seq[(String, String)] = {
+                        partCol: Option[String], v: Int): Seq[Entry] = {
     val fs = fsOf(spark, dir)
     val tmp = new Path(s"$dir/$DataDir/.write-${vName(v)}-${java.util.UUID.randomUUID()}")
     partCol match {
@@ -152,7 +216,7 @@ object Snapshots {
     }
     val destRoot = new Path(s"$dir/$DataDir/${vName(v)}")
     fs.mkdirs(destRoot)
-    val out = ArrayBuffer.empty[(String, String)]
+    val out = ArrayBuffer.empty[Entry]
     def moveFiles(src: Path, partValue: String): Unit =
       fs.listStatus(src).foreach { st =>
         val n = st.getPath.getName
@@ -161,7 +225,8 @@ object Snapshots {
           val dest = new Path(destRoot, destName)
           if (!fs.rename(st.getPath, dest))
             throw new java.io.IOException(s"snapshots: cannot move ${st.getPath} -> $dest")
-          out += ((s"$DataDir/${vName(v)}/$destName", partValue))
+          out += Entry(s"$DataDir/${vName(v)}/$destName", partValue,
+            Some(footerStats(spark, dest)))
         }
       }
     partCol match {
@@ -185,8 +250,8 @@ object Snapshots {
   def init(spark: SparkSession, dir: String, df: DataFrame,
            partCol: Option[String] = None): Int = {
     require(versions(spark, dir).isEmpty, s"snapshots: $dir already initialized")
-    val files = poolWrite(spark, dir, df, partCol, v = 1)
-    writeManifest(spark, dir, Manifest(1, partCol, df.schema.toDDL, files))
+    val entries = poolWrite(spark, dir, df, partCol, v = 1)
+    writeManifest(spark, dir, Manifest(1, partCol, df.schema.toDDL, entries))
     1
   }
 
@@ -194,8 +259,8 @@ object Snapshots {
   def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
     val v = cur.version + 1
-    val files = poolWrite(spark, dir, df, cur.partCol, v)
-    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.files ++ files))
+    val entries = poolWrite(spark, dir, df, cur.partCol, v)
+    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries))
     v
   }
 
@@ -209,30 +274,30 @@ object Snapshots {
     val partCol = cur.partCol.getOrElse(
       throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
     val v = cur.version + 1
-    val newFiles = poolWrite(spark, dir, df, Some(partCol), v)
-    val replaced = newFiles.map(_._2).toSet ++ dropValues
-    val kept = cur.files.filterNot { case (_, pv) => replaced.contains(pv) }
-    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, kept ++ newFiles))
+    val newEntries = poolWrite(spark, dir, df, Some(partCol), v)
+    val replaced = newEntries.map(_.partValue).toSet ++ dropValues
+    val kept = cur.entries.filterNot(e => replaced.contains(e.partValue))
+    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, kept ++ newEntries))
     v
   }
 
   // ---- reads ------------------------------------------------------------
 
   private def readFiles(spark: SparkSession, dir: String, m: Manifest,
-                        files: Seq[(String, String)]): DataFrame =
-    if (files.isEmpty)
+                        entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
     else
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-        .parquet(files.map { case (p, _) => s"$dir/$p" }: _*)
+        .parquet(entries.map(e => s"$dir/${e.path}"): _*)
 
   /** The table at `version` (default: current). */
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, dir))
     val m = readManifest(spark, dir, v).getOrElse(
       throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
-    readFiles(spark, dir, m, m.files)
+    readFiles(spark, dir, m, m.entries)
   }
 
   /** Manifest-level partition pruning: only files whose partition value
@@ -245,12 +310,53 @@ object Snapshots {
       throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
     require(m.partCol.isDefined, s"snapshots: $dir is not partitioned")
     val want = values.toSet
-    readFiles(spark, dir, m, m.files.filter { case (_, pv) => want.contains(pv) })
+    readFiles(spark, dir, m, m.entries.filter(e => want.contains(e.partValue)))
   }
 
   /** Paths (relative) a given version references — for tests/tools. */
   def fileList(spark: SparkSession, dir: String, version: Int): Seq[(String, String)] =
     readManifest(spark, dir, version).map(_.files).getOrElse(Seq.empty)
+
+  /** Full manifest entries incl. stats — for tests/tools. */
+  def entryList(spark: SparkSession, dir: String, version: Int): Seq[Entry] =
+    readManifest(spark, dir, version).map(_.entries).getOrElse(Seq.empty)
+
+  /** Exact row count from manifest stats alone — zero files opened. At
+    * 100 TB, `SELECT count(*)` is a metadata lookup, not a scan. Requires
+    * every entry to carry stats (always true for manifests this code
+    * wrote; a hand-edited manifest without them falls back to an error
+    * rather than a silent wrong count). */
+  def rowCount(spark: SparkSession, dir: String, version: Option[Int] = None): Long = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val m = readManifest(spark, dir, v).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
+    m.entries.map(_.stats.getOrElse(throw new IllegalStateException(
+      s"snapshots: entry without stats in v$v — cannot metadata-count")).rows).sum
+  }
+
+  /** Stats-pruned range read: only files whose footer [min,max] for
+    * `column` intersects [lo,hi] are opened (a file without stats for the
+    * column is conservatively included), and the exact predicate is
+    * re-applied to the surviving rows — pruning can only skip work, never
+    * change the answer. The manifest is the file-skipping index: at
+    * 100 TB a selective range over a sorted/z-ordered layout opens a
+    * handful of files without listing or footer-probing the table. */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+                lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, dir))
+    val m = readManifest(spark, dir, v).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $v at $dir"))
+    val hit = m.entries.filter { e =>
+      e.stats match {
+        case Some(fs) => (fs.mins.get(column), fs.maxs.get(column)) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true // no stats for the column: cannot rule the file out
+        }
+        case None => true
+      }
+    }
+    readFiles(spark, dir, m, hit).filter(col(column).between(lo, hi))
+  }
 
   // ---- retention --------------------------------------------------------
 

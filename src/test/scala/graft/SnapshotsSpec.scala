@@ -75,6 +75,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(opened.size == bFiles.size)
   }
 
+  test("rowCount is served from manifest stats without opening files") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    Snapshots.append(spark, dir, Seq((6L, "six", "c"), (7L, "seven", "d")).toDF("id", "v", "p"))
+    assert(Snapshots.rowCount(spark, dir) == 7L)
+    assert(Snapshots.rowCount(spark, dir, Some(1)) == 5L)
+    // stats really are in the manifest (not recomputed): every entry carries them
+    assert(Snapshots.entryList(spark, dir, 2).forall(_.stats.isDefined))
+  }
+
+  test("readWhere prunes files by footer min/max and still answers exactly") {
+    val dir = freshDir()
+    // partition values give one file per id-range: a:[1,2] b:[3,4] c:[5]
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    val pruned = Snapshots.readWhere(spark, dir, "id", 3L, 4L)
+    assert(pruned.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // only partition b's file range intersects [3,4]
+    val opened = pruned.inputFiles.toSet
+    val bPaths = Snapshots.entryList(spark, dir, 1)
+      .filter(e => e.stats.exists(s => s.maxs("id") >= 3 && s.mins("id") <= 4))
+      .map(_.path)
+    assert(bPaths.forall(_.contains("b-")) && bPaths.nonEmpty)
+    assert(opened.size == bPaths.size)
+    // a range matching nothing opens nothing and returns empty
+    val none = Snapshots.readWhere(spark, dir, "id", 100L, 200L)
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+  }
+
   test("a torn manifest (no #end) is invisible; current falls back") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
