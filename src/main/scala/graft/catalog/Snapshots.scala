@@ -60,7 +60,8 @@ object Snapshots {
   final case class Entry(path: String, partValue: String, stats: Option[FileStats])
 
   final case class Manifest(version: Int, partCol: Option[String],
-                            schemaDdl: String, entries: Seq[Entry]) {
+                            schemaDdl: String, entries: Seq[Entry],
+                            epoch: Option[Long] = None) {
     def files: Seq[(String, String)] = entries.map(e => (e.path, e.partValue))
   }
 
@@ -83,6 +84,7 @@ object Snapshots {
     val sb = new StringBuilder
     sb.append(s"#version ${m.version}\n")
     m.partCol.foreach(c => sb.append(s"#partcol $c\n"))
+    m.epoch.foreach(e => sb.append(s"#epoch $e\n"))
     sb.append(s"#schema ${m.schemaDdl}\n")
     m.entries.foreach { e =>
       val st = e.stats.map { fs =>
@@ -120,10 +122,12 @@ object Snapshots {
     if (!lines.contains("#end")) return None // torn manifest: invisible
     var partCol: Option[String] = None
     var schema = ""
+    var epoch: Option[Long] = None
     val entries = ArrayBuffer.empty[Entry]
     lines.takeWhile(_ != "#end").foreach {
       case l if l.startsWith("#version ") => ()
       case l if l.startsWith("#partcol ") => partCol = Some(l.drop(9))
+      case l if l.startsWith("#epoch ")   => epoch = Some(l.drop(7).toLong)
       case l if l.startsWith("#schema ")  => schema = l.drop(8)
       case l if l.nonEmpty =>
         val f = l.split("\t", -1)
@@ -142,7 +146,7 @@ object Snapshots {
         entries += Entry(f(0), f(1), stats)
       case _ => ()
     }
-    Some(Manifest(v, partCol, schema, entries.toSeq))
+    Some(Manifest(v, partCol, schema, entries.toSeq, epoch))
   }
 
   /** All committed (complete) version numbers, ascending. */
@@ -262,6 +266,60 @@ object Snapshots {
     val entries = poolWrite(spark, dir, df, cur.partCol, v)
     writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries))
     v
+  }
+
+  /** Append with schema widening: columns of `df` that the table lacks
+    * are ADDED to the table schema (existing files read them as null);
+    * columns of the table that `df` lacks are null-filled in the written
+    * files. A same-name column with a different type is rejected — type
+    * evolution needs an explicit rewrite, not a silent cast. Old files
+    * are untouched: evolution is a manifest-schema change, the 100 TB
+    * no-rewrite property. */
+  def appendEvolve(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    import org.apache.spark.sql.types.StructType
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val old = StructType.fromDDL(cur.schemaDdl)
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      oldByName.get(f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"snapshots: column ${f.name} type change ${o.dataType} -> ${f.dataType} rejected")
+      }
+    }
+    val widened = StructType(old.fields ++
+      df.schema.fields.filterNot(f => oldByName.contains(f.name)))
+    val aligned = df.select(widened.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val v = cur.version + 1
+    val entries = poolWrite(spark, dir, aligned, cur.partCol, v)
+    writeManifest(spark, dir,
+      Manifest(v, cur.partCol, widened.toDDL, cur.entries ++ entries))
+    v
+  }
+
+  /** Exactly-once streaming sink: commit micro-batch `df` as one snapshot
+    * version stamped with its epoch id. A replayed epoch (stream died
+    * between sink write and checkpoint commit, then restarted) is
+    * detected by the stamp on the CURRENT manifest and skipped — the
+    * foreachBatch idempotence contract without a separate ledger, because
+    * the manifest chain IS the ledger. Returns the committed version, or
+    * None for a skipped replay. Single-writer per table (one stream);
+    * epochs must be monotone, which Structured Streaming guarantees. */
+  def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
+                  epochId: Long): Option[Int] = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    // the newest epoch-stamped manifest guards the replay, even when
+    // non-epoch commits (compaction, batch appends) interleave
+    val lastEpoch = versions(spark, dir).reverse.iterator
+      .flatMap(v => readManifest(spark, dir, v).flatMap(_.epoch)).nextOption()
+    if (lastEpoch.exists(_ >= epochId)) return None
+    val v = cur.version + 1
+    val entries = poolWrite(spark, dir, df, cur.partCol, v)
+    writeManifest(spark, dir,
+      Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries, Some(epochId)))
+    Some(v)
   }
 
   /** Copy-on-write partition replacement: every partition value present

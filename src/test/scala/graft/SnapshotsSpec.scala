@@ -103,6 +103,46 @@ class SnapshotsSpec extends SparkSpec {
     assert(none.count() == 0 && none.inputFiles.isEmpty)
   }
 
+  test("appendEvolve widens the schema; old files read the new column as null") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    Snapshots.appendEvolve(spark, dir,
+      Seq((6L, "six", "c", 42L)).toDF("id", "v", "p", "score"))
+    val df = Snapshots.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "v", "p", "score"))
+    val byId = df.select("id", "score").as[(Long, Option[Long])].collect().toMap
+    assert(byId(6L).contains(42L) && byId(1L).isEmpty)
+    // missing columns in the NEW data are null-filled too
+    Snapshots.appendEvolve(spark, dir, Seq((7L, "c")).toDF("id", "p"))
+    val r7 = Snapshots.read(spark, dir).filter("id = 7")
+      .select("v", "score").as[(Option[String], Option[Long])].collect().head
+    assert(r7 == ((None, None)))
+    // type change is rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.appendEvolve(spark, dir, Seq(("x", "c")).toDF("id", "p"))
+    }
+    // v1 time travel still reads the ORIGINAL narrow schema
+    assert(Snapshots.read(spark, dir, Some(1)).columns.toSeq == Seq("id", "v", "p"))
+  }
+
+  test("commitEpoch: replayed epochs are no-ops, the manifest chain is the ledger") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((10L, "ten", "c")).toDF("id", "v", "p"), epochId = 0L).contains(2))
+    // crash-replay of epoch 0: skipped
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((10L, "ten", "c")).toDF("id", "v", "p"), epochId = 0L).isEmpty)
+    // an interleaved non-epoch commit does not defeat the guard
+    Snapshots.append(spark, dir, Seq((11L, "eleven", "c")).toDF("id", "v", "p"))
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((12L, "twelve", "c")).toDF("id", "v", "p"), epochId = 0L).isEmpty)
+    // the next epoch lands
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((12L, "twelve", "c")).toDF("id", "v", "p"), epochId = 1L).isDefined)
+    assert(Snapshots.read(spark, dir).count() == base.size + 3)
+  }
+
   test("a torn manifest (no #end) is invisible; current falls back") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
