@@ -339,6 +339,28 @@ object Snapshots {
     v
   }
 
+  /** Small-file compaction as a normal snapshot commit (the OPTIMIZE
+    * analogue): rewrite each of `values`' partitions into `filesPer`
+    * files — sorted within files by `sortBy` when given, which tightens
+    * the per-file min/max ranges [[readWhere]] prunes on — and publish as
+    * a new version. Built ON [[replacePartitions]], so unlike
+    * [[Tables.compact]]'s directory swap there is NO reader constraint:
+    * a reader holding the old manifest keeps its immutable files until
+    * [[vacuum]] retention. Data is byte-identical (same rows, new file
+    * boundaries); time travel to the pre-compaction version still works. */
+  def compactPartitions(spark: SparkSession, dir: String, values: Seq[String],
+                        filesPer: Int = 1, sortBy: Option[String] = None): Int = {
+    require(filesPer >= 1, "snapshots: filesPer must be >= 1")
+    val part = readPartitions(spark, dir, values)
+    // range-partition + sort when a layout column is given: files get
+    // DISJOINT [min,max] ranges, the best case for stats pruning
+    val laid = sortBy match {
+      case Some(c) => part.repartitionByRange(filesPer, col(c)).sortWithinPartitions(col(c))
+      case None    => part.repartition(filesPer)
+    }
+    replacePartitions(spark, dir, laid)
+  }
+
   // ---- reads ------------------------------------------------------------
 
   private def readFiles(spark: SparkSession, dir: String, m: Manifest,

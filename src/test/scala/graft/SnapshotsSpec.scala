@@ -143,6 +143,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == base.size + 3)
   }
 
+  test("compactPartitions merges files as a commit; old version keeps its files") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // fragment partition a across several commits
+    Snapshots.append(spark, dir, Seq((10L, "ten", "a")).toDF("id", "v", "p"))
+    Snapshots.append(spark, dir, Seq((11L, "eleven", "a")).toDF("id", "v", "p"))
+    val before = Snapshots.entryList(spark, dir, 3).filter(_.partValue == "a")
+    assert(before.size >= 3)
+    val want = Snapshots.read(spark, dir).select("id").as[Long].collect().toSet
+    Snapshots.compactPartitions(spark, dir, Seq("a"), filesPer = 1, sortBy = Some("id"))
+    val after = Snapshots.entryList(spark, dir, 4).filter(_.partValue == "a")
+    assert(after.size == 1)
+    // identical data, tight stats on the compacted file
+    assert(Snapshots.read(spark, dir).select("id").as[Long].collect().toSet == want)
+    val st = after.head.stats.get
+    assert(st.mins("id") == 1L && st.maxs("id") == 11L && st.rows == 4L)
+    // time travel to the fragmented version still works (files retained)
+    assert(Snapshots.read(spark, dir, Some(3)).select("id").as[Long]
+      .collect().toSet == want)
+  }
+
   test("a torn manifest (no #end) is invisible; current falls back") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
