@@ -283,6 +283,25 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Continuous ingest into a versioned snapshot table: each micro-batch
+    * becomes one [[graft.catalog.Snapshots.commitEpoch]] commit. Readers
+    * resolve complete manifests only, so they never see a half-written
+    * batch; a crash between sink write and checkpoint commit replays the
+    * epoch, which the manifest-chain epoch stamp detects and skips —
+    * exactly-once table state on top of an at-least-once stream, with no
+    * side ledger. The table must exist ([[graft.catalog.Snapshots.init]],
+    * possibly from an empty DataFrame) before the stream starts. */
+  def sinkSnapshots(docs: DataFrame, tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        graft.catalog.Snapshots.commitEpoch(batch.sparkSession, tableDir,
+          batch, epochId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- incremental exact-substring (CDC chunk) dedup ---------------------
 
   /** Clean one micro-batch against the accumulated chunk-hash history:

@@ -336,6 +336,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/epoch=1/data").count() == 2, "replay duplicated rows")
   }
 
+  test("sinkSnapshots: each micro-batch is one snapshot version, replay-safe") {
+    implicit val sq = spark.sqlContext
+    import graft.catalog.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("snapsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsink_ckpt").toString
+    Snapshots.init(spark, table,
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.sinkSnapshots(
+      mem.toDF().toDF("doc_id", "text"), table, ckpt)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // two epochs → two commits on top of init; versions are time-travelable
+    assert(Snapshots.versions(spark, table) == Seq(1, 2, 3))
+    assert(Snapshots.read(spark, table).count() == 3)
+    assert(Snapshots.read(spark, table, Some(2)).count() == 2)
+    // crash replay of the last epoch: no new version, no duplicate rows
+    assert(Snapshots.commitEpoch(spark, table,
+      Seq((3L, "c")).toDF("doc_id", "text"), epochId = 1L).isEmpty)
+    assert(Snapshots.read(spark, table).count() == 3)
+    // a restarted stream (same checkpoint) continues from the next epoch
+    val q2 = graft.streaming.DocStreams.sinkSnapshots(
+      mem.toDF().toDF("doc_id", "text"), table, ckpt)
+    mem.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Snapshots.read(spark, table).count() == 4)
+  }
+
   test("streaming cdc dedup: later batch loses the run it shares with history") {
     implicit val sq = spark.sqlContext
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
