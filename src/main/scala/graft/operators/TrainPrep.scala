@@ -169,6 +169,50 @@ object TrainPrep {
       .select(col(idCol), col(domainCol), col("n_tok"), col("keep_ppm"))
   }
 
+  /** Temperature-balanced corpus resampling (T = 2, the multilingual-LM
+    * "sampling with temperature" recipe): domain target shares are made
+    * ∝ √(domain tokens) — low-resource domains are UP-sampled (bounded by
+    * `maxRepeatPpm`, default 4×), high-resource ones down-sampled — and
+    * the plan is MATERIALIZED: each document appears `copies` times,
+    * where copies = r_ppm div 1e6 plus one Bernoulli extra decided by
+    * h60("tmix:" || id) % 1e6 < r_ppm % 1e6. Everything is integer
+    * arithmetic; the only float is √, made exact by a ±1 integer
+    * correction of floor(sqrt(double)) — valid to 2^52, far past any
+    * domain's token count — so the resampled corpus is bit-reproducible
+    * cross-engine (q125).
+    *
+    * Scale shape: the plan is a |domains|-row broadcast; copy
+    * materialization is a map-side explode (sequence(1, copies)) fused
+    * into the scan — no shuffle beyond the domain aggregate, no driver
+    * loop. Returns (id, domain, n_tok, n_in, r_ppm, copy). */
+  def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
+                          textCol: String,
+                          maxRepeatPpm: Long = 4000000L): DataFrame = {
+    val perDoc = df.select(col(idCol), col(domainCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+    val dom = perDoc.groupBy(domainCol)
+      .agg(sum(col("n_tok")).as("dom_tok"), count(lit(1)).as("n_in"))
+    val domW = dom
+      .withColumn("r0", expr("CAST(FLOOR(SQRT(CAST(dom_tok AS DOUBLE))) AS BIGINT)"))
+      .withColumn("wgt",
+        when((col("r0") + 1) * (col("r0") + 1) <= col("dom_tok"), col("r0") + 1)
+          .when(col("r0") * col("r0") > col("dom_tok"), col("r0") - 1)
+          .otherwise(col("r0")))
+    val tot = domW.agg(sum(col("wgt")).as("sum_w"), sum(col("dom_tok")).as("total_tok"))
+    val plan = domW.crossJoin(broadcast(tot)).select(col(domainCol), col("n_in"),
+      least(lit(maxRepeatPpm),
+        expr("((total_tok * wgt) DIV sum_w) * 1000000 DIV dom_tok")).as("r_ppm"))
+    perDoc.join(broadcast(plan), domainCol)
+      .withColumn("copies", expr("r_ppm DIV 1000000") +
+        when(pmod(Hashing.h60(concat(lit("tmix:"), col(idCol).cast("string"))),
+          lit(1000000L)) < expr("r_ppm % 1000000"), 1L).otherwise(0L))
+      .withColumn("copy", explode(
+        when(col("copies") >= 1, sequence(lit(1L), col("copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), col(domainCol), col("n_tok"), col("n_in"),
+        col("r_ppm"), col("copy"))
+  }
+
   /** Per-doc integrity digest used by the shard manifest: xxhash64 over
     * id and text, XOR-folded per shard (XOR is order-independent and
     * cannot overflow, so the checksum is stable under any read/write row

@@ -1901,7 +1901,51 @@ object LlmOps {
         SELECT doc_id, CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
                md5(clean) AS clean_md5, CAST(len(clean) AS BIGINT) AS clean_len
         FROM c ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- temperature resampling (mixture rebalancing, materialized) ----
+    // TrainPrep.temperatureResample: T=2 temperature sampling — target
+    // shares ∝ √(domain tokens), up-sampling capped at 4×, and the plan
+    // MATERIALIZED (each doc explodes into its copy count, fractional
+    // copies Bernoulli-decided by a doc hash). Complements q69's
+    // downsample-only uniform mix. The isqrt is floor(sqrt(double)) with
+    // a ±1 integer correction, exact on both engines; everything else is
+    // integer div/mod, so the materialized resample hash-matches. The
+    // xor over (doc_id, copy) pairs pins exact copy multiplicities.
+    "q125_temperature_resample" -> Q(
+      (s, dir) => TrainPrep.temperatureResample(docs(s, dir), "doc_id", "source", "text")
+        .groupBy("source")
+        .agg(max(col("n_in")).as("n_in"), count(lit(1)).as("n_out"),
+          sum(col("n_tok")).as("tok_out"),
+          expr("bit_xor(doc_id * 1000 + copy)").as("xor_key"),
+          max(col("r_ppm")).as("r_ppm"))
+        .orderBy("source"),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents),
+        dom AS (SELECT source, SUM(n_tok) AS dom_tok, COUNT(*) AS n_in
+                FROM d GROUP BY source),
+        s0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(dom_tok AS DOUBLE))) AS BIGINT) AS r0
+               FROM dom),
+        w AS (SELECT *, CASE WHEN (r0+1)*(r0+1) <= dom_tok THEN r0+1
+                             WHEN r0*r0 > dom_tok THEN r0-1 ELSE r0 END AS wgt
+              FROM s0),
+        tot AS (SELECT SUM(wgt) AS sum_w, SUM(dom_tok) AS total_tok FROM w),
+        pl AS (SELECT source, n_in,
+                 LEAST(4000000, ((total_tok * wgt) // sum_w) * 1000000 // dom_tok) AS r_ppm
+               FROM w CROSS JOIN tot),
+        c AS (SELECT d.doc_id, d.source, d.n_tok, pl.n_in, pl.r_ppm,
+                pl.r_ppm // 1000000 +
+                CASE WHEN ${H.sqlH60("'tmix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                          < pl.r_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+              FROM d JOIN pl USING (source)),
+        m AS (SELECT doc_id, source, n_tok, n_in, r_ppm,
+                unnest(range(1, CAST(copies + 1 AS BIGINT))) AS cp
+              FROM c WHERE copies >= 1)
+        SELECT source, CAST(MAX(n_in) AS BIGINT) AS n_in, COUNT(*) AS n_out,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_out,
+          CAST(bit_xor(doc_id * 1000 + cp) AS BIGINT) AS xor_key,
+          CAST(MAX(r_ppm) AS BIGINT) AS r_ppm
+        FROM m GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
