@@ -339,6 +339,54 @@ object Snapshots {
     v
   }
 
+  /** Keyed upsert on a versioned table: [[Mutate.upsert]] semantics
+    * (same-key rows replaced in their own partition, new keys inserted)
+    * published as one snapshot commit. The batch must carry the partition
+    * column (that is what keeps a 100 TB upsert from scanning the table:
+    * only the NAMED partitions are read, via manifest pruning); a key
+    * that moves partitions must be delete + insert. Unlike Mutate's
+    * directory swap, readers are never constrained: old versions remain
+    * readable, and the pre-mutation state is one time-travel read away —
+    * the natural audit log for GDPR-style erasure. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "snapshots: keyCols must be non-empty")
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val partCol = cur.partCol.getOrElse(
+      throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
+    val values = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(values.nonEmpty, "snapshots: empty batch")
+    val base = readPartitions(spark, dir, values)
+    require(base.columns.toSet == updates.columns.toSet,
+      s"snapshots: updates schema ${updates.columns.sorted.mkString(",")} != " +
+        s"table schema ${base.columns.sorted.mkString(",")}")
+    val keep = base.join(broadcast(updates.select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
+    replacePartitions(spark, dir,
+      keep.unionByName(updates.select(base.columns.map(col): _*)))
+  }
+
+  /** Keyed delete on a versioned table: rows matching `deleteKeys` are
+    * removed; `deleteKeys` must carry the partition column. A partition
+    * left empty disappears from the new manifest. */
+  def delete(spark: SparkSession, dir: String, deleteKeys: DataFrame,
+             keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "snapshots: keyCols must be non-empty")
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val partCol = cur.partCol.getOrElse(
+      throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
+    require(deleteKeys.columns.contains(partCol),
+      s"snapshots: deleteKeys must carry $partCol")
+    val values = deleteKeys.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(values.nonEmpty, "snapshots: empty batch")
+    val base = readPartitions(spark, dir, values)
+    val keep = base.join(broadcast(deleteKeys.select(keyCols.map(col): _*)),
+      keyCols, "left_anti")
+    replacePartitions(spark, dir, keep, dropValues = values)
+  }
+
   /** Small-file compaction as a normal snapshot commit (the OPTIMIZE
     * analogue): rewrite each of `values`' partitions into `filesPer`
     * files — sorted within files by `sortBy` when given, which tightens

@@ -164,6 +164,31 @@ class SnapshotsSpec extends SparkSpec {
       .collect().toSet == want)
   }
 
+  test("versioned upsert/delete: Mutate semantics with time travel") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // upsert: update id=1 in place, insert id=9 into partition a
+    Snapshots.upsert(spark, dir,
+      Seq((1L, "ONE", "a"), (9L, "nine", "a")).toDF("id", "v", "p"), Seq("id"))
+    assert(rows(dir) == Set(
+      (1L, "ONE", "a"), (2L, "two", "a"), (9L, "nine", "a"),
+      (3L, "three", "b"), (4L, "four", "b"), (5L, "five", "c")))
+    // untouched partitions were not rewritten
+    val f1 = Snapshots.fileList(spark, dir, 1).filter(_._2 != "a").toSet
+    val f2 = Snapshots.fileList(spark, dir, 2).filter(_._2 != "a").toSet
+    assert(f1 == f2 && f1.nonEmpty)
+    // delete: erase id=5 — partition c empties out and disappears
+    Snapshots.delete(spark, dir,
+      Seq((5L, "c")).toDF("id", "p"), Seq("id"))
+    assert(rows(dir) == Set(
+      (1L, "ONE", "a"), (2L, "two", "a"), (9L, "nine", "a"),
+      (3L, "three", "b"), (4L, "four", "b")))
+    assert(!Snapshots.fileList(spark, dir, 3).exists(_._2 == "c"))
+    // the erased row is still auditable by time travel
+    assert(rows(dir, Some(2)).contains((5L, "five", "c")))
+    assert(rows(dir, Some(1)) == base.toSet)
+  }
+
   test("a torn manifest (no #end) is invisible; current falls back") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
