@@ -379,4 +379,39 @@ class PlanShapeSpec extends SparkSpec {
         s"unpartitioned window in cdc dedup:\n${w.treeString}")
     }
   }
+
+  test("q123 LM scoring: top-k plans as TakeOrderedAndProject, model joins are real") {
+    val df = SparkEntry.queries("q123_lm_bigram_score")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the top-15 must never be a global sort of all scored docs
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q123 top-k not TakeOrderedAndProject:\n$plan")
+    // no cartesian/BNLJ fallback anywhere in the model re-join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q123 model join degenerated:\n$plan")
+  }
+
+  test("q125 temperature resample: plan broadcast to a map-side explode, no extra shuffle") {
+    val df = SparkEntry.queries("q125_temperature_resample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the |domains|-row plan must broadcast into the per-doc join; a
+    // shuffled join here would move the whole corpus for a 20-row table
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q125 plan join not broadcast:\n$plan")
+    // the copy materialization is an explode (Generate), not a join
+    assert(plan.contains("Generate"), s"q125 copies not exploded map-side:\n$plan")
+  }
+
+  test("q124 markup strip is shuffle-free up to its final order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
+    val df = SparkEntry.queries("q124_strip_markup")(spark, dir)
+    // per-row regex chain fused into the scan: the ONLY ordering/exchange
+    // is the presentation ORDER BY doc_id; no aggregation, no join
+    val plan = df.queryExecution.optimizedPlan
+    val sorts = plan.collect { case s: LSort => s }
+    assert(sorts.size == 1, s"expected exactly the presentation sort:\n$plan")
+    val pstr = df.queryExecution.executedPlan.toString
+    assert(!pstr.contains("HashAggregate") && !pstr.contains("Join"),
+      s"q124 should be a pure map + sort:\n$pstr")
+  }
 }
