@@ -98,4 +98,17 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(String, String)].toDF("s", "d"), "s", "d",
       iters = 1).count() == 0)
   }
+
+  test("round-5 continuation operators on empty input") {
+    import graft.operators.TrainPrep
+    import graft.functions.TextAnalysis
+    val noLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(TrainPrep.temperatureResample(noLang, "doc_id", "lang", "text").count() == 0)
+    // stripMarkup of null stays null (no NPE in the regex chain)
+    val r = Seq((1L, null.asInstanceOf[String]), (2L, "<p>x</p>"))
+      .toDF("id", "t")
+      .select(TextAnalysis.stripMarkup(col("t")).as("c"))
+      .as[Option[String]].collect().toSet
+    assert(r == Set(None, Some("x")))
+  }
 }
