@@ -1857,6 +1857,39 @@ object Relational {
           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
         FROM u GROUP BY version, o_orderstatus
-        ORDER BY version, o_orderstatus"""))
+        ORDER BY version, o_orderstatus""")),
+
+    // ---- robust anomaly detection: exact MAD fences ----------------------
+    // operators.Robust: per-type median and median-absolute-deviation by
+    // positional SELECTION (count-first over distinct values — the q52
+    // trick), never interpolation — so the robust statistics are existing
+    // data values, bit-identical cross-engine, and the only float ops are
+    // the IEEE-identical |x−med| and k·MAD compare. Complements q77's
+    // z-scores: one wild value drags a mean/stddev fence but not this one.
+    "q126_mad_outliers" -> Q(
+      (s, dir) => graft.operators.Robust.madOutliers(
+          t(s, dir, "events").select(col("event_type"), col("value")),
+          "event_type", "value")
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type, value FROM events),
+        r AS (SELECT event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e),
+        med AS (SELECT event_type, MAX(n) AS n,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+                FROM r GROUP BY event_type),
+        d AS (SELECT e.event_type, ABS(e.value - med.med) AS dev, med.med, med.n
+              FROM e JOIN med USING (event_type)),
+        rd AS (SELECT event_type, dev, med, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+               FROM d),
+        mad AS (SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+                FROM rd GROUP BY event_type)
+        SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n, MAX(d.med) AS med,
+               MAX(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        FROM d JOIN mad USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type"""))
   )
 }
