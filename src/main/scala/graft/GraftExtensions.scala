@@ -78,7 +78,29 @@ object GraftExtensions {
         "_FUNC_(string, k) - Misra-Gries frequent-items aggregate, k counters"),
       arity("graft_heavy_hitters", "_FUNC_(string, k)", 2)(exprs =>
         HeavyHittersAgg(exprs.head, foldableInt(
-          "graft_heavy_hitters", "k", exprs(1))).toAggregateExpression())))
+          "graft_heavy_hitters", "k", exprs(1))).toAggregateExpression())),
+    (FunctionIdentifier("graft_strip_markup"),
+      info("graft_strip_markup",
+        "_FUNC_(string) - strip HTML markup (blocks, tags, entities), collapse whitespace"),
+      arity("graft_strip_markup", "_FUNC_(string)", 1)(exprs =>
+        replaceChain(exprs.head, graft.functions.TextAnalysis.MarkupStrip, trimmed = true))),
+    (FunctionIdentifier("graft_redact_pii"),
+      info("graft_redact_pii",
+        "_FUNC_(string) - redact email/IP/SSN/phone spans (training-data scrubbing)"),
+      arity("graft_redact_pii", "_FUNC_(string)", 1)(exprs =>
+        replaceChain(exprs.head, graft.functions.TextAnalysis.PiiPatterns, trimmed = false))))
+
+  /** The TextAnalysis regexp_replace chains as raw Catalyst expressions,
+    * so the SAME pattern tables back both the Column API and the SQL
+    * surface — one source of truth for the sanitizer/redaction order. */
+  private def replaceChain(subject: Expression, chain: Seq[(String, String)],
+                           trimmed: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace, StringTrim}
+    val replaced = chain.foldLeft(subject) { case (e, (p, r)) =>
+      RegExpReplace(e, Literal(p), Literal(r))
+    }
+    if (trimmed) StringTrim(replaced) else replaced
+  }
 
   /** Aggregate capacity arguments must be literal ints — a column-valued
     * k has no meaning for a fixed-size sketch. */

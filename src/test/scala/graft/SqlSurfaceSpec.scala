@@ -98,4 +98,25 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[Long].collect().head
     assert(fp._1 == viaCol)
   }
+
+  test("text-cleaning functions from SQL match the Column API") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftBridge.registerInjectedFunctions(ext, spark)
+    val html = "<p class=\"x\">hi <b>there</b></p><script>var a=1;</script>&amp; ok"
+    val pii = "mail me at a.b@example.com or 192.168.0.1 now"
+    val (cleaned, redacted) = spark.sql(
+      s"""SELECT graft_strip_markup('${html.replace("'", "''")}') AS c,
+                 graft_redact_pii('$pii') AS r""")
+      .as[(String, String)].collect().head
+    assert(cleaned == "hi there & ok")
+    assert(redacted == "mail me at <EMAIL> or <IP> now")
+    // identical to the Column-API chains (one shared pattern table)
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq((html, pii)).toDF("h", "p")
+      .select(graft.functions.TextAnalysis.stripMarkup(col("h")),
+        graft.functions.TextAnalysis.redactPii(col("p")))
+      .as[(String, String)].collect().head
+    assert(viaCol == ((cleaned, redacted)))
+  }
 }
