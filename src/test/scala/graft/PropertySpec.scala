@@ -208,6 +208,24 @@ object PropertySpec extends Properties("graft") {
         .as[String].collect().head
       got == want && twice == got
     }
+
+  property("Robust.medians selects the exact lower median per group") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 3)) { (n, groups) =>
+      val gen = new scala.util.Random(n * 31 + groups) // deterministic per case
+      val rows = for {
+        g <- 0 until groups
+        _ <- 0 until n
+      } yield (s"g$g", math.floor(gen.nextDouble() * 20) / 4.0) // duplicates likely
+      val df = spark.createDataFrame(rows).toDF("g", "v")
+      val got = graft.operators.Robust.medians(df, "g", "v")
+        .select("g", "med", "n").collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      (0 until groups).forall { g =>
+        val vs = rows.filter(_._1 == s"g$g").map(_._2).sorted
+        val expect = vs((vs.size + 1) / 2 - 1) // lower median, 1-based (n+1) div 2
+        got(s"g$g") == ((expect, vs.size.toLong))
+      }
+    }
 }
 
 /** WAV decode equivalence: the direct RIFF fast path must be
