@@ -486,6 +486,34 @@ object Snapshots {
     readFiles(spark, dir, m, hit).filter(col(column).between(lo, hi))
   }
 
+  /** Change-data-feed between two versions: every row inserted or deleted
+    * from `fromV` to `toV`, tagged `_change` ∈ {insert, delete} (an update
+    * surfaces as delete + insert, bag semantics via exceptAll). Because
+    * commits are copy-on-write at file granularity, files common to both
+    * manifests CANNOT contribute changes and are never read — the diff
+    * costs (changed files only) + one exceptAll shuffle over those rows,
+    * work ∝ the touched fraction, not the table. This is what lets a
+    * downstream consumer (index maintainer, replica, audit) follow a
+    * 100 TB table by reading deltas instead of re-scanning. */
+  def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    val m1 = readManifest(spark, dir, fromV).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $fromV at $dir"))
+    val m2 = readManifest(spark, dir, toV).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no committed version $toV at $dir"))
+    val common = m1.entries.map(_.path).toSet intersect m2.entries.map(_.path).toSet
+    val removed0 = readFiles(spark, dir, m1, m1.entries.filterNot(e => common(e.path)))
+    val added = readFiles(spark, dir, m2, m2.entries.filterNot(e => common(e.path)))
+    // across an appendEvolve boundary the older side is narrower:
+    // null-fill to the newer schema so the bag difference is well-typed
+    val s2 = org.apache.spark.sql.types.StructType.fromDDL(m2.schemaDdl)
+    val removed = removed0.select(s2.fields.map { f =>
+      if (removed0.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    added.exceptAll(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+  }
+
   // ---- retention --------------------------------------------------------
 
   /** Drop all but the newest `keepLast` versions and delete every pool

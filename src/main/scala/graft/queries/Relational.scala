@@ -1890,6 +1890,41 @@ object Relational {
                MAX(mad.mad) AS mad,
                CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         FROM d JOIN mad USING (event_type)
-        GROUP BY d.event_type ORDER BY d.event_type"""))
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // ---- change-data-feed between snapshot versions ----------------------
+    // Snapshots.diff: copy-on-write commits mean files common to both
+    // manifests cannot contribute changes and are never read — the feed
+    // costs (changed files) + one exceptAll over those rows, ∝ the touched
+    // fraction (SnapshotsSpec proves untouched files stay closed). The
+    // oracle states the change set DECLARATIVELY (what a logical diff of
+    // the two states must contain), hash-gating the physical file-diff
+    // machinery. Updates surface as delete + insert by design.
+    "q127_snapshot_diff" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val work = Tables.derivedDir("graft_snap", s"$dir|orders_cdf")
+        Tables.derivedClear(work)
+        val table = s"$work/orders"
+        graft.catalog.Snapshots.init(s, table, base, Some("o_orderstatus"))
+        val replacement = base
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 =!= 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        graft.catalog.Snapshots.replacePartitions(s, table, replacement)
+        graft.catalog.Snapshots.diff(s, table, 1, 2)
+          .groupBy("_change")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+          .orderBy("_change")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        v2f AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus
+                FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0),
+        ch AS (SELECT 'delete' AS _change, * FROM base WHERE o_orderstatus = 'F'
+               UNION ALL SELECT 'insert', * FROM v2f)
+        SELECT _change, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
+        FROM ch GROUP BY _change ORDER BY _change"""))
   )
 }

@@ -189,6 +189,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(dir, Some(1)) == base.toSet)
   }
 
+  test("diff reads only changed files and emits exact insert/delete rows") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // v2: update id=1 (delete+insert), insert id=9, leave b/c untouched
+    Snapshots.upsert(spark, dir,
+      Seq((1L, "ONE", "a"), (9L, "nine", "a")).toDF("id", "v", "p"), Seq("id"))
+    // v3: delete id=5 (partition c)
+    Snapshots.delete(spark, dir, Seq((5L, "c")).toDF("id", "p"), Seq("id"))
+    val d12 = Snapshots.diff(spark, dir, 1, 2)
+    val changes12 = d12.select("id", "v", "_change")
+      .as[(Long, String, String)].collect().toSet
+    assert(changes12 == Set(
+      (1L, "one", "delete"), (1L, "ONE", "insert"), (9L, "nine", "insert")))
+    // untouched partitions' files are never opened by the diff
+    val opened = d12.inputFiles.toSet
+    assert(opened.forall(f => f.contains("a-")), s"diff read untouched files: $opened")
+    // full-range diff composes both commits
+    val changes13 = Snapshots.diff(spark, dir, 1, 3)
+      .select("id", "_change").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(changes13("delete") == Set(1L, 5L) && changes13("insert") == Set(1L, 9L))
+    // diff across a schema evolution is well-typed
+    Snapshots.appendEvolve(spark, dir,
+      Seq((20L, "twenty", "b", 7L)).toDF("id", "v", "p", "score"))
+    val d34 = Snapshots.diff(spark, dir, 3, 4)
+      .select("id", "score", "_change").as[(Long, Option[Long], String)].collect().toSet
+    assert(d34 == Set((20L, Some(7L), "insert")))
+  }
+
   test("a torn manifest (no #end) is invisible; current falls back") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
