@@ -91,4 +91,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank cap must push below the exchange:\n$plan")
   }
+
+  test("pair table follows a mutating corpus via the change feed") {
+    import graft.catalog.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("invidx_cdf").toString
+    val corpusDir = s"$root/corpus"
+    val indexDir = s"$root/index"
+    val v1 = Seq(
+      (1L, "alpha beta", "0"), (2L, "beta gamma", "0"), (3L, "gamma delta", "1"))
+      .toDF("doc_id", "text", "part")
+    Snapshots.init(spark, corpusDir, v1, Some("part"))
+    InvertedIndex.initPairsTable(spark, indexDir, v1, "doc_id", "text")
+    // corpus mutation: doc 2's text changes, doc 3 is erased
+    Snapshots.upsert(spark, corpusDir,
+      Seq((2L, "beta epsilon", "0")).toDF("doc_id", "text", "part"), Seq("doc_id"))
+    Snapshots.delete(spark, corpusDir,
+      Seq((3L, "1")).toDF("doc_id", "part"), Seq("doc_id"))
+    val feed = Snapshots.diff(spark, corpusDir, 1, Snapshots.currentVersion(spark, corpusDir))
+    InvertedIndex.maintainPairs(spark, indexDir, feed, "doc_id", "text")
+    // the maintained index equals a from-scratch index of the mutated corpus
+    val got = InvertedIndex.pairsPostings(spark, indexDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val want = Set(
+      ("alpha", 1L, Seq(1L)), ("beta", 2L, Seq(1L, 2L)), ("epsilon", 1L, Seq(2L)))
+    assert(got == want, s"maintained index diverged: $got")
+    // time travel: the pre-mutation index is still servable
+    val old = InvertedIndex.pairsPostings(spark, indexDir, Some(1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(old("gamma") == 2L && old("delta") == 1L)
+  }
 }
