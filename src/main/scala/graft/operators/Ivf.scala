@@ -116,6 +116,39 @@ object Ivf {
     normedDf.withColumn("bucket",
       element_at(array_sort(centroidDists(cents)), 1).getField("bucket"))
 
+  // ---- incrementally-maintained inverted file (CDF-driven) --------------
+
+  /** Materialize the inverted file as a VERSIONED snapshot table
+    * partitioned by bucket — the maintainable twin of [[ensureIndex]]'s
+    * static corpus artifact. Rows: (id, v, nrm, bucket). */
+  def initCorpusTable(spark: SparkSession, tableDir: String,
+                      normedDf: DataFrame, cents: Centroids): Int =
+    graft.catalog.Snapshots.init(spark, tableDir,
+      assignTo(normedDf, cents).withColumn("bucket", col("bucket").cast("string")),
+      Some("bucket"))
+
+  /** Apply a [[graft.catalog.Snapshots.diff]] feed of the embeddings
+    * table to the inverted file: new vectors are assigned to their
+    * nearest EXISTING centroid (map-only, plan-time centroid literals)
+    * and upserted; removed vectors are keyed-deleted — both land only in
+    * the buckets the changed vectors map to. Centroids stay FIXED between
+    * refits (standard IVF practice: assignment drift under churn is a
+    * recall, not correctness, concern — schedule a refit when drift
+    * accumulates; q34's recall gate is the measure). Work ∝ changed
+    * vectors; the 100 TB corpus is never re-clustered per mutation. */
+  def maintainCorpus(spark: SparkSession, tableDir: String,
+                     changes: DataFrame, cents: Centroids): Unit = {
+    def pairs(side: String) =
+      assignTo(changes.filter(col("_change") === side).select("id", "v", "nrm"), cents)
+        .withColumn("bucket", col("bucket").cast("string"))
+    val del = pairs("delete").select("id", "bucket")
+    if (!del.isEmpty)
+      graft.catalog.Snapshots.delete(spark, tableDir, del, Seq("id"))
+    val ins = pairs("insert")
+    if (!ins.isEmpty)
+      graft.catalog.Snapshots.upsert(spark, tableDir, ins, Seq("id"))
+  }
+
   /** Per-centroid nearness scores for `v`, as a map-only expression over
     * plan-time centroid literals. Uses |c|² − 2·v·c (the |v|² term is
     * constant per row, so the ORDER over centroids equals squared-L2

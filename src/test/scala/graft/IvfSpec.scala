@@ -85,4 +85,32 @@ class IvfSpec extends SparkSpec {
     assert(counts.values.sum == 200)
     assert(counts.size >= 4) // clusters actually split the space
   }
+
+  test("inverted file follows vector churn via the change feed, centroids fixed") {
+    val cents: Ivf.Centroids = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    def normedOf(rows: Seq[(Long, Array[Float])]) =
+      Similarity.normed(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cdf").toString + "/corpus"
+    val v1 = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(2f, 1f)),
+      (3L, Array(9f, 9f)), (4L, Array(8f, 9f)))
+    Ivf.initCorpusTable(spark, dir, normedOf(v1), cents)
+    // churn: vector 2 erased; vector 1 MOVES across the space (update);
+    // vector 5 arrives near centroid 1
+    val changes = normedOf(Seq((2L, Array(2f, 1f)), (1L, Array(1f, 1f))))
+      .withColumn("_change", org.apache.spark.sql.functions.lit("delete"))
+      .unionByName(normedOf(Seq((1L, Array(9f, 8f)), (5L, Array(10f, 9f))))
+        .withColumn("_change", org.apache.spark.sql.functions.lit("insert")))
+    Ivf.maintainCorpus(spark, dir, changes, cents)
+    val got = graft.catalog.Snapshots.read(spark, dir)
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    // equals a from-scratch assignment of the post-churn corpus
+    val want = Ivf.assignTo(normedOf(Seq(
+        (1L, Array(9f, 8f)), (3L, Array(9f, 9f)),
+        (4L, Array(8f, 9f)), (5L, Array(10f, 9f)))), cents)
+      .select("id", "bucket").as[(Long, Int)].collect()
+      .map { case (i, b) => i -> b.toString }.toMap
+    assert(got == want, s"maintained inverted file diverged: $got vs $want")
+    assert(got(1L) == "1") // the moved vector landed in its NEW bucket
+  }
 }
