@@ -1945,7 +1945,55 @@ object LlmOps {
           CAST(SUM(n_tok) AS BIGINT) AS tok_out,
           CAST(bit_xor(doc_id * 1000 + cp) AS BIGINT) AS xor_key,
           CAST(MAX(r_ppm) AS BIGINT) AS r_ppm
-        FROM m GROUP BY source ORDER BY source"""))
+        FROM m GROUP BY source ORDER BY source""")),
+
+    // ---- incrementally-maintained index, end-to-end hash gate -----------
+    // The full lakehouse-search chain under one oracle: documents become a
+    // versioned snapshot table; a CDC batch rewrites some texts and a
+    // GDPR batch erases others (Snapshots.upsert/delete); the change feed
+    // (Snapshots.diff) drives InvertedIndex.maintainPairs — and the
+    // MAINTAINED index state is hash-checked against DuckDB recomputing
+    // the post-mutation corpus' pair set DECLARATIVELY. Work at every
+    // step ∝ churn: pruned partition reads, changed-file diff, per-doc
+    // pair delete/upsert. An xor over h60(term:id) pins the exact pair
+    // set; per-source subtotals localize any divergence.
+    "q128_maintained_index" -> Q(
+      (s, dir) => {
+        val base = docs(s, dir).select("doc_id", "text", "source")
+        val work = Tables.derivedDir("graft_snap", s"$dir|docs_idx")
+        Tables.derivedClear(work)
+        val corpus = s"$work/corpus"
+        val index = s"$work/pairs"
+        graft.catalog.Snapshots.init(s, corpus, base, Some("source"))
+        graft.operators.InvertedIndex.initPairsTable(s, index, base, "doc_id", "text")
+        val updates = base.filter(col("doc_id") % 50 === 0)
+          .withColumn("text",
+            concat(lit("replaced text "), col("doc_id").cast("string")))
+        graft.catalog.Snapshots.upsert(s, corpus, updates, Seq("doc_id"))
+        graft.catalog.Snapshots.delete(s, corpus,
+          base.filter(col("doc_id") % 97 === 0).select("doc_id", "source"),
+          Seq("doc_id"))
+        val feed = graft.catalog.Snapshots.diff(s, corpus, 1,
+          graft.catalog.Snapshots.currentVersion(s, corpus))
+        graft.operators.InvertedIndex.maintainPairs(s, index, feed, "doc_id", "text")
+        graft.catalog.Snapshots.read(s, index)
+          .withColumn("ph", H.h60(concat(col("term"), lit(":"), col("id").cast("string"))))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("term")).as("n_terms"),
+            expr("bit_xor(ph)").as("xor_pairs"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
+        v2 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0
+                      THEN 'replaced text ' || CAST(doc_id AS VARCHAR)
+                      ELSE text END AS text
+               FROM base WHERE doc_id % 97 <> 0),
+        p AS (SELECT doc_id,
+                unnest(list_distinct(regexp_extract_all(text, '\\w+'))) AS term
+              FROM v2)
+        SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT term) AS n_terms,
+          CAST(bit_xor(${H.sqlH60("term || ':' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS xor_pairs
+        FROM p"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
