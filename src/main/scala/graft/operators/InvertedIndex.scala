@@ -209,4 +209,58 @@ object InvertedIndex {
     graft.catalog.Snapshots.read(spark, tableDir, version)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), array_sort(collect_list(col("id"))).as("ids"))
+
+  // ---- reconciliation (crash-safe catch-up) -----------------------------
+
+  private def markerPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_reflects")
+
+  /** The corpus version the index currently reflects (written by
+    * [[initPairsTableFor]] / [[reconcile]]). */
+  def reflectsVersion(indexDir: String): Int =
+    new String(java.nio.file.Files.readAllBytes(markerPath(indexDir)), "UTF-8").trim.toInt
+
+  /** [[initPairsTable]] from a VERSIONED corpus, stamping which corpus
+    * version the index reflects so [[reconcile]] knows where to resume. */
+  def initPairsTableFor(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                        corpusDir: String, idCol: String, textCol: String,
+                        buckets: Int = 16): Int = {
+    val v = graft.catalog.Snapshots.currentVersion(spark, corpusDir)
+    val r = initPairsTable(spark, indexDir,
+      graft.catalog.Snapshots.read(spark, corpusDir), idCol, textCol, buckets)
+    writeMarker(indexDir, v)
+    r
+  }
+
+  private def writeMarker(indexDir: String, v: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(indexDir, s"._reflects.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, markerPath(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Catch the index up to the corpus' CURRENT version: apply
+    * diff(reflected, current) via [[maintainPairs]], then advance the
+    * marker (atomic rename, AFTER maintenance). Crash-safe by keyed
+    * idempotence: a crash between maintenance and the marker re-applies
+    * the same feed on the next call and converges to the same pair set.
+    * Returns the (from, to) versions applied, or None when already
+    * current. This is the recovery primitive the streaming sink leans on,
+    * and the catch-up tool after index downtime: cost ∝ the corpus
+    * versions' changed files, never a rebuild. Operational constraint:
+    * corpus [[graft.catalog.Snapshots.vacuum]] retention must keep the
+    * reflected version until the index catches up (diff needs both
+    * manifests) — vacuum fails loudly otherwise, never silently skips. */
+  def reconcile(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+                indexDir: String, idCol: String, textCol: String,
+                buckets: Int = 16): Option[(Int, Int)] = {
+    val cur = graft.catalog.Snapshots.currentVersion(spark, corpusDir)
+    val from = reflectsVersion(indexDir)
+    if (from >= cur) return None
+    val feed = graft.catalog.Snapshots.diff(spark, corpusDir, from, cur)
+    maintainPairs(spark, indexDir, feed, idCol, textCol, buckets)
+    writeMarker(indexDir, cur)
+    Some((from, cur))
+  }
 }

@@ -302,6 +302,32 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Continuous ingest with an ALWAYS-FRESH search index: each micro-batch
+    * commits to the versioned corpus ([[graft.catalog.Snapshots.commitEpoch]],
+    * replay-skipped) and then reconciles the pair index to the corpus'
+    * current version ([[graft.operators.InvertedIndex.reconcile]] — the
+    * diff from whatever version the index last reflected, applied by
+    * keyed idempotent mutation, marker advanced after). EVERY failure
+    * mode converges: a replayed corpus epoch is skipped and reconcile
+    * no-ops; a crash between corpus commit and reconcile is healed by the
+    * next batch's reconcile; a crash inside reconcile re-applies the same
+    * feed. Both tables must be initialized first (`Snapshots.init` +
+    * `InvertedIndex.initPairsTableFor`). At 100 TB: per-batch cost is the
+    * batch's documents (corpus commit) + their term pairs (index
+    * mutation) — the index trails the stream by at most one batch. */
+  def sinkIndexedCorpus(docs: DataFrame, corpusDir: String, indexDir: String,
+                        checkpointDir: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val s = batch.sparkSession
+        graft.catalog.Snapshots.commitEpoch(s, corpusDir, batch, epochId)
+        graft.operators.InvertedIndex.reconcile(s, corpusDir, indexDir, idCol, textCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   // ---- incremental exact-substring (CDC chunk) dedup ---------------------
 
   /** Clean one micro-batch against the accumulated chunk-hash history:

@@ -368,6 +368,39 @@ class DocStreamsSpec extends SparkSpec {
     assert(Snapshots.read(spark, table).count() == 4)
   }
 
+  test("sinkIndexedCorpus: the index trails the stream and heals after a missed reconcile") {
+    implicit val sq = spark.sqlContext
+    import graft.catalog.Snapshots
+    import graft.operators.InvertedIndex
+    val root = java.nio.file.Files.createTempDirectory("idxsink").toString
+    val (corpus, index, ckpt) = (s"$root/corpus", s"$root/index", s"$root/ckpt")
+    Snapshots.init(spark, corpus,
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"))
+    InvertedIndex.initPairsTableFor(spark, index, corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.sinkIndexedCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus, index, ckpt, "doc_id", "text")
+    mem.addData((1L, "alpha beta"), (2L, "beta gamma"))
+    q.processAllAvailable()
+    mem.addData((3L, "gamma delta"))
+    q.processAllAvailable()
+    q.stop()
+    val got = InvertedIndex.pairsPostings(spark, index)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](2))).toMap
+    assert(got("beta") == Seq(1L, 2L) && got("gamma") == Seq(2L, 3L)
+      && got("delta") == Seq(3L))
+    // crash-sim: roll the marker back one corpus version (as if the last
+    // reconcile never ran) — re-reconciling converges, no duplicates
+    val reflected = InvertedIndex.reflectsVersion(index)
+    java.nio.file.Files.write(java.nio.file.Paths.get(index, "_reflects"),
+      (reflected - 1).toString.getBytes("UTF-8"))
+    assert(InvertedIndex.reconcile(spark, corpus, index, "doc_id", "text").isDefined)
+    val healed = InvertedIndex.pairsPostings(spark, index)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](2))).toMap
+    assert(healed == got, s"re-reconcile diverged: $healed vs $got")
+    assert(InvertedIndex.reflectsVersion(index) == reflected)
+  }
+
   test("streaming cdc dedup: later batch loses the run it shares with history") {
     implicit val sq = spark.sqlContext
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
