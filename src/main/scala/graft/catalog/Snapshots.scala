@@ -167,6 +167,16 @@ object Snapshots {
     vs.last
   }
 
+  /** Cluster a partitioned commit's rows by the partition column before
+    * the hive-style tmp write: without this, partitionBy fans out to
+    * (input tasks × partition values) files — a 32-task batch touching 16
+    * partitions writes 512 tiny files, each paying a footer-stats read at
+    * commit and an open at query time. One shuffle keyed on the partition
+    * value makes it ~one file per touched partition. Callers that CRAFT
+    * their layout (compaction) bypass via the raw path. */
+  private def clustered(df: DataFrame, partCol: Option[String]): DataFrame =
+    partCol.fold(df)(c => df.repartition(col(c)))
+
   // ---- data-file pool ---------------------------------------------------
 
   /** Row count + INT64 min/max per column, read from one parquet footer
@@ -254,7 +264,7 @@ object Snapshots {
   def init(spark: SparkSession, dir: String, df: DataFrame,
            partCol: Option[String] = None): Int = {
     require(versions(spark, dir).isEmpty, s"snapshots: $dir already initialized")
-    val entries = poolWrite(spark, dir, df, partCol, v = 1)
+    val entries = poolWrite(spark, dir, clustered(df, partCol), partCol, v = 1)
     writeManifest(spark, dir, Manifest(1, partCol, df.schema.toDDL, entries))
     1
   }
@@ -263,7 +273,7 @@ object Snapshots {
   def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
     val v = cur.version + 1
-    val entries = poolWrite(spark, dir, df, cur.partCol, v)
+    val entries = poolWrite(spark, dir, clustered(df, cur.partCol), cur.partCol, v)
     writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries))
     v
   }
@@ -293,7 +303,7 @@ object Snapshots {
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     val v = cur.version + 1
-    val entries = poolWrite(spark, dir, aligned, cur.partCol, v)
+    val entries = poolWrite(spark, dir, clustered(aligned, cur.partCol), cur.partCol, v)
     writeManifest(spark, dir,
       Manifest(v, cur.partCol, widened.toDDL, cur.entries ++ entries))
     v
@@ -316,7 +326,7 @@ object Snapshots {
       .flatMap(v => readManifest(spark, dir, v).flatMap(_.epoch)).nextOption()
     if (lastEpoch.exists(_ >= epochId)) return None
     val v = cur.version + 1
-    val entries = poolWrite(spark, dir, df, cur.partCol, v)
+    val entries = poolWrite(spark, dir, clustered(df, cur.partCol), cur.partCol, v)
     writeManifest(spark, dir,
       Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries, Some(epochId)))
     Some(v)
@@ -327,7 +337,17 @@ object Snapshots {
     * files are re-referenced BY PATH (no read, no copy, no rename). A
     * partition value in `dropValues` is removed without replacement. */
   def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
-                        dropValues: Seq[String] = Seq.empty): Int = {
+                        dropValues: Seq[String] = Seq.empty): Int =
+    replacePartitionsRaw(spark, dir,
+      clustered(df, readManifest(spark, dir, currentVersion(spark, dir)).get.partCol),
+      dropValues)
+
+  /** [[replacePartitions]] WITHOUT the per-partition clustering — for
+    * callers that crafted the physical layout themselves
+    * ([[compactPartitions]]'s range-partitioned sort must survive to the
+    * files). */
+  private def replacePartitionsRaw(spark: SparkSession, dir: String, df: DataFrame,
+                                   dropValues: Seq[String] = Seq.empty): Int = {
     val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
     val partCol = cur.partCol.getOrElse(
       throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
@@ -406,7 +426,7 @@ object Snapshots {
       case Some(c) => part.repartitionByRange(filesPer, col(c)).sortWithinPartitions(col(c))
       case None    => part.repartition(filesPer)
     }
-    replacePartitions(spark, dir, laid)
+    replacePartitionsRaw(spark, dir, laid)
   }
 
   // ---- reads ------------------------------------------------------------

