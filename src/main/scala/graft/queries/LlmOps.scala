@@ -1997,7 +1997,57 @@ object LlmOps {
               FROM v2)
         SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT term) AS n_terms,
           CAST(bit_xor(${H.sqlH60("term || ':' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS xor_pairs
-        FROM p"""))
+        FROM p""")),
+
+    // ---- ANN recall harness: approximate vs exact, hash-gated ----------
+    // The evaluation query an index operator runs after every change:
+    // per-query recall@5 of the SRP-LSH path (q29) against brute force
+    // (q28). Both pipelines are deterministic, so even the RECALL numbers
+    // hash-match — the oracle recomputes both chains and intersects.
+    // Integer ppm recall; queries with zero candidate overlap still
+    // appear (LEFT join keeps the 0-recall row — the failure you most
+    // need to see).
+    "q129_ann_recall" -> Q(
+      (s, dir) => {
+        val n = Similarity.normed(emb(s, dir), "vec_id", "embedding")
+        val q = n.filter(col("id") < 10)
+        val brute = Similarity.bruteForceTopK(q, n, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ann = Similarity.annTopK(q, n, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = brute.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("recall_ppm", expr("hits * 1000000 DIV k"))
+          .select(col("query_id"), col("k"), col("hits"), col("recall_ppm"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $SqlNormed,
+        $sqlSketch,
+        bs AS (SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id, $SqlCos AS cos
+               FROM n qn JOIN n cn ON qn.vec_id < 10 AND cn.vec_id != qn.vec_id),
+        br AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM bs) WHERE rnk <= 5),
+        cand AS (SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+                 FROM bd bq JOIN bd bc ON bq.band = bc.band AND bq.bkey = bc.bkey
+                 WHERE bq.vec_id < 10 AND bc.vec_id != bq.vec_id),
+        ans AS (SELECT cand.query_id, cand.neighbor_id, $SqlCos AS cos
+                FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+                          JOIN n cn ON cn.vec_id = cand.neighbor_id),
+        ar AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                 FROM ans) WHERE rnk <= 5),
+        h AS (SELECT br.query_id, COUNT(*) AS hits
+              FROM br JOIN ar ON br.query_id = ar.query_id AND br.neighbor_id = ar.neighbor_id
+              GROUP BY br.query_id),
+        b AS (SELECT query_id, COUNT(*) AS k FROM br GROUP BY query_id)
+        SELECT b.query_id, CAST(b.k AS BIGINT) AS k,
+          CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          CAST(COALESCE(h.hits, 0) * 1000000 // b.k AS BIGINT) AS recall_ppm
+        FROM b LEFT JOIN h USING (query_id) ORDER BY b.query_id"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
