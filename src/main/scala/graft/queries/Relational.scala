@@ -1925,6 +1925,64 @@ object Relational {
                UNION ALL SELECT 'insert', * FROM v2f)
         SELECT _change, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
-        FROM ch GROUP BY _change ORDER BY _change"""))
+        FROM ch GROUP BY _change ORDER BY _change""")),
+
+    // ---- triangle counting on the user co-occurrence graph ---------------
+    // Graph analytics beyond components/PageRank: users are connected when
+    // they acted in the same (minute, event_type) bucket; triangles are the
+    // cohesion signal (community detection's base motif). Construction is
+    // a per-bucket self-join (blocking key bounds each join's cardinality
+    // — never an all-pairs), and enumeration uses the a<b<c orientation so
+    // every triangle counts exactly once, as two hash joins over the edge
+    // list. Exact integer output; the xor over oriented triangle codes
+    // pins the exact triangle SET, not just its size. At 100 TB the same
+    // shape holds: bucketed co-occurrence bounds edge generation, and the
+    // two edge-list joins shuffle on edge endpoints (AQE-skew-splittable);
+    // a production variant would orient by degree instead of id to keep
+    // hub fan-outs flat.
+    "q130_triangle_count" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("hr"))
+          .distinct()
+        val e2 = ev.withColumnRenamed("user_id", "user_b")
+        val edges = ev.join(e2, Seq("event_type", "hr"))
+          .filter(col("user_id") < col("user_b"))
+          .select(col("user_id").as("a"), col("user_b").as("b"))
+          .distinct()
+        val ab = edges
+        val bc = edges.select(col("a").as("b2"), col("b").as("c"))
+        val ac = edges.select(col("a").as("a3"), col("b").as("c3"))
+        val tri = ab
+          .join(bc, col("b") === col("b2"))
+          .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        val nodes = edges.select(col("a").as("u"))
+          .union(edges.select(col("b").as("u"))).distinct()
+        nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles"),
+            coalesce(expr("bit_xor(a * 1000000000000 + b * 1000000 + c)"),
+              lit(0L)).as("xor_tri")))
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, event_type,
+                 date_trunc('minute', ts) AS hr FROM events),
+        e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
+              FROM ev x JOIN ev y
+                ON x.event_type = y.event_type AND x.hr = y.hr
+               AND x.user_id < y.user_id),
+        tri AS (SELECT ab.a, ab.b, bc.b AS c
+                FROM e ab JOIN e bc ON ab.b = bc.a
+                          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        nn AS (SELECT COUNT(DISTINCT u) AS n_nodes FROM
+                 (SELECT a AS u FROM e UNION ALL SELECT b FROM e)),
+        ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        nt AS (SELECT COUNT(*) AS n_triangles,
+                 COALESCE(bit_xor(a * 1000000000000 + b * 1000000 + c), 0) AS xor_tri
+               FROM tri)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+          CAST(n_triangles AS BIGINT) AS n_triangles, CAST(xor_tri AS BIGINT) AS xor_tri
+        FROM nn, ne, nt"""))
   )
 }
