@@ -106,10 +106,27 @@ object Snapshots {
     }
   }
 
+  /** Complete manifests are immutable — cache their parse so version
+    * listings and epoch scans cost one metadata probe per call instead of
+    * a full content read (a long-lived stream otherwise pays O(versions)
+    * content reads per commit). The cache entry is validated against the
+    * manifest file's (mtime, length): a table wiped and rebuilt at the
+    * same path (derived artifacts do this) gets fresh parses, never a
+    * stale file list. Vacuum also drops its deleted versions eagerly. */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), (Long, Long, Manifest)]
+
   private def readManifest(spark: SparkSession, dir: String, v: Int): Option[Manifest] = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, v)
-    if (!fs.exists(p)) return None
+    val st = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    manifestCache.get((dir, v)) match {
+      case Some((mt, len, m))
+        if mt == st.getModificationTime && len == st.getLen => return Some(m)
+      case _ => ()
+    }
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -146,7 +163,9 @@ object Snapshots {
         entries += Entry(f(0), f(1), stats)
       case _ => ()
     }
-    Some(Manifest(v, partCol, schema, entries.toSeq, epoch))
+    val m = Manifest(v, partCol, schema, entries.toSeq, epoch)
+    manifestCache.put((dir, v), (st.getModificationTime, st.getLen, m))
+    Some(m)
   }
 
   /** All committed (complete) version numbers, ascending. */
@@ -549,7 +568,10 @@ object Snapshots {
     val referenced = keep.flatMap(v => readManifest(spark, dir, v).get.files.map(_._1)).toSet
     // delete dropped manifests first: a crash mid-vacuum must not leave a
     // manifest whose files are gone
-    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      fs.delete(manifestPath(dir, v), false)
+      manifestCache.remove((dir, v))
+    }
     // sweep torn manifests: .tmp- leftovers AND numbered manifests with no
     // #end (a crashed direct writer / lost commit race) — a torn numbered
     // manifest would otherwise pin its version number forever, wedging

@@ -402,6 +402,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"q125 copies not exploded map-side:\n$plan")
   }
 
+  test("q126 MAD: every window sits above an aggregate and is group-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Window => LWindow}
+    val df = SparkEntry.queries("q126_mad_outliers")(spark, dir)
+    def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(reachesLeafWithoutAggregate)
+    }
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size >= 2, "expected the value and deviation median windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n${w.treeString}")
+      assert(!reachesLeafWithoutAggregate(w.child),
+        s"window sorts raw rows, not the distinct-value aggregate:\n${w.treeString}")
+    }
+  }
+
+  test("q130 triangles: blocked joins only, never a cartesian fallback") {
+    val df = SparkEntry.queries("q130_triangle_count")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration degenerated to a cartesian product:\n$plan")
+  }
+
   test("q124 markup strip is shuffle-free up to its final order") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
     val df = SparkEntry.queries("q124_strip_markup")(spark, dir)
