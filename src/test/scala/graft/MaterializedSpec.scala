@@ -76,6 +76,23 @@ class MaterializedSpec extends SparkSpec {
       "updated doc kept its stale signature")
   }
 
+  test("content-neutral corpus commits (compaction) cause zero derived churn") {
+    val root = freshRoot()
+    val corpus = corpusOf(root)
+    val derived = s"$root/stats"
+    Materialized.init(spark, corpus, derived, "bkt")(stats)
+    val derivedV = Snapshots.currentVersion(spark, derived)
+    // corpus compaction rewrites files but not content: the diff's
+    // exceptAll cancels, the feed is empty, and the derived table must
+    // not commit new versions (only the marker advances)
+    Snapshots.compactPartitions(spark, corpus, Seq("0"), sortBy = Some("doc_id"))
+    assert(Materialized.reconcile(spark, corpus, derived, "bkt", Seq("doc_id"))(stats)
+      .isDefined)
+    assert(Snapshots.currentVersion(spark, derived) == derivedV,
+      "a content-neutral corpus commit churned the derived table")
+    assert(Materialized.reflects(derived) == Snapshots.currentVersion(spark, corpus))
+  }
+
   test("marker rollback (crash between maintenance and marker) converges") {
     val root = freshRoot()
     val corpus = corpusOf(root)
