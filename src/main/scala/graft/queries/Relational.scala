@@ -1983,6 +1983,43 @@ object Relational {
                FROM tri)
         SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
           CAST(n_triangles AS BIGINT) AS n_triangles, CAST(xor_tri AS BIGINT) AS xor_tri
-        FROM nn, ne, nt"""))
+        FROM nn, ne, nt""")),
+
+    // ---- disjunctive-predicate revenue (TPC-H Q19 analogue) --------------
+    // The OR-of-conjunctions shape that stresses predicate distribution:
+    // the filter mixes part and lineitem columns under a 3-way OR, and
+    // Catalyst must DISTRIBUTE each table's share of the disjunction below
+    // the join (plan-gated: the part scan carries an Or(...) pushed
+    // filter, so at 100 TB the scan discards non-qualifying parts before
+    // any shuffle instead of joining the world and filtering after).
+    "q131_disjunctive_revenue" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val cond =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(20, 30))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+              .as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p_brand ORDER BY p_brand"""))
   )
 }

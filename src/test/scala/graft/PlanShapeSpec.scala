@@ -426,6 +426,19 @@ class PlanShapeSpec extends SparkSpec {
       s"triangle enumeration degenerated to a cartesian product:\n$plan")
   }
 
+  test("q131: each table's share of the disjunction is pushed below the join") {
+    val df = SparkEntry.queries("q131_disjunctive_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushedOr = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") && l.contains("p_brand"))
+    assert(pushedOr,
+      s"part's share of the OR-of-conjunctions was not pushed to its scan:\n$plan")
+    val pushedQty = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") && l.contains("l_quantity"))
+    assert(pushedQty,
+      s"lineitem's share of the disjunction was not pushed to its scan:\n$plan")
+  }
+
   test("q124 markup strip is shuffle-free up to its final order") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
     val df = SparkEntry.queries("q124_strip_markup")(spark, dir)
