@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.Bloom
+
+/** Build-side key-set pruning for big fact ⋈ selective-dim joins.
+  *
+  * [[bloomSemiFilter]] is the manual twin of Spark's AQE runtime
+  * row-level filtering (InjectRuntimeFilter), for when the caller KNOWS
+  * the dim is selective: the dim's join keys fold into a few-MB bloom
+  * bitmap (one single-row aggregate), the bitmap broadcasts, and the
+  * fact side drops non-joining rows inside its scan's codegen loop —
+  * BEFORE the join's shuffle ever materializes them. At 100 TB this is
+  * the difference between shuffling the full fact table and shuffling
+  * the joining fraction; false positives pass through and the join
+  * removes them, so results are bit-identical to the unfiltered join.
+  *
+  * Sizing: with k=5 hashes, m/n ≈ 10 bits per distinct key gives ~1% FP
+  * (Bloom 1970). The default 2²³ bits (1 MiB) covers ~800k distinct dim
+  * keys at that rate; oversizing only wastes broadcast bytes, never
+  * correctness.
+  */
+object Prune {
+
+  /** `fact` filtered to rows whose BIGINT `factKey` might appear in
+    * `dim`'s `dimKey` set. Purely a pre-join reducer: compose with the
+    * real join for exact results. */
+  def bloomSemiFilter(fact: DataFrame, factKey: Column,
+                      dim: DataFrame, dimKey: Column,
+                      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    val bloom = dim.agg(Bloom.bloomAgg(dimKey, numBits, numHashes).as("_bloom"))
+    fact.crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("_bloom"), factKey))
+      .drop("_bloom")
+  }
+}

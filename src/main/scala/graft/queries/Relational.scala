@@ -2020,6 +2020,79 @@ object Relational {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 10 AND 30
                AND l_quantity BETWEEN 20 AND 30)
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- label-propagation communities on the co-occurrence graph --------
+    // The fourth graph-analytics member (components q43, PageRank q118,
+    // triangles q130): synchronous LPA over the same user co-occurrence
+    // edges as q130, 4 rounds, most-frequent-neighbor-label with
+    // smallest-label tie-break — pure integer votes, so an ITERATIVE
+    // community detection hash-matches bit-for-bit against a DuckDB
+    // round chain generated from the same rules (operators.Communities).
+    // Output pins the exact node partition: per-community size + member
+    // xor, never the (possibly huge) member list.
+    "q132_lpa_communities" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("hr"))
+          .distinct()
+        val e2 = ev.withColumnRenamed("user_id", "user_b")
+        val edges = ev.join(e2, Seq("event_type", "hr"))
+          .filter(col("user_id") < col("user_b"))
+          .select(col("user_id").as("a"), col("user_b").as("b"))
+          .distinct()
+        graft.operators.Communities.labels(edges, "a", "b", iters = 4)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            expr("bit_xor(node)").as("xor_members"))
+          .orderBy("label")
+      },
+      Some {
+        val lbl = graft.operators.Communities.oracleSql(
+          """SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+             FROM (SELECT DISTINCT user_id, event_type,
+                     date_trunc('minute', ts) AS hr FROM events) x
+             JOIN (SELECT DISTINCT user_id, event_type,
+                     date_trunc('minute', ts) AS hr FROM events) y
+               ON x.event_type = y.event_type AND x.hr = y.hr
+              AND x.user_id < y.user_id""", iters = 4)
+        s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(bit_xor(node) AS BIGINT) AS xor_members
+           FROM ($lbl) GROUP BY label ORDER BY label"""
+      }),
+
+    // ---- bloom-pruned selective join -------------------------------------
+    // Build-side key-set pruning (operators.Prune + the BloomLongAgg /
+    // graft_bloom_contains expressions): the urgent-recent order subset is
+    // ~2% of orders, so its keys fold into a broadcast bloom bitmap and
+    // lineitem drops non-joining rows inside its scan's codegen loop,
+    // BEFORE the merge join's shuffle (the merge hint models the 100 TB
+    // case where the dim outgrows a broadcast hash relation). False
+    // positives survive the filter but die in the join — which is why the
+    // oracle is the PLAIN join: the gate proves pruning changed nothing.
+    // Plan-gated: the bloom probe sits below the shuffle (PlanShapeSpec).
+    "q133_bloom_join" -> Q(
+      (s, dir) => {
+        val dim = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+          .select("o_orderkey", "o_orderpriority")
+        val fact = graft.operators.Prune.bloomSemiFilter(
+          t(s, dir, "lineitem"), col("l_orderkey"), dim, col("o_orderkey"),
+          numBits = 1 << 20)
+        fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+              .as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -336,6 +336,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q133: the explicit bloom probe prunes lineitem BELOW the join") {
+    // operators.Prune is the caller-controlled twin of InjectRuntimeFilter
+    // (no optimizer threshold dependence): the probe must run on the fact
+    // side UNDER the merge join, so pruned rows never reach the exchange.
+    val df = SparkEntry.queries("q133_bloom_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge-hinted join not planned:\n$plan")
+    val joinLine = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    val probeLine = plan.linesIterator.indexWhere(_.contains("graft_bloom_contains"))
+    assert(probeLine > joinLine && joinLine >= 0,
+      s"bloom probe must sit below the join (join@$joinLine, probe@$probeLine):\n$plan")
+    // and the bloom build side is a broadcast of a single-row aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bloom bitmap is not broadcast:\n$plan")
+  }
+
   test("q92 mode window ranks counts, never raw lineitem rows") {
     import org.apache.spark.sql.catalyst.plans.logical._
     val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
