@@ -77,4 +77,43 @@ object Materialized {
     writeMarker(derivedDir, cur)
     Some((from, cur))
   }
+
+  /** Materialize a partition-aligned AGGREGATE of the corpus' current
+    * version (incremental view maintenance for `GROUP BY` tables — the
+    * aggregate complement of [[init]]'s per-row transforms).
+    *
+    * Contract: `aggregate` must be partition-local — its grouping
+    * includes the corpus' partition column, carried through as `partCol`
+    * on the output — so a corpus mutation can only change the aggregate
+    * rows of the partitions it touched. */
+  def initAgg(spark: SparkSession, corpusDir: String, derivedDir: String,
+              partCol: String)(aggregate: DataFrame => DataFrame): Int =
+    init(spark, corpusDir, derivedDir, partCol)(aggregate)
+
+  /** Catch a maintained aggregate up to the corpus' current version.
+    *
+    * Maintenance is a partition-scoped RECOMPUTE, not delta arithmetic:
+    * the change feed only names which partitions were touched; their new
+    * aggregate state is derived from the corpus alone and published with
+    * one copy-on-write [[Snapshots.replacePartitions]] (untouched
+    * partitions re-referenced by path, vanished ones dropped). The trade
+    * is deliberate — cost ∝ touched partitions instead of ∝ churn, and in
+    * exchange a crash-replayed reconcile CONVERGES (delta-adding is not
+    * idempotent; restating touched partitions from the source is). */
+  def reconcileAgg(spark: SparkSession, corpusDir: String, derivedDir: String,
+                   partCol: String)(aggregate: DataFrame => DataFrame)
+      : Option[(Int, Int)] = {
+    val cur = Snapshots.currentVersion(spark, corpusDir)
+    val from = reflects(derivedDir)
+    if (from >= cur) return None
+    val touched = Snapshots.diff(spark, corpusDir, from, cur)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val newAgg = aggregate(Snapshots.readPartitions(spark, corpusDir, touched))
+      Snapshots.replacePartitions(spark, derivedDir, newAgg, dropValues = touched)
+    }
+    writeMarker(derivedDir, cur)
+    Some((from, cur))
+  }
 }

@@ -2093,6 +2093,55 @@ object Relational {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
           AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- incrementally-maintained GROUP BY table (IVM) -------------------
+    // catalog.Materialized.reconcileAgg: a per-(status, priority) summary
+    // table FOLLOWS corpus mutations through the change feed — the feed
+    // names the touched partitions, whose aggregate state is restated from
+    // the corpus with one copy-on-write commit ('P' rides along untouched,
+    // re-referenced by path). Crash-replay converges because each commit
+    // restates touched partitions rather than adding deltas, which also
+    // admits non-additive aggregates (the bit_xor here). The oracle states
+    // the post-mutation aggregate declaratively, so the gate proves the
+    // maintenance machinery equals a from-scratch GROUP BY.
+    "q134_maintained_agg" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        def aggOf(df: DataFrame): DataFrame = df
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+            expr("bit_xor(o_orderkey)").as("xor_key"))
+        val work = Tables.derivedDir("graft_snap", s"$dir|orders_ivm")
+        Tables.derivedClear(work)
+        val corpus = s"$work/orders"
+        val derived = s"$work/agg"
+        graft.catalog.Snapshots.init(s, corpus, base, Some("o_orderstatus"))
+        graft.catalog.Materialized.initAgg(s, corpus, derived, "o_orderstatus")(aggOf)
+        graft.catalog.Snapshots.delete(s, corpus,
+          base.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+            .select("o_orderkey", "o_orderstatus"), Seq("o_orderkey"))
+        graft.catalog.Snapshots.upsert(s, corpus,
+          base.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0)
+            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+          Seq("o_orderkey"))
+        graft.catalog.Materialized.reconcileAgg(s, corpus, derived, "o_orderstatus")(aggOf)
+        graft.catalog.Snapshots.read(s, derived)
+          .select("o_orderstatus", "o_orderpriority", "n", "sum_cust", "xor_key")
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_orderpriority FROM orders),
+        mutated AS (SELECT o_orderkey,
+            CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+            o_orderstatus, o_orderpriority
+          FROM base
+          WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
+        FROM mutated GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority"""))
   )
 }

@@ -93,6 +93,65 @@ class MaterializedSpec extends SparkSpec {
     assert(Materialized.reflects(derived) == Snapshots.currentVersion(spark, corpus))
   }
 
+  // partition-local aggregate: grouped by the corpus partition column
+  // (plus a second key), with a non-additive bit_xor to prove maintenance
+  // is recompute-scoped, not delta arithmetic
+  private def aggOf(df: DataFrame): DataFrame =
+    df.groupBy(col("part"), substring(col("text"), 1, 1).as("ini"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        expr("bit_xor(doc_id)").as("xor_id"))
+
+  test("a maintained GROUP BY table follows corpus mutations; maintained == from-scratch") {
+    val root = freshRoot()
+    val corpus = corpusOf(root)
+    val derived = s"$root/agg"
+    Materialized.initAgg(spark, corpus, derived, "part")(aggOf)
+    mutate(corpus)
+    assert(Materialized.reconcileAgg(spark, corpus, derived, "part")(aggOf)
+      .contains((1, Snapshots.currentVersion(spark, corpus))))
+    val got = Snapshots.read(spark, derived)
+      .select("part", "ini", "n_docs", "sum_chars", "xor_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val want = aggOf(Snapshots.read(spark, corpus))
+      .select("part", "ini", "n_docs", "sum_chars", "xor_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == want, "maintained aggregate diverged from a fresh aggregate")
+    // already-current reconcile is a no-op
+    assert(Materialized.reconcileAgg(spark, corpus, derived, "part")(aggOf).isEmpty)
+  }
+
+  test("an emptied partition's aggregate rows disappear") {
+    val root = freshRoot()
+    val corpus = corpusOf(root)
+    val derived = s"$root/agg"
+    Materialized.initAgg(spark, corpus, derived, "part")(aggOf)
+    Snapshots.delete(spark, corpus,
+      Seq((3L, "1")).toDF("doc_id", "part"), Seq("doc_id")) // partition 1 empties
+    Materialized.reconcileAgg(spark, corpus, derived, "part")(aggOf)
+    val parts = Snapshots.read(spark, derived)
+      .select("part").distinct().as[String].collect().toSet
+    assert(parts == Set("0"), s"emptied partition still has aggregate rows: $parts")
+  }
+
+  test("aggregate marker rollback (crash replay) converges") {
+    val root = freshRoot()
+    val corpus = corpusOf(root)
+    val derived = s"$root/agg"
+    Materialized.initAgg(spark, corpus, derived, "part")(aggOf)
+    mutate(corpus)
+    Materialized.reconcileAgg(spark, corpus, derived, "part")(aggOf)
+    val before = Snapshots.read(spark, derived)
+      .select("part", "ini", "n_docs", "sum_chars", "xor_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    Files.write(java.nio.file.Paths.get(derived, "_reflects"), "1".getBytes("UTF-8"))
+    Materialized.reconcileAgg(spark, corpus, derived, "part")(aggOf)
+    val after = Snapshots.read(spark, derived)
+      .select("part", "ini", "n_docs", "sum_chars", "xor_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(after == before, "re-applied aggregate maintenance diverged")
+  }
+
   test("marker rollback (crash between maintenance and marker) converges") {
     val root = freshRoot()
     val corpus = corpusOf(root)
