@@ -2142,6 +2142,33 @@ object Relational {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
-        FROM mutated GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority"""))
+        FROM mutated GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ---- fuzzy join: ED-1 record linkage by deletion neighborhoods -------
+    // operators.Fuzzy: every Levenshtein-1 pair of customer names found by
+    // blocking on 1-deletion neighborhoods (SymSpell/FastSS) — candidates
+    // from a keyed variant join, NEVER the n² cross product the oracle is
+    // allowed to run (2000-key cap keeps the DuckDB side bounded at every
+    // scale). Exact `levenshtein` post-filter on candidates; both engines'
+    // implementations agree on classic edit distance, so the pair SET
+    // hash-matches, summarized per key gap (digit-position structure of
+    // the synthetic names) with an xor pinning exact membership.
+    "q135_fuzzy_join" -> Q(
+      (s, dir) => {
+        val v = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 2000)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        graft.operators.Fuzzy.selfJoinEd1(v, "id", "nm")
+          .groupBy((col("id_b") - col("id_a")).as("key_gap"))
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(id_a * 1000000 + id_b)").as("xor_pair"))
+          .orderBy("key_gap")
+      },
+      Some("""WITH v AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+                 WHERE c_custkey <= 2000)
+        SELECT b.id - a.id AS key_gap, COUNT(*) AS n,
+          CAST(bit_xor(a.id * 1000000 + b.id) AS BIGINT) AS xor_pair
+        FROM v a JOIN v b ON a.id < b.id AND levenshtein(a.nm, b.nm) = 1
+        GROUP BY 1 ORDER BY key_gap"""))
   )
 }
