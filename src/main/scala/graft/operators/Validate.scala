@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the constraint-check report a
+  * pipeline gates a new drop on before publishing it (the Deequ /
+  * Great-Expectations operator class, re-expressed as plain Spark
+  * aggregates). Three check families:
+  *
+  *  - '''predicate checks''' ([[checks]]): any row-level `Column`
+  *    predicate (completeness, ranges, domains, formats). ALL predicates
+  *    for a table are counted in ONE wide aggregate — one scan total,
+  *    like [[Profile]] — with a null predicate counting as a violation
+  *    (ternary logic never lets a null sneak past a range check).
+  *  - '''uniqueness''' ([[checks]]' `uniqueKeys`): n_rows − n_distinct
+  *    over key tuples, planned into the same single scan via Spark's
+  *    multi-count-distinct Expand.
+  *  - '''referential integrity''' ([[refIntegrity]]): orphan count via
+  *    a left-anti join — the one family that genuinely needs a second
+  *    table; keyed shuffle (or broadcast when the parent is a dim).
+  *
+  * Report rows are (check, n_rows, n_bad, pass) — uniform, unionable
+  * across tables, and cheap to persist per ingest batch (a [[graft.catalog.Rollup]]
+  * over the report is drift monitoring for free).
+  */
+object Validate {
+
+  /** Row-predicate + uniqueness checks in one scan. Each predicate is
+    * named; a row violates it when the predicate is false OR null. */
+  def checks(df: DataFrame, preds: Seq[(String, Column)],
+             uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(preds.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+    val predAggs = preds.map { case (name, p) =>
+      coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"bad_$name")
+    }
+    // struct() so null-containing key tuples still participate in the
+    // distinct count (bare COUNT(DISTINCT a, b) silently skips them)
+    val uniqAggs = uniqueKeys.map { case (name, cols) =>
+      (count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
+        .cast("long").as(s"bad_$name")
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), (predAggs ++ uniqAggs): _*)
+    val names = preds.map(_._1) ++ uniqueKeys.map(_._1)
+    val stackExpr = names.map(n => s"'$n', `bad_$n`").mkString(", ")
+    wide.selectExpr("n_rows", s"stack(${names.size}, $stackExpr) AS (check_name, n_bad)")
+      .select(col("check_name"), col("n_rows"), col("n_bad"),
+        (col("n_bad") === 0L).as("pass"))
+  }
+
+  /** Orphan check: child rows whose key tuple has no match in the
+    * parent. Null child keys are orphans (they reference nothing). */
+  def refIntegrity(name: String, child: DataFrame, childKeys: Seq[String],
+                   parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.size == parentKeys.size && childKeys.nonEmpty)
+    val cond = childKeys.zip(parentKeys).map { case (c, p) =>
+      child(c) === parent(p)
+    }.reduce(_ && _)
+    val orphans = child.join(parent, cond, "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_bad"))))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_bad"),
+        (col("n_bad") === 0L).as("pass"))
+  }
+}

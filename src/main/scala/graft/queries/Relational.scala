@@ -2169,6 +2169,79 @@ object Relational {
         SELECT b.id - a.id AS key_gap, COUNT(*) AS n,
           CAST(bit_xor(a.id * 1000000 + b.id) AS BIGINT) AS xor_pair
         FROM v a JOIN v b ON a.id < b.id AND levenshtein(a.nm, b.nm) = 1
-        GROUP BY 1 ORDER BY key_gap"""))
+        GROUP BY 1 ORDER BY key_gap""")),
+
+    // ---- data-quality validation report ----------------------------------
+    // operators.Validate (the Deequ/Great-Expectations operator class):
+    // completeness, range, domain and date-window predicates plus key
+    // uniqueness — ALL counted in ONE orders scan (predicates as
+    // conditional sums, uniqueness via the multi-count-distinct Expand) —
+    // and two referential-integrity orphan checks as left-anti joins. The
+    // freshness check intentionally FAILS (9020 stale rows at sf0.01), so
+    // the gate covers both verdicts with exact violation counts. At
+    // 100 TB the report costs one scan per table + one keyed anti join
+    // per FK edge, and persisting it per batch gives drift monitoring.
+    "q136_quality_checks" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val pred = graft.operators.Validate.checks(o, Seq(
+            "orders.custkey_complete" -> col("o_custkey").isNotNull,
+            "orders.date_in_window" -> col("o_orderdate").between(
+              to_timestamp(lit("1995-01-01 00:00:00")),
+              to_timestamp(lit("2001-12-31 23:59:59"))),
+            "orders.fresh_since_1999" ->
+              (col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00"))),
+            "orders.status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+            "orders.totalprice_positive" -> (col("o_totalprice") > 0.0)),
+          uniqueKeys = Seq("orders.orderkey_unique" -> Seq("o_orderkey")))
+        val fk1 = graft.operators.Validate.refIntegrity(
+          "lineitem.orderkey_refs_orders",
+          t(s, dir, "lineitem").select("l_orderkey"), Seq("l_orderkey"),
+          o.select("o_orderkey"), Seq("o_orderkey"))
+        val fk2 = graft.operators.Validate.refIntegrity(
+          "orders.custkey_refs_customer",
+          o.select("o_custkey"), Seq("o_custkey"),
+          t(s, dir, "customer").select("c_custkey"), Seq("c_custkey"))
+        pred.union(fk1).union(fk2).orderBy("check_name")
+      },
+      Some("""WITH rep AS (
+          SELECT 'orders.custkey_complete' AS check_name, COUNT(*) AS n_rows,
+            COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS n_bad
+          FROM orders
+          UNION ALL
+          SELECT 'orders.date_in_window', COUNT(*),
+            COALESCE(SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+              AND TIMESTAMP '2001-12-31 23:59:59' THEN 0 ELSE 1 END), 0)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.fresh_since_1999', COUNT(*),
+            COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+              THEN 0 ELSE 1 END), 0)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.status_domain', COUNT(*),
+            COALESCE(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.totalprice_positive', COUNT(*),
+            COALESCE(SUM(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END), 0)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.orderkey_unique', COUNT(*),
+            COUNT(*) - COUNT(DISTINCT o_orderkey)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem.orderkey_refs_orders',
+            (SELECT COUNT(*) FROM lineitem),
+            (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          UNION ALL
+          SELECT 'orders.custkey_refs_customer',
+            (SELECT COUNT(*) FROM orders),
+            (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+          CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS pass
+        FROM rep ORDER BY check_name"""))
   )
 }

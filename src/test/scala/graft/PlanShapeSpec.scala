@@ -352,6 +352,20 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom bitmap is not broadcast:\n$plan")
   }
 
+  test("q136 predicate + uniqueness checks all run in ONE table scan") {
+    import org.apache.spark.sql.functions._
+    val o = graft.catalog.Tables.load(spark, dir, "orders")
+    val rep = graft.operators.Validate.checks(o, Seq(
+        "complete" -> col("o_custkey").isNotNull,
+        "domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "positive" -> (col("o_totalprice") > 0.0)),
+      uniqueKeys = Seq("unique" -> Seq("o_orderkey")))
+    val plan = rep.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("orders"))
+    assert(scans == 1, s"expected ONE orders scan for the whole report, got $scans:\n$plan")
+  }
+
   test("q92 mode window ranks counts, never raw lineitem rows") {
     import org.apache.spark.sql.catalyst.plans.logical._
     val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
