@@ -2242,6 +2242,101 @@ object Relational {
               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
         SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
           CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS pass
-        FROM rep ORDER BY check_name"""))
+        FROM rep ORDER BY check_name""")),
+
+    // ---- bilateral nation volume (TPC-H Q7 analogue) ---------------------
+    // The two-role-dimension shape: nation joins TWICE under different
+    // roles (supplier's nation via lineitem, customer's via orders), with
+    // the disjunctive pair filter (A→B or B→A) evaluated above both.
+    // Fact-fact joins shuffle on their keys (bucket-layout elidable);
+    // supplier/customer-role dims broadcast. Exact decimal revenue.
+    "q137_nation_volume" -> Q(
+      (s, dir) => {
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")).between(1997, 2000))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+            (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(count(lit(1)).as("n"),
+            Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+              .as("volume"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year, COUNT(*) AS n,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS volume
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE year(l_shipdate) BETWEEN 1997 AND 2000
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ---- market share (TPC-H Q8 analogue) --------------------------------
+    // Conditional-share aggregation: one nation's fraction of a region's
+    // STANDARD-part revenue per year. Numerator and denominator are the
+    // SAME exact decimal sum (the numerator just gated on the supplier's
+    // nation), and the published ratio divides their IEEE double casts —
+    // deterministic on both engines, no decimal-division scale hazards.
+    "q138_market_share" -> Q(
+      (s, dir) => {
+        val nCust = t(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+        val nSupp = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val vol = Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("cr_key") === col("r_regionkey"))
+          .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          // no ELSE: the non-matching branch is NULL, which sum skips on
+          // both engines and which keeps the branch type DECIMAL (an
+          // `otherwise(0.0)` would coerce the whole sum to double)
+          .agg(
+            Det.sumD(when(col("supp_nation") === "NATION_3", vol)).as("nation_vol"),
+            Det.sumD(vol).as("total_vol"))
+          .withColumn("mkt_share",
+            col("nation_vol").cast("double") / col("total_vol").cast("double"))
+          .orderBy("o_year")
+      },
+      Some(s"""WITH flat AS (
+          SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+            l_extendedprice, l_discount
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+          ${Det.sqlSumD("CASE WHEN supp_nation = 'NATION_3' THEN " +
+            Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount") +
+            " END")} AS nation_vol,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS total_vol,
+          CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE) AS mkt_share
+        FROM flat GROUP BY 1 ORDER BY o_year"""))
   )
 }
