@@ -104,17 +104,27 @@ object Rollup {
   /** [[read]] with an explicit fold per counter: "sum" for additive
     * counters, "min"/"max" for watermark-style ones (first/last event
     * time, smallest id seen). Any fold here must be what makes the
-    * counter's partials mergeable — min-of-mins and max-of-maxes are,
-    * which is why those three are the whole vocabulary (an avg partial
-    * is NOT mergeable by avg; store sum and count and divide on read). */
+    * counter's partials mergeable — min-of-mins and max-of-maxes are.
+    *
+    * Distinct counts — the holistic aggregate a SUM rollup cannot carry —
+    * ride as DataSketches HLL sketch columns: append with
+    * `hll_sketch_agg(x)` as the batch counter, read with fold
+    * "hll_estimate" (union the batch sketches, then estimate: BIGINT),
+    * and compact with fold "hll_union" (union WITHOUT estimating, so the
+    * base partition keeps a mergeable sketch, not a dead number). Sketch
+    * unions are commutative/idempotent like min/max, so batch-overwrite
+    * idempotence is preserved. An avg partial is NOT mergeable by avg;
+    * store sum and count and divide on read. */
   def readAgg(spark: SparkSession, path: String, groupCols: Seq[String],
               folds: Seq[(String, String)]): DataFrame = {
     def fold(c: String, how: String) = how match {
       case "sum" => sum(col(c)).as(c)
       case "min" => min(col(c)).as(c)
       case "max" => max(col(c)).as(c)
+      case "hll_union" => hll_union_agg(col(c)).as(c)
+      case "hll_estimate" => hll_sketch_estimate(hll_union_agg(col(c))).as(c)
       case other => throw new IllegalArgumentException(
-        s"unknown fold '$other' for counter '$c' (sum|min|max)")
+        s"unknown fold '$other' for counter '$c' (sum|min|max|hll_union|hll_estimate)")
     }
     spark.read.parquet(path)
       .groupBy(groupCols.map(col): _*)

@@ -2337,6 +2337,50 @@ object Relational {
             " END")} AS nation_vol,
           ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))} AS total_vol,
           CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE) AS mkt_share
-        FROM flat GROUP BY 1 ORDER BY o_year"""))
+        FROM flat GROUP BY 1 ORDER BY o_year""")),
+
+    // ---- HLL distinct-count rollup ---------------------------------------
+    // catalog.Rollup with a DataSketches HLL counter: hourly distinct
+    // users maintained incrementally from weekly batches — per-batch
+    // sketches (hll_sketch_agg) union across batches at read, and
+    // compaction folds the early batches into a MERGEABLE base sketch
+    // (hll_union, never the estimate). Per-group cardinality (≤ 51 users
+    // per hour-type at sf0.1) sits far inside the sketch's exact
+    // (coupon-list) regime at lgK=14, so the estimate must EQUAL DuckDB's
+    // exact COUNT(DISTINCT) — the gate proves the whole
+    // append → compact → union → estimate chain loses nothing. At 100 TB
+    // the rollup answers distinct-user questions from |groups|·|batches|
+    // sketch rows, never rescanning history (and in the dense regime the
+    // same chain degrades to ~1% error instead of failing).
+    "q139_hll_rollup" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("hr",
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        val work = Tables.derivedDir("graft_rollup", s"$dir|hll_hourly")
+        Tables.derivedClear(work)
+        val path = s"$work/hourly"
+        val groupCols = Seq("hr", "event_type")
+        val counters = Seq(
+          "n" -> count(lit(1)),
+          "users" -> hll_sketch_agg(col("user_id"), 14))
+        val wk = ev.withColumn("wk",
+          date_trunc("week", col("ts")).cast("date").cast("string"))
+        val weeks = wk.select("wk").distinct().collect().map(_.getString(0)).sorted
+        weeks.zipWithIndex.foreach { case (w, i) =>
+          graft.catalog.Rollup.appendBatch(s,
+            wk.filter(col("wk") === w).drop("wk"), path, s"w$i", groupCols, counters)
+          if (i == 1) // fold the first two batches into the base mid-stream
+            graft.catalog.Rollup.compactAgg(s, path, groupCols,
+              Seq("n" -> "sum", "users" -> "hll_union"))
+        }
+        graft.catalog.Rollup.readAgg(s, path, groupCols,
+            Seq("n" -> "sum", "users" -> "hll_estimate"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+          event_type, COUNT(*) AS n,
+          COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""))
   )
 }

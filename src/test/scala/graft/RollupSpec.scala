@@ -120,6 +120,35 @@ class RollupSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown fold"))
   }
 
+  test("HLL sketch counters: per-batch sketches union to the exact distinct count") {
+    // distinct users per (day, type) — the holistic counter a SUM rollup
+    // cannot carry. DataSketches HLL is exact in its sparse regime (far
+    // below lgK=12 capacity here), so the estimate must EQUAL the true
+    // distinct count on this fixture, not just approximate it.
+    val path = freshPath()
+    val hllCounters = Seq(
+      "n" -> count(lit(1)),
+      "users" -> hll_sketch_agg(col("user_id")))
+    monthBatches.foreach { case (id, b) =>
+      Rollup.appendBatch(spark, b, path, id, groupCols, hllCounters)
+    }
+    val got = Rollup.readAgg(spark, path, groupCols,
+        Seq("n" -> "sum", "users" -> "hll_estimate"))
+      .orderBy("day", "event_type").collect().toSeq
+    val want = events.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(got == want, "unioned batch sketches diverged from exact distinct counts")
+    // compact with hll_union keeps the BASE mergeable: reads after
+    // compaction still estimate correctly
+    Rollup.compactAgg(spark, path, groupCols,
+      Seq("n" -> "sum", "users" -> "hll_union"))
+    val after = Rollup.readAgg(spark, path, groupCols,
+        Seq("n" -> "sum", "users" -> "hll_estimate"))
+      .orderBy("day", "event_type").collect().toSeq
+    assert(after == want, "compaction corrupted the sketch counter")
+  }
+
   test("compactAgg preserves min/max watermark counters; plain compact would corrupt them") {
     val path = freshPath()
     val wmCounters = Seq(
