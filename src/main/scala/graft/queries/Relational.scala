@@ -2381,6 +2381,29 @@ object Relational {
       Some("""SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
           event_type, COUNT(*) AS n,
           COUNT(DISTINCT user_id) AS users
-        FROM events GROUP BY 1, 2 ORDER BY hr, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY hr, event_type""")),
+
+    // ---- deterministic correlation / OLS regression ----------------------
+    // operators.Stats: Pearson corr + regression line of quantity vs
+    // extended price per return flag. Spark's corr/regr_* stream double
+    // co-moments (merge-order-dependent low bits); here the five moment
+    // sums accumulate EXACTLY in decimal, cast to double once, and both
+    // engines evaluate the IDENTICAL IEEE expression tree — so even the
+    // 53rd bit of a floating-point statistic hash-matches. Moments are
+    // plain partial-aggregated sums: one |groups|-row shuffle at any
+    // scale, and rollup-mergeable when the statistic must stay maintained.
+    "q140_correlation" -> Q(
+      (s, dir) => {
+        graft.operators.Stats.moments(t(s, dir, "lineitem"),
+            Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .select(Seq(col("l_returnflag"), col("n")) ++
+            graft.operators.Stats.corrCols(): _*)
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH m AS (SELECT l_returnflag,
+            ${graft.operators.Stats.sqlMomentExprs("l_quantity", "l_extendedprice")}
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, ${graft.operators.Stats.sqlCorrCols}
+        FROM m ORDER BY l_returnflag"""))
   )
 }
