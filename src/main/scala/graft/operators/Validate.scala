@@ -49,6 +49,18 @@ object Validate {
         (col("n_bad") === 0L).as("pass"))
   }
 
+  /** The [[checks]] predicates as SUM-mergeable rollup counters
+    * (`n_rows` plus one violation count per check) — drop-in for
+    * [[graft.streaming.EventStreams.maintainRollup]], which turns a
+    * stream into per-epoch quality partials: totals fold at read, drift
+    * shows up by comparing epochs, and the exactly-once epoch-overwrite
+    * contract makes the monitor crash-safe for free. */
+  def qualityCounters(preds: Seq[(String, Column)]): Seq[(String, Column)] =
+    ("n_rows" -> count(lit(1))) +: preds.map { case (name, p) =>
+      s"bad_$name" ->
+        coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
+    }
+
   /** Orphan check: child rows whose key tuple has no match in the
     * parent. Null child keys are orphans (they reference nothing). */
   def refIntegrity(name: String, child: DataFrame, childKeys: Seq[String],

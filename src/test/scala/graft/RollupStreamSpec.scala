@@ -54,6 +54,44 @@ class RollupStreamSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected epoch partitions, got $parts")
   }
 
+  test("streamed quality monitor: per-epoch violation partials fold to batch truth") {
+    // Validate.qualityCounters ∘ maintainRollup = drift monitoring: each
+    // epoch's violation counts land as that epoch's partition; totals
+    // fold at read and must equal a one-shot Validate.checks over
+    // everything seen.
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("qmon_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("qmon").toString + "/quality"
+    val preds = Seq(
+      "tag_complete" -> col("tag").isNotNull,
+      "score_positive" -> (col("score") > 0.0))
+    val mem = MemoryStream[(String, Option[String], Double)]
+    val q = EventStreams.maintainRollup(
+      mem.toDF().toDF("src", "tag", "score"), path, ckpt,
+      Seq("src"), graft.operators.Validate.qualityCounters(preds))
+    mem.addData(("web", Some("a"), 1.0), ("web", None, 2.0), ("api", Some("b"), -1.0))
+    q.processAllAvailable()
+    mem.addData(("web", Some("c"), -3.0), ("api", None, -4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val folded = Rollup.read(spark, path, Seq("src"),
+        Seq("n_rows", "bad_tag_complete", "bad_score_positive"))
+      .orderBy("src").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one-shot truth over everything the stream saw
+    val all = Seq(("web", Some("a"), 1.0), ("web", None, 2.0), ("api", Some("b"), -1.0),
+      ("web", Some("c"), -3.0), ("api", None, -4.0)).toDF("src", "tag", "score")
+    val qcs = graft.operators.Validate.qualityCounters(preds)
+      .map { case (n, c) => c.as(n) }
+    val want = all.groupBy("src")
+      .agg(qcs.head, qcs.tail: _*)
+      .orderBy("src").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(folded == want)
+    assert(folded == Seq(("api", 2L, 1L, 2L), ("web", 3L, 1L, 1L)))
+  }
+
   test("a replayed epoch lands on top of itself — never double-counts") {
     implicit val sq = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt2").toString
