@@ -448,6 +448,24 @@ object Snapshots {
     replacePartitionsRaw(spark, dir, laid)
   }
 
+  /** The OPTIMIZE scheduling policy: compact exactly those partitions
+    * whose live file count exceeds `maxFiles` (streaming ingest and keyed
+    * upserts accrete a file per commit per touched partition; this is the
+    * maintenance loop that keeps read amplification flat without ever
+    * rewriting cold partitions). Metadata-only decision — the manifest
+    * already knows every partition's file count; no storage listing, no
+    * data read for the untouched ones. Returns the compacted partition
+    * values (empty = nothing exceeded the threshold, no commit made). */
+  def maybeCompact(spark: SparkSession, dir: String, maxFiles: Int = 8,
+                   filesPer: Int = 1, sortBy: Option[String] = None): Seq[String] = {
+    require(maxFiles >= 1, "snapshots: maxFiles must be >= 1")
+    val hot = entryList(spark, dir, currentVersion(spark, dir))
+      .groupBy(_.partValue).collect { case (v, es) if es.size > maxFiles => v }
+      .toSeq.sorted
+    if (hot.nonEmpty) compactPartitions(spark, dir, hot, filesPer, sortBy)
+    hot
+  }
+
   // ---- reads ------------------------------------------------------------
 
   private def readFiles(spark: SparkSession, dir: String, m: Manifest,

@@ -164,6 +164,30 @@ class SnapshotsSpec extends SparkSpec {
       .collect().toSet == want)
   }
 
+  test("maybeCompact compacts only over-threshold partitions, from manifest metadata") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // accrete files on partition "a" only: each append commits one file
+    (10L to 13L).foreach { i =>
+      Snapshots.append(spark, dir, Seq((i, s"x$i", "a")).toDF("id", "v", "p"))
+    }
+    val before = rows(dir)
+    def filesOf(part: String) =
+      Snapshots.entryList(spark, dir, Snapshots.currentVersion(spark, dir))
+        .filter(_.partValue == part).map(_.path)
+    val bFilesBefore = filesOf("b")
+    assert(filesOf("a").size == 5)
+    // threshold 3: only "a" qualifies
+    assert(Snapshots.maybeCompact(spark, dir, maxFiles = 3) == Seq("a"))
+    assert(filesOf("a").size == 1, "hot partition not compacted to one file")
+    assert(filesOf("b") == bFilesBefore, "cold partition's files were rewritten")
+    assert(rows(dir) == before, "compaction changed content")
+    // below threshold now: policy is a no-op and commits nothing
+    val v = Snapshots.currentVersion(spark, dir)
+    assert(Snapshots.maybeCompact(spark, dir, maxFiles = 3).isEmpty)
+    assert(Snapshots.currentVersion(spark, dir) == v)
+  }
+
   test("versioned upsert/delete: Mutate semantics with time travel") {
     val dir = freshDir()
     Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
