@@ -49,4 +49,36 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ carry.map(c => col(s"_c.$c").as(c)): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and rightTime >= leftTime (next-quote / next-restock
+    * enrichment — DuckDB's `ASOF JOIN ... ON l.t <= r.t`). Mirror of
+    * [[asOf]]: left rows sort BEFORE right rows at equal timestamps
+    * (inclusive `>=`), and the right payload is pulled backward with
+    * `first(_, ignoreNulls)` over the following frame. Same single
+    * key shuffle, same no-cross-product property, same right-side
+    * uniqueness requirement. */
+  def asOfForward(left: DataFrame, lKey: String, lTime: String,
+                  right: DataFrame, rKey: String, rTime: String,
+                  carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val carryType = StructType(carry.map(c => right.schema(c)))
+    val lp = left
+      .withColumn("_k", col(lKey)).withColumn("_t", col(lTime))
+      .withColumn("_side", lit(0))
+      .select(Seq(col("_k"), col("_t"), col("_side")) ++
+        leftCols.map(col) :+
+        lit(null).cast(carryType).as("_c"): _*)
+    val rp = right
+      .select(Seq(col(rKey).as("_k"), col(rTime).as("_t"), lit(1).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carry.map(col): _*).as("_c"): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lp.unionByName(rp)
+      .withColumn("_c", first(col("_c"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) ++ carry.map(c => col(s"_c.$c").as(c)): _*)
+  }
 }

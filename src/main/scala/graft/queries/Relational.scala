@@ -2404,6 +2404,30 @@ object Relational {
             ${graft.operators.Stats.sqlMomentExprs("l_quantity", "l_extendedprice")}
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n, ${graft.operators.Stats.sqlCorrCols}
-        FROM m ORDER BY l_returnflag"""))
+        FROM m ORDER BY l_returnflag""")),
+
+    // ---- forward as-of join ----------------------------------------------
+    // The q49 mirror: each event enriched with the user's NEXT order (the
+    // earliest o_orderdate >= ts) — next-quote semantics, DuckDB's
+    // `ASOF JOIN ... ON l.ts <= r.t`. Same single key shuffle and
+    // no-cross-product property as backward as-of; left rows sort before
+    // right at equal timestamps so `>=` is inclusive on both engines.
+    "q141_asof_forward" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val od = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.operators.AsOfJoin.asOfForward(
+            e, "user_id", "ts", od, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, od.o_orderkey
+        FROM events e ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
+        ORDER BY event_id"""))
   )
 }

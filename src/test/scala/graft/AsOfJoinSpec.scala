@@ -24,6 +24,22 @@ class AsOfJoinSpec extends SparkSpec {
       102L -> None, 200L -> Some(9.0)))
   }
 
+  test("forward as-of picks the earliest right row at or after each left time") {
+    val quotes = Seq(
+      (1L, t(5), 7.0), (1L, t(8), 8.0), (2L, t(20), 9.0))
+      .toDF("k", "qt", "px")
+    val trades = Seq(
+      (1L, t(8), 100L),  // equal timestamp -> inclusive match (8.0)
+      (1L, t(6), 101L),  // earliest following is t(8) -> 8.0
+      (1L, t(10), 102L), // nothing after -> null
+      (2L, t(1), 200L))
+      .toDF("k", "tt", "trade_id")
+    val out = AsOfJoin.asOfForward(trades, "k", "tt", quotes, "k", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(100L -> Some(8.0), 101L -> Some(8.0),
+      102L -> None, 200L -> Some(9.0)))
+  }
+
   test("a NULL carry field in the matched right row survives (no stale resurrection)") {
     val quotes = Seq(
       (1L, t(10), Some(5.0), "m1"), (1L, t(20), None, "m2"))
