@@ -2428,6 +2428,44 @@ object Relational {
         SELECT e.event_id, od.o_orderkey
         FROM events e ASOF LEFT JOIN od
           ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---- native session windows (batch) ----------------------------------
+    // Spark's built-in session_window operator cross-validated against the
+    // classic gaps-and-islands SQL (the q18 formulation): merge semantics
+    // — an event at exactly prev + gap starts a NEW session, end = last
+    // event + gap — must agree event-for-event. q18 gates OUR islands
+    // composition; q142 gates the ENGINE's native operator, so a Spark
+    // upgrade changing session semantics trips the hash. Scale shape:
+    // session_window is a single user_id-keyed aggregation, no window
+    // sort of raw rows.
+    "q142_session_window" -> Q(
+      (s, dir) => {
+        val f = "yyyy-MM-dd HH:mm:ss"
+        t(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_format(col("w.start"), f).as("session_start"),
+            date_format(col("w.end"), f).as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER u IS NULL THEN 1
+                 WHEN ts - LAG(ts) OVER u >= INTERVAL 30 MINUTE THEN 1
+                 ELSE 0 END AS new_s
+          FROM events
+          WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM x)
+        SELECT user_id,
+          STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+          COUNT(*) AS n_events
+        FROM y GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))
   )
 }
