@@ -52,6 +52,37 @@ object Layout {
     ((num - pmod(num, den)) / den).cast("long")
   }
 
+  /** N-dimension Morton interleave: bit i of dimension d lands at
+    * i·|dims| + d. Same compile-time unrolling as [[zValue]]; requires
+    * bits·|dims| ≤ 62 so the key stays a positive long. */
+  def zValueN(buckets: Seq[Column], bits: Int): Column = {
+    val n = buckets.size
+    require(n >= 1 && bits >= 1 && bits * n <= 62,
+      s"need 1 <= bits*dims <= 62, got bits=$bits dims=$n")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, d)) =>
+        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), n * i + d)
+      }
+    }
+  }
+
+  /** [[withZValue]] for any number of integer dimensions: min-max bucket
+    * each to `bits` bits, Morton-interleave into `zval`. One aggregate
+    * job + a broadcast 1-row cross join; per-row key math is map-only. */
+  def withZValueN(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
+    val aggs = dims.zipWithIndex.flatMap { case (dim, d) =>
+      Seq(min(col(dim)).cast("long").as(s"__mn$d"),
+        max(col(dim)).cast("long").as(s"__mx$d"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = dims.zipWithIndex.map { case (dim, d) =>
+      minMaxBucket(col(dim).cast("long"), col(s"__mn$d"), col(s"__mx$d"), bits)
+    }
+    df.crossJoin(broadcast(mm))
+      .withColumn("zval", zValueN(buckets, bits))
+      .drop(dims.indices.flatMap(d => Seq(s"__mn$d", s"__mx$d")): _*)
+  }
+
   /** df + a `zval` column Morton-interleaving the two integer dimensions,
     * bucketed by their global min/max. One aggregate job + a broadcast
     * 1-row cross join; the per-row key math is map-only. */

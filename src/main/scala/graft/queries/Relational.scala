@@ -2466,6 +2466,46 @@ object Relational {
           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
           COUNT(*) AS n_events
         FROM y GROUP BY user_id, sid
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ---- 3-dimension Z-order layout key ----------------------------------
+    // Layout.zValueN: the q110 gate generalized to three interleaved
+    // dimensions (part, supplier, order keys at 8 bits each — a 24-bit
+    // Morton key). The oracle's term list is GENERATED from the same
+    // (bits, dims) constants as the unrolled Spark expression, so the two
+    // interleaves cannot drift. Same integer-exact bucketing; file
+    // skipping now prunes on any of THREE predicates.
+    "q143_zorder3" -> Q(
+      (s, dir) => {
+        val z = graft.operators.Layout.withZValueN(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_partkey", "l_suppkey", "l_orderkey"),
+          Seq("l_partkey", "l_suppkey", "l_orderkey"), bits = 8)
+        z.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            min(col("zval")).as("zmin"), max(col("zval")).as("zmax"),
+            expr("bit_xor(zval)").as("zxor"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val dims = Seq("l_partkey", "l_suppkey", "l_orderkey")
+        val bits = 8
+        val buckets = dims.zipWithIndex.map { case (c, d) =>
+          s"((($c - mn$d) * ${1L << bits}) // (mx$d - mn$d + 1)) AS b$d"
+        }.mkString(", ")
+        val mm = dims.zipWithIndex.map { case (c, d) =>
+          s"min($c) AS mn$d, max($c) AS mx$d"
+        }.mkString(", ")
+        val terms = (0 until bits).flatMap { i =>
+          dims.indices.map(d => s"(((b$d >> $i) & 1) * ${1L << (3 * i + d)})")
+        }.mkString(" + ")
+        s"""WITH mm AS (SELECT $mm FROM lineitem),
+          b AS (SELECT l_returnflag, $buckets FROM lineitem, mm),
+          z AS (SELECT l_returnflag, $terms AS zval FROM b)
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(MIN(zval) AS BIGINT) AS zmin, CAST(MAX(zval) AS BIGINT) AS zmax,
+          CAST(bit_xor(zval) AS BIGINT) AS zxor
+        FROM z GROUP BY l_returnflag ORDER BY l_returnflag"""
+      })
   )
 }

@@ -21,6 +21,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  private def mortonRefN(vals: Seq[Long], bits: Int): Long = {
+    val n = vals.size
+    (0 until bits).flatMap(i => vals.zipWithIndex.map { case (v, d) =>
+      ((v >> i) & 1L) << (n * i + d)
+    }).sum
+  }
+
+  test("zValueN matches the N-dim reference interleave; 2-dim case equals zValue") {
+    val pts = for (x <- 0L to 9L; y <- 0L to 9L; z <- 0L to 9L) yield (x, y, z)
+    val got = pts.toDF("x", "y", "z")
+      .select($"x", $"y", $"z",
+        Layout.zValueN(Seq($"x", $"y", $"z"), 4).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    pts.foreach { case p @ (x, y, z) =>
+      assert(got(p) == mortonRefN(Seq(x, y, z), 4), s"$p")
+    }
+    // the 2-dim specialization is the same curve
+    val two = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 4).as("a"),
+        Layout.zValueN(Seq($"x", $"y"), 4).as("b"))
+      .collect().head
+    assert(two.getLong(0) == two.getLong(1))
+  }
+
   test("minMaxBucket: affine, in-range, extrema map to 0 and 2^bits-1") {
     val df = (0L to 1000L).toDF("x")
       .crossJoin(broadcast(Seq((0L, 1000L)).toDF("mn", "mx")))
