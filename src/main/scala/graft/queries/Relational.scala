@@ -2506,6 +2506,42 @@ object Relational {
           CAST(MIN(zval) AS BIGINT) AS zmin, CAST(MAX(zval) AS BIGINT) AS zmax,
           CAST(bit_xor(zval) AS BIGINT) AS zxor
         FROM z GROUP BY l_returnflag ORDER BY l_returnflag"""
-      })
+      }),
+
+    // ---- NOT IN three-valued logic (null-aware anti join) ----------------
+    // The classic SQL trap as a cross-engine gate: `x NOT IN (subquery)`
+    // is NOT an anti join when the subquery can yield NULL — one NULL
+    // makes the predicate UNKNOWN for every non-matching row, so the
+    // poisoned variant returns 0 where the anti join would return
+    // thousands. Spark plans this as a null-aware anti join (plan-gated);
+    // both variants run the IDENTICAL SQL text on both engines. At scale
+    // the null-aware variant requires the build side broadcast — the
+    // price of 3VL — which is why pipelines that MEAN anti-join semantics
+    // should write left_anti (q05), never NOT IN.
+    "q144_not_in_nulls" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT variant, n FROM (
+            SELECT 'clean' AS variant, COUNT(*) AS n FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT 'poisoned', COUNT(*) FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+               FROM orders WHERE o_orderpriority = '1-URGENT'))
+          ORDER BY variant""")
+      },
+      Some("""SELECT variant, n FROM (
+          SELECT 'clean' AS variant, COUNT(*) AS n FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+          UNION ALL
+          SELECT 'poisoned', COUNT(*) FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+             FROM orders WHERE o_orderpriority = '1-URGENT'))
+        ORDER BY variant"""))
   )
 }

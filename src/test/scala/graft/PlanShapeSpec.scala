@@ -366,6 +366,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"expected ONE orders scan for the whole report, got $scans:\n$plan")
   }
 
+  test("q144: NOT IN plans as a null-aware anti join, not a plain anti join") {
+    val df = SparkEntry.queries("q144_not_in_nulls")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the trailing `true` on BroadcastHashJoin ... LeftAnti, BuildRight is
+    // Spark's isNullAwareAntiJoin flag — the 3VL-correct variant
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost its null-aware anti join plan shape:\n$plan")
+  }
+
   test("q92 mode window ranks counts, never raw lineitem rows") {
     import org.apache.spark.sql.catalyst.plans.logical._
     val df = SparkEntry.queries("q92_mode_quantity")(spark, dir)
