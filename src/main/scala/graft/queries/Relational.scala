@@ -2542,6 +2542,64 @@ object Relational {
           WHERE c_custkey NOT IN
             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
              FROM orders WHERE o_orderpriority = '1-URGENT'))
-        ORDER BY variant"""))
+        ORDER BY variant""")),
+
+    // ---- interpolated (continuous) quantiles -----------------------------
+    // Type-7 linear interpolation (numpy/R default) on top of q52's
+    // count-first machinery: position h = (n−1)·p is kept as EXACT integer
+    // quotient+remainder (never a float rank), the two bracketing values
+    // come off the distinct-value running-count table, and the one
+    // interpolation step is a fixed IEEE tree — so a *continuous* quantile
+    // hash-matches bit-for-bit. Work beyond the two hash aggregates is
+    // |distinct values|, not |rows| (the q52 scale story), vs the oracle's
+    // full ROW_NUMBER sort.
+    "q145_quantile_cont" -> Q(
+      (s, dir) => {
+        val ps = Seq(25, 50, 75)
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+        val vc = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("nn"))
+        val wRun = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vc.withColumn("cum", sum(col("cnt")).over(wRun))
+          .join(broadcast(tot), Seq("l_returnflag"))
+        val aggs = max(col("nn")).as("nn") +: ps.flatMap { p =>
+          Seq(
+            min(when(col("cum") >= expr(s"((nn - 1) * $p) div 100") + 1,
+              col("l_extendedprice"))).as(s"lo$p"),
+            min(when(col("cum") >= expr(s"((nn - 1) * $p) div 100") + 2,
+              col("l_extendedprice"))).as(s"hi$p"))
+        }
+        val interps = ps.map { p =>
+          val rem = expr(s"((nn - 1) * $p) % 100")
+          val lo = col(s"lo$p").cast("double"); val hi = col(s"hi$p").cast("double")
+          when(rem === 0, lo)
+            .otherwise(lo + (rem.cast("double") / lit(100.0)) * (hi - lo))
+            .as(s"p${p}c")
+        }
+        cum.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+          .select(Seq(col("l_returnflag"), col("nn").as("n")) ++ interps: _*)
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val ps = Seq(25, 50, 75)
+        val sel = ps.map { p =>
+          s"""MAX(CASE WHEN rn = ((nn - 1) * $p) // 100 + 1 THEN l_extendedprice END) AS lo$p,
+             MAX(CASE WHEN rn = ((nn - 1) * $p) // 100 + 2 THEN l_extendedprice END) AS hi$p"""
+        }.mkString(",\n")
+        val out = ps.map { p =>
+          s"""CASE WHEN ((nn - 1) * $p) % 100 = 0 THEN CAST(lo$p AS DOUBLE)
+               ELSE CAST(lo$p AS DOUBLE) + (CAST(((nn - 1) * $p) % 100 AS DOUBLE) / 100.0)
+                    * (CAST(hi$p AS DOUBLE) - CAST(lo$p AS DOUBLE)) END AS p${p}c"""
+        }.mkString(",\n")
+        s"""WITH r AS (SELECT l_returnflag, l_extendedprice,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+            FROM lineitem),
+          a AS (SELECT l_returnflag, MAX(nn) AS nn, $sel FROM r GROUP BY l_returnflag)
+        SELECT l_returnflag, nn AS n, $out
+        FROM a ORDER BY l_returnflag"""
+      })
   )
 }
