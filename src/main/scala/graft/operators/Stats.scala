@@ -70,6 +70,60 @@ object Stats {
       (try_divide(d("sy") - slope * d("sx"), n) / lit(100.0)).as(s"${prefix}intercept"))
   }
 
+  /** Per-group exact raw-power sums s1..s4 of one 2-dp column, in cent
+    * units — the inputs to [[skewKurtCols]]. The x⁴ chain squares the
+    * square with explicit casts so every intermediate stays inside
+    * DECIMAL(38)'s exact range (values ≤ ~10³⁴ here); the DuckDB twin
+    * uses HUGEINT for the same reason ([[sqlMomentsHigher]]). */
+  def momentsHigher(df: DataFrame, groupCols: Seq[String], x: Column): DataFrame = {
+    val xc = (Det.money(x) * lit(100)).cast(CentUnit)
+    val x2 = (xc * xc).cast(DecimalType(28, 0))
+    val x4 = (x2 * x2).cast(DecimalType(38, 0))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xc).as("s1"), sum(x2).as("s2"),
+        sum((x2 * xc).cast(DecimalType(38, 0))).as("s3"), sum(x4).as("s4"))
+  }
+
+  /** Population skewness g1 = m3/(m2·√m2) and excess kurtosis
+    * g2 = m4/m2² − 3 from [[momentsHigher]] sums, in one fixed IEEE tree
+    * (central moments expanded in raw sums; `m2^1.5` spelled m2·√m2
+    * because `pow` is not correctly rounded and can differ across
+    * engines, while sqrt/×/÷ are exact-rounded everywhere). Cent units
+    * cancel in both statistics. */
+  def skewKurtCols(prefix: String = ""): Seq[Column] = {
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val mean = d("s1") / n
+    val m2 = d("s2") / n - mean * mean
+    val m3 = d("s3") / n - lit(3.0) * mean * (d("s2") / n) + lit(2.0) * mean * mean * mean
+    val m4 = d("s4") / n - lit(4.0) * mean * (d("s3") / n) +
+      lit(6.0) * mean * mean * (d("s2") / n) - lit(3.0) * mean * mean * mean * mean
+    Seq(
+      try_divide(m3, m2 * sqrt(m2)).as(s"${prefix}skewness"),
+      (try_divide(m4, m2 * m2) - lit(3.0)).as(s"${prefix}kurtosis"))
+  }
+
+  /** Oracle-SQL twin of [[momentsHigher]] (HUGEINT power chain). */
+  def sqlMomentsHigher(x: String): String = {
+    val xc = s"CAST(CAST(${Det.sqlMoney(x)} * 100 AS DECIMAL(14,0)) AS HUGEINT)"
+    s"""COUNT(*) AS n,
+       SUM($xc) AS s1, SUM($xc * $xc) AS s2,
+       SUM($xc * $xc * $xc) AS s3, SUM($xc * $xc * $xc * $xc) AS s4"""
+  }
+
+  /** Oracle-SQL twin of [[skewKurtCols]] — the same tree, same order. */
+  def sqlSkewKurtCols: String = {
+    val n = "CAST(n AS DOUBLE)"
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val mean = s"(${d("s1")} / $n)"
+    val m2 = s"(${d("s2")} / $n - $mean * $mean)"
+    val m3 = s"(${d("s3")} / $n - 3.0 * $mean * (${d("s2")} / $n) + 2.0 * $mean * $mean * $mean)"
+    val m4 = s"(${d("s4")} / $n - 4.0 * $mean * (${d("s3")} / $n) + 6.0 * $mean * $mean * (${d("s2")} / $n) - 3.0 * $mean * $mean * $mean * $mean)"
+    s"""$m3 / ($m2 * sqrt($m2)) AS skewness,
+       ($m4 / ($m2 * $m2) - 3.0) AS kurtosis"""
+  }
+
   /** Oracle-SQL twin of [[moments]]'s aggregate list (same cent units). */
   def sqlMomentExprs(x: String, y: String): String = {
     def cents(e: String) = s"CAST(${Det.sqlMoney(e)} * 100 AS DECIMAL(14,0))"

@@ -2600,6 +2600,71 @@ object Relational {
           a AS (SELECT l_returnflag, MAX(nn) AS nn, $sel FROM r GROUP BY l_returnflag)
         SELECT l_returnflag, nn AS n, $out
         FROM a ORDER BY l_returnflag"""
-      })
+      }),
+
+    // ---- ordered string aggregation (listagg) ----------------------------
+    // Order-SENSITIVE aggregation made deterministic: collect_list has no
+    // cross-partition order, so the roster is collected as structs and
+    // array_sort'ed by the explicit ORDER BY key before joining — the
+    // composition that makes Spark's listagg equal DuckDB's
+    // `string_agg(... ORDER BY ...)` bit-for-bit. Two rosters per region:
+    // nations by key (a different column than the payload) and top
+    // customers by balance rank. Collect sizes are bounded by the roster
+    // cap, never the fact table.
+    "q146_listagg" -> Q(
+      (s, dir) => {
+        val nations = broadcast(t(s, dir, "nation"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("n_nationkey"), col("n_name")))),
+              x => x("n_name")), ",").as("nations"))
+        val topCust = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 500)
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("r_name").orderBy(col("c_acctbal").desc, col("c_custkey"))))
+          .filter(col("rk") <= 5)
+          .groupBy("r_name")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("rk"), col("c_name")))),
+              x => x("c_name")), ",").as("top_customers"))
+        nations.join(topCust, Seq("r_name")).orderBy("r_name")
+      },
+      Some("""WITH tc AS (SELECT r_name, c_name,
+            ROW_NUMBER() OVER (PARTITION BY r_name
+              ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+          WHERE c_custkey <= 500),
+        n AS (SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_nationkey) AS nations
+          FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name),
+        t AS (SELECT r_name, STRING_AGG(c_name, ',' ORDER BY rk) AS top_customers
+          FROM tc WHERE rk <= 5 GROUP BY r_name)
+        SELECT n.r_name, nations, top_customers
+        FROM n JOIN t ON n.r_name = t.r_name ORDER BY n.r_name""")),
+
+    // ---- skewness / kurtosis (third and fourth moments) ------------------
+    // operators.Stats.momentsHigher: the q140 discipline extended to
+    // power sums s1..s4 (exact integer-unit chains — DECIMAL(38) on the
+    // Spark side, HUGEINT in the oracle) and one fixed IEEE tree for
+    // population skewness and excess kurtosis. m2^1.5 is spelled m2·√m2
+    // because pow() is not correctly rounded and can differ across
+    // engines; sqrt/×/÷ cannot.
+    "q147_skew_kurtosis" -> Q(
+      (s, dir) => {
+        graft.operators.Stats.momentsHigher(t(s, dir, "lineitem"),
+            Seq("l_returnflag"), col("l_extendedprice"))
+          .select(Seq(col("l_returnflag"), col("n")) ++
+            graft.operators.Stats.skewKurtCols(): _*)
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH m AS (SELECT l_returnflag,
+            ${graft.operators.Stats.sqlMomentsHigher("l_extendedprice")}
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, ${graft.operators.Stats.sqlSkewKurtCols}
+        FROM m ORDER BY l_returnflag"""))
   )
 }

@@ -71,6 +71,21 @@ class StatsSpec extends SparkSpec {
     assert(folded == direct, "folded moment partials diverged from the one-shot statistic")
   }
 
+  test("skewness/kurtosis match Spark's built-ins to float tolerance") {
+    val li = graft.catalog.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ours = Stats.momentsHigher(li, Seq("l_returnflag"), col("l_extendedprice"))
+      .select(Seq(col("l_returnflag")) ++ Stats.skewKurtCols(): _*)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val builtin = li.groupBy("l_returnflag")
+      .agg(skewness(col("l_extendedprice")).as("sk"),
+        kurtosis(col("l_extendedprice")).as("ku"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    ours.foreach { case (k, (sk, ku)) =>
+      assert(math.abs(sk - builtin(k)._1) < 1e-6, s"$k skew: $sk vs ${builtin(k)._1}")
+      assert(math.abs(ku - builtin(k)._2) < 1e-6, s"$k kurt: $ku vs ${builtin(k)._2}")
+    }
+  }
+
   test("degenerate groups (zero variance) give NULL, matching DuckDB's x/0.0") {
     val pts = Seq(("one", 1.0, 1.0), ("flat", 2.0, 5.0), ("flat", 2.0, 7.0))
     val rows = Stats.moments(pts.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
