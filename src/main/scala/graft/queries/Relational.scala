@@ -2665,6 +2665,65 @@ object Relational {
             ${graft.operators.Stats.sqlMomentsHigher("l_extendedprice")}
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n, ${graft.operators.Stats.sqlSkewKurtCols}
-        FROM m ORDER BY l_returnflag"""))
+        FROM m ORDER BY l_returnflag""")),
+
+    // ---- map-typed column pipeline ---------------------------------------
+    // The map category end-to-end: per-user event-type counts built into a
+    // MAP (map_from_entries over a sorted struct array), thresholded with
+    // map_filter, re-expanded with map_entries + transform into a
+    // canonical "type:n" roster. The oracle computes the same roster
+    // directly from base columns — like q108's VARIANT gate, the hash
+    // proves the whole build → filter → expand map pipeline is lossless,
+    // not just that map functions run. All codegen-friendly builtins; the
+    // only shuffle is the (user, type) count.
+    "q148_map_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .filter(col("user_id") <= 50)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("user_id")
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+          .select(col("user_id"),
+            size(col("m")).cast("long").as("n_types"),
+            array_join(transform(map_entries(map_filter(col("m"), (_, v) => v >= 3)),
+              e => concat(e("key"), lit(":"), e("value"))), ",").as("frequent"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events WHERE user_id <= 50 GROUP BY 1, 2)
+        SELECT user_id,
+          COUNT(*) AS n_types,
+          COALESCE(STRING_AGG(CASE WHEN cnt >= 3
+              THEN event_type || ':' || CAST(cnt AS VARCHAR) END,
+            ',' ORDER BY event_type), '') AS frequent
+        FROM c GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- width_bucket histogram ------------------------------------------
+    // Spark's width_bucket builtin gated against its own definition: the
+    // oracle spells the IDENTICAL IEEE tree ((x−lo) / ((hi−lo)/nb),
+    // floored, +1; out-of-range to 0 / nb+1), so a boundary-rounding
+    // difference on ANY of the rows would flip a bucket count and trip
+    // the hash. Equi-width histograms are the profiling workhorse — one
+    // map-side bucket expression plus a |buckets| aggregate.
+    "q149_width_bucket" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .withColumn("bucket",
+            width_bucket(col("l_extendedprice"), lit(900.0), lit(105000.0), lit(20L)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            Det.moneySum(col("l_extendedprice")).as("total"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (SELECT l_extendedprice,
+            CASE WHEN l_extendedprice < 900.0 THEN 0
+                 WHEN l_extendedprice >= 105000.0 THEN 21
+                 ELSE CAST(FLOOR((l_extendedprice - 900.0) / ((105000.0 - 900.0) / 20)) AS BIGINT) + 1
+            END AS bucket
+          FROM lineitem)
+        SELECT bucket, COUNT(*) AS n, ${Det.sqlMoneySum("l_extendedprice")} AS total
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }
