@@ -2047,7 +2047,52 @@ object LlmOps {
         SELECT b.query_id, CAST(b.k AS BIGINT) AS k,
           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
           CAST(COALESCE(h.hits, 0) * 1000000 // b.k AS BIGINT) AS recall_ppm
-        FROM b LEFT JOIN h USING (query_id) ORDER BY b.query_id"""))
+        FROM b LEFT JOIN h USING (query_id) ORDER BY b.query_id""")),
+
+    // ---- per-source corpus health dashboard ------------------------------
+    // The capstone of this session's observability operators: per source,
+    // volume, exact-duplicate rate (distinct texts), a short-doc
+    // violation count (Validate's predicate discipline), exact-decimal
+    // mean length, and the DETERMINISTIC corr between char length and
+    // token count (operators.Stats moments — bit-stable at any
+    // partitioning). One scan computes everything except the moment
+    // aggregate, which shares the same (source)-keyed shuffle. This is
+    // the report a 100 TB ingest publishes per batch; every column is
+    // rollup-mergeable (counts, sums, moments), so the same report
+    // maintains incrementally.
+    "q150_corpus_health" -> Q(
+      (s, dir) => {
+        val base = docs(s, dir).select(col("source"), col("text"),
+          col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+        val core = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique_texts"),
+          coalesce(sum(when(col("n_chars") < 50, 1L).otherwise(0L)), lit(0L))
+            .as("n_short"),
+          graft.queries.Det.moneyAvg(col("n_chars")).as("mean_chars"))
+        val corr = graft.operators.Stats.moments(base, Seq("source"),
+            col("n_chars"), col("n_toks"))
+          .select(Seq(col("source")) ++ graft.operators.Stats.corrCols(): _*)
+          .select(col("source"), col("corr").as("corr_chars_toks"))
+        core.join(corr, Seq("source")).orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT source, text, n_chars,
+            CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_toks
+          FROM documents),
+        core AS (SELECT source, COUNT(*) AS n_docs,
+            COUNT(DISTINCT text) AS n_unique_texts,
+            COALESCE(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END), 0) AS n_short,
+            ${graft.queries.Det.sqlMoneyAvg("n_chars")} AS mean_chars
+          FROM base GROUP BY source),
+        m AS (SELECT source, ${graft.operators.Stats.sqlMomentExprs("n_chars", "n_toks")}
+          FROM base GROUP BY source),
+        c AS (SELECT source, ${graft.operators.Stats.sqlCorrCols} FROM m)
+        SELECT core.source, CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+          CAST(n_short AS BIGINT) AS n_short, mean_chars,
+          c.corr AS corr_chars_toks
+        FROM core JOIN c ON core.source = c.source ORDER BY core.source"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
