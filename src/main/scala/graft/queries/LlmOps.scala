@@ -2092,7 +2092,87 @@ object LlmOps {
           CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
           CAST(n_short AS BIGINT) AS n_short, mean_chars,
           c.corr AS corr_chars_toks
-        FROM core JOIN c ON core.source = c.source ORDER BY core.source"""))
+        FROM core JOIN c ON core.source = c.source ORDER BY core.source""")),
+
+    // ---- ordered conversion funnel ---------------------------------------
+    // view → click → purchase with STRICTLY-AFTER semantics: a user counts
+    // at stage i+1 only for events after their stage-i first-reach time
+    // (a click that precedes every view is not a conversion). Stage i+1
+    // filters the raw stream to its own event type (pushed to the scan)
+    // and joins the previous stage's per-user firsts — every stage rides
+    // the same user_id partitioning, and no per-user event array is ever
+    // collected, so a million-event power user costs like anyone else.
+    "q151_funnel" -> Q(
+      (s, dir) => graft.operators.Behavior.funnel(
+        Tables.load(s, dir, "events"), Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS ts_0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS ts_1 FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.ts_0 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.ts_1 GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage, COUNT(*) AS n_users,
+            MIN(user_id) AS first_user, MAX(user_id) AS last_user FROM s1
+          UNION ALL
+          SELECT 2, 'click', COUNT(*), MIN(user_id), MAX(user_id) FROM s2
+          UNION ALL
+          SELECT 3, 'purchase', COUNT(*), MIN(user_id), MAX(user_id) FROM s3)
+        ORDER BY stage_ord""")),
+
+    // ---- weekly cohort retention matrix ----------------------------------
+    // Cohort = first active day bucketed into 7-day weeks from the corpus
+    // origin; offset = completed 7-day periods since that first day. All
+    // integer DAY arithmetic — no date_trunc('week') boundary semantics
+    // to disagree on between engines. Two user-keyed aggregations; the
+    // (user, day) projection dedups BEFORE the join so the retention join
+    // carries at most one row per user-day.
+    "q152_cohort_retention" -> Q(
+      (s, dir) => graft.operators.Behavior.cohortRetention(
+        Tables.load(s, dir, "events"), "2024-01-01"),
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+              FROM events),
+            firsts AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id)
+        SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+        FROM (SELECT DISTINCT days.user_id,
+            CAST(FLOOR(date_diff('day', DATE '2024-01-01', d0) / 7) AS BIGINT)
+              AS cohort_wk,
+            CAST(FLOOR(date_diff('day', d0, d) / 7) AS BIGINT) AS week_offset
+          FROM days JOIN firsts ON days.user_id = firsts.user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- per-source distinctive keywords (chi-squared) -------------------
+    // Feature selection over the corpus: which terms are statistically
+    // over-represented in each source. The (source, term) count is the
+    // only corpus-width shuffle (map-side combined); marginals derive
+    // from the REDUCED table and join back as broadcasts. The per-source
+    // top-5 plans as WindowGroupLimit. The chi2 score is ONE IEEE tree
+    // over exact integer operands, mirrored verbatim in the oracle, so
+    // even the ranking hash-matches.
+    "q153_chi2_keywords" -> Q(
+      (s, dir) => graft.operators.Behavior.chi2Keywords(
+        docs(s, dir).select(col("source").as("segment"),
+          explode(TextAnalysis.tokens(col("text"))).as("term")),
+        k = 5, minDf = 20),
+      Some(s"""WITH occ AS (SELECT source AS segment,
+              unnest(regexp_extract_all(text, '\\w+')) AS term FROM documents),
+            st AS (SELECT segment, term, COUNT(*) AS a FROM occ GROUP BY 1, 2),
+            termtot AS (SELECT term, SUM(a) AS tt FROM st GROUP BY term),
+            segtot AS (SELECT segment, SUM(a) AS stot FROM st GROUP BY segment),
+            tot AS (SELECT SUM(a) AS n FROM st),
+            scored AS (SELECT st.segment, st.term, a,
+                ${graft.operators.Behavior.sqlChi2} AS chi2
+              FROM st JOIN termtot USING (term) JOIN segtot USING (segment), tot
+              WHERE tt >= 20 AND a * n > tt * stot),
+            ranked AS (SELECT segment, term, a, chi2,
+                ROW_NUMBER() OVER (PARTITION BY segment
+                  ORDER BY chi2 DESC, term) AS rk
+              FROM scored)
+        SELECT segment, CAST(rk AS BIGINT) AS rk, term,
+          a AS n_in_segment, chi2
+        FROM ranked WHERE rk <= 5 ORDER BY segment, rk"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
