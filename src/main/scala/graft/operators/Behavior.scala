@@ -146,6 +146,55 @@ object Behavior {
       .orderBy("segment", "rk")
   }
 
+  /** Event-type transition matrix over per-user event streams: for each
+    * ordered pair of consecutive events of the same user ((ts, idCol)
+    * total order), the transition count and row-normalized probability.
+    * The window sorts each user's partition once; the pair table is
+    * reduced before the tiny per-from-state normalization window runs.
+    * Columns: et_from, et_to, n, p. */
+  def markovTransitions(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("et_to", lead(col(typeCol), 1).over(w))
+      .filter(col("et_to").isNotNull)
+      .groupBy(col(typeCol).as("et_from"), col("et_to"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("et_from")
+    pairs
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(wf).cast("double"))
+      .orderBy("et_from", "et_to")
+  }
+
+  /** Per-event-type inter-arrival statistics: the microsecond gap between
+    * each event and the SAME user's previous event (any type), grouped by
+    * the later event's type. Median is the exact lower median via
+    * [[Robust.medians]] (count-first — the window runs over distinct gap
+    * values, not events). Columns: event_type, n_gaps, min_gap_us,
+    * med_gap_us, max_gap_us. */
+  def interEventGaps(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("gap_us",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col(typeCol).as("event_type"), col("gap_us"))
+    val med = Robust.medians(gaps, "event_type", "gap_us")
+      .select(col("event_type"), col("med").as("med_gap_us"),
+        col("n").as("n_gaps"))
+    gaps.groupBy("event_type")
+      .agg(min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("med_gap_us"), col("max_gap_us"))
+      .orderBy("event_type")
+  }
+
   /** The [[chi2Keywords]] score formula as DuckDB SQL over columns
     * (a, tt, stot, n) — the same IEEE tree, spelled once. */
   def sqlChi2: String = {

@@ -36,6 +36,25 @@ object Robust {
         max(col("n")).as("n"))
   }
 
+  /** Per-group nearest-lower-rank quantile SELECTION at integer percents
+    * `ps`: value at 1-based position ((n-1)*p) div 100 + 1 of the sorted
+    * group — always a value present in the data (no interpolation), so
+    * exact cross-engine. Returns (g, n, q{p}...). Same count-first scale
+    * shape as [[medians]]. */
+  def quantileSelect(df: DataFrame, g: String, v: String, ps: Seq[Int]): DataFrame = {
+    val vc = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("cnt"))
+    val tot = vc.groupBy(g).agg(sum(col("cnt")).as("nn"))
+    val w = Window.partitionBy(g).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), g)
+    val aggs = max(col("nn")).as("n") +: ps.map { p =>
+      min(when(col("cum") >= expr(s"((nn - 1) * $p) div 100") + 1, col(v)))
+        .as(s"q$p")
+    }
+    cum.groupBy(g).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group robust profile: n, median, MAD, and the count of values
     * beyond the k·MAD fence. Two median passes (values, then absolute
     * deviations), each re-broadcast; no driver state. */

@@ -2172,7 +2172,50 @@ object LlmOps {
               FROM scored)
         SELECT segment, CAST(rk AS BIGINT) AS rk, term,
           a AS n_in_segment, chi2
-        FROM ranked WHERE rk <= 5 ORDER BY segment, rk"""))
+        FROM ranked WHERE rk <= 5 ORDER BY segment, rk""")),
+
+    // ---- event-type Markov transition matrix -----------------------------
+    // Which event follows which: consecutive-pair counts per user stream
+    // ((ts, event_id) total order breaks timestamp ties deterministically)
+    // and the row-normalized transition probability as ONE IEEE division
+    // of exact integer counts. The user-partitioned sort is the only
+    // data-sized window; normalization runs over the reduced |types|²
+    // table.
+    "q154_markov_transitions" -> Q(
+      (s, dir) => graft.operators.Behavior.markovTransitions(
+        Tables.load(s, dir, "events")),
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS et_to
+            FROM events),
+          p AS (SELECT event_type AS et_from, et_to, COUNT(*) AS n
+            FROM s WHERE et_to IS NOT NULL GROUP BY 1, 2)
+        SELECT et_from, et_to, n,
+          CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY et_from) AS DOUBLE)
+            AS p
+        FROM p ORDER BY et_from, et_to""")),
+
+    // ---- inter-event arrival-gap statistics ------------------------------
+    // Microsecond gap to the same user's previous event, grouped by the
+    // later event's type: count, min, exact lower median (count-first —
+    // the ordered window runs over DISTINCT gap values), max. Integer
+    // microseconds end-to-end; nothing to round.
+    "q155_interevent_gaps" -> Q(
+      (s, dir) => graft.operators.Behavior.interEventGaps(
+        Tables.load(s, dir, "events")),
+      Some("""WITH s AS (SELECT event_type,
+              epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS gap_us
+            FROM events),
+          g AS (SELECT event_type, gap_us FROM s WHERE gap_us IS NOT NULL),
+          r AS (SELECT event_type, gap_us,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS nn
+            FROM g)
+        SELECT event_type, MAX(nn) AS n_gaps, MIN(gap_us) AS min_gap_us,
+          MAX(CASE WHEN rn = (nn + 1) // 2 THEN gap_us END) AS med_gap_us,
+          MAX(gap_us) AS max_gap_us
+        FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */

@@ -2724,6 +2724,57 @@ object Relational {
             END AS bucket
           FROM lineitem)
         SELECT bucket, COUNT(*) AS n, ${Det.sqlMoneySum("l_extendedprice")} AS total
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- winsorized aggregation ------------------------------------------
+    // Outlier-robust means: clip each group's prices at the exact
+    // nearest-lower-rank p05/p95 SELECTED values (Robust.quantileSelect —
+    // count-first, no interpolation, so the fences are values present in
+    // the data and exact cross-engine), then take the exact decimal mean
+    // of the clipped column. Clipping is pure comparison — no new floats
+    // are manufactured — so the whole result hash-matches.
+    "q156_winsorized_stats" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val fences = graft.operators.Robust
+          .quantileSelect(li, "l_returnflag", "l_extendedprice", Seq(5, 95))
+          .select(col("l_returnflag"), col("n"), col("q5"), col("q95"))
+        val clipped = li.join(broadcast(fences), "l_returnflag")
+          .withColumn("w", when(col("l_extendedprice") < col("q5"), col("q5"))
+            .when(col("l_extendedprice") > col("q95"), col("q95"))
+            .otherwise(col("l_extendedprice")))
+        clipped.groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"),
+            max(col("q5")).as("lo_fence"), max(col("q95")).as("hi_fence"),
+            sum(when(col("l_extendedprice") < col("q5"), 1L).otherwise(0L))
+              .as("n_clip_lo"),
+            sum(when(col("l_extendedprice") > col("q95"), 1L).otherwise(0L))
+              .as("n_clip_hi"),
+            Det.moneyAvg(col("w")).as("wmean"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH r AS (SELECT l_returnflag, l_extendedprice,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+            FROM lineitem),
+          f AS (SELECT l_returnflag, MAX(nn) AS n,
+              MAX(CASE WHEN rn = ((nn - 1) * 5) // 100 + 1
+                THEN l_extendedprice END) AS q5,
+              MAX(CASE WHEN rn = ((nn - 1) * 95) // 100 + 1
+                THEN l_extendedprice END) AS q95
+            FROM r GROUP BY l_returnflag),
+          c AS (SELECT li.l_returnflag, n, q5, q95,
+              CASE WHEN l_extendedprice < q5 THEN q5
+                   WHEN l_extendedprice > q95 THEN q95
+                   ELSE l_extendedprice END AS w,
+              l_extendedprice
+            FROM lineitem li JOIN f ON li.l_returnflag = f.l_returnflag)
+        SELECT l_returnflag, MAX(n) AS n,
+          MAX(q5) AS lo_fence, MAX(q95) AS hi_fence,
+          SUM(CASE WHEN l_extendedprice < q5 THEN 1 ELSE 0 END) AS n_clip_lo,
+          SUM(CASE WHEN l_extendedprice > q95 THEN 1 ELSE 0 END) AS n_clip_hi,
+          ${Det.sqlMoneyAvg("w")} AS wmean
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -80,6 +80,44 @@ class BehaviorSpec extends SparkSpec {
     assert(got.filter(col("term") === "the").count() == 0)
   }
 
+  test("markov transitions: tie on ts broken by event_id; probs row-normalize") {
+    val e = Seq(
+      // u1: a(t0,id0) -> b(t0,id1) despite equal timestamps, then -> a
+      (1L, 0L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 1L, "b", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "a", ts("2024-01-01 10:01:00")),
+      // u2: a -> c
+      (2L, 3L, "a", ts("2024-01-01 11:00:00")),
+      (2L, 4L, "c", ts("2024-01-01 11:05:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.markovTransitions(e)
+      .select("et_from", "et_to", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("inter-event gaps: exact micro gaps, lower median, per later type") {
+    val e = Seq(
+      (1L, 0L, "x", ts("2024-01-01 10:00:00")),
+      (1L, 1L, "y", ts("2024-01-01 10:00:01")), // gap 1s -> y
+      (1L, 2L, "y", ts("2024-01-01 10:00:04")), // gap 3s -> y
+      (2L, 3L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 4L, "y", ts("2024-01-01 10:00:02"))  // gap 2s -> y
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.interEventGaps(e)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // y gaps: 1s, 2s, 3s in micros; lower median = 2s
+    assert(got == Seq(("y", 3L, 1000000L, 2000000L, 3000000L)))
+  }
+
+  test("quantileSelect picks values present in the data at exact ranks") {
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
+    val got = graft.operators.Robust.quantileSelect(df, "g", "v", Seq(0, 50, 95, 100))
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // positions: ((100-1)*p) div 100 + 1 -> 1, 50, 95, 100
+    assert(got == (("g", 100L, 1L, 50L, 95L, 100L)))
+  }
+
   test("chi2 respects minDf and k") {
     val occ = (Seq.fill(3)(("A", "rare")) ++ Seq.fill(50)(("A", "x")) ++
       Seq.fill(50)(("B", "y"))).toDF("segment", "term")
