@@ -2215,7 +2215,58 @@ object LlmOps {
         SELECT event_type, MAX(nn) AS n_gaps, MIN(gap_us) AS min_gap_us,
           MAX(CASE WHEN rn = (nn + 1) // 2 THEN gap_us END) AS med_gap_us,
           MAX(gap_us) AS max_gap_us
-        FROM r GROUP BY event_type ORDER BY event_type"""))
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- reciprocal-rank fusion of two retrieval lists -------------------
+    // The standard way to merge rankings from incomparable scorers
+    // (Cormack et al. 2009): relevance (tf of the probe term) fused with
+    // quality (document length) by score = Σ 1/(60 + rank). Each list is
+    // TRUNCATED to its top-100 FIRST via orderBy+limit — distributed
+    // TakeOrderedAndProject, never a corpus-wide rank window — then ranks
+    // attach to the 100-row lists and a full outer join fuses them
+    // (a doc missing from one list contributes 0, the RRF convention).
+    // The score is two divisions + one add of exact integer operands —
+    // bit-identical cross-engine.
+    "q158_rrf_fusion" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cand = docs(s, dir).select(col("doc_id"), col("n_chars"),
+            size(filter(TextAnalysis.tokens(col("text")), x => x === "vector"))
+              .cast("long").as("tf"))
+          .filter(col("tf") > 0)
+        def top100(ord: Seq[org.apache.spark.sql.Column], rank: String) = {
+          val w = Window.orderBy(ord: _*)
+          cand.orderBy(ord: _*).limit(100)
+            .withColumn(rank, row_number().over(w).cast("long"))
+            .select(col("doc_id"), col(rank))
+        }
+        val la = top100(Seq(col("tf").desc, col("doc_id")), "r_tf")
+        val lb = top100(Seq(col("n_chars").desc, col("doc_id")), "r_len")
+        val rrf = coalesce(lit(1.0) / (lit(60.0) + col("r_tf").cast("double")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_len").cast("double")), lit(0.0))
+        la.join(lb, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", rrf)
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .select("doc_id", "r_tf", "r_len", "rrf")
+      },
+      Some("""WITH cand AS (SELECT * FROM (SELECT doc_id, n_chars,
+              CAST(len(list_filter(regexp_extract_all(text, '\w+'),
+                x -> x = 'vector')) AS BIGINT) AS tf
+            FROM documents) WHERE tf > 0),
+          la AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r_tf
+            FROM cand ORDER BY tf DESC, doc_id LIMIT 100),
+          lb AS (SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+            FROM cand ORDER BY n_chars DESC, doc_id LIMIT 100)
+        SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+          CAST(r_tf AS BIGINT) AS r_tf, CAST(r_len AS BIGINT) AS r_len,
+          COALESCE(1.0 / (60.0 + CAST(r_tf AS DOUBLE)), 0.0)
+            + COALESCE(1.0 / (60.0 + CAST(r_len AS DOUBLE)), 0.0) AS rrf
+        FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */

@@ -2775,6 +2775,59 @@ object Relational {
           SUM(CASE WHEN l_extendedprice < q5 THEN 1 ELSE 0 END) AS n_clip_lo,
           SUM(CASE WHEN l_extendedprice > q95 THEN 1 ELSE 0 END) AS n_clip_hi,
           ${Det.sqlMoneyAvg("w")} AS wmean
-        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- k-core decomposition on the co-occurrence graph -----------------
+    // The fifth graph-analytics member (components q43, PageRank q118,
+    // triangles q130, LPA q132): iterative degree-< k peeling over the
+    // q130 user co-occurrence edges, k=3, 4 rounds. The gate pins the
+    // WHOLE peeling trajectory (per-round survivor counts + node xor) —
+    // an engine that peels differently in any round trips the hash. Each
+    // round is one degree count + two edge-list semi joins; O(rounds)
+    // edge shuffles, nothing quadratic (operators.KCore).
+    "q157_kcore" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("hr"))
+          .distinct()
+        val e2 = ev.withColumnRenamed("user_id", "user_b")
+        val edges = ev.join(e2, Seq("event_type", "hr"))
+          .filter(col("user_id") < col("user_b"))
+          .select(col("user_id").as("a"), col("user_b").as("b"))
+          .distinct()
+        graft.operators.KCore.trajectory(edges, k = 3, rounds = 4)
+      },
+      Some(graft.operators.KCore.oracleSql(
+        """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+           FROM (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) x
+           JOIN (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) y
+             ON x.event_type = y.event_type AND x.hr = y.hr
+            AND x.user_id < y.user_id""",
+        k = 3, rounds = 4))),
+
+    // ---- 2-d skyline (Pareto frontier) -----------------------------------
+    // Parts not strictly dominated under (cheapest retail price, largest
+    // size). Count-first: the dominance check collapses to a running max
+    // over DISTINCT price groups (operators.Skyline), never the classic
+    // quadratic dominance self-join — which is exactly what the oracle
+    // runs (EXCEPT-style NOT EXISTS), so the hash proves the window
+    // rewrite IS the dominance semantics.
+    "q159_skyline" -> Q(
+      (s, dir) => graft.operators.Skyline
+        .skyline2d(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_retailprice", "p_partkey"),
+      Some("""SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        ORDER BY p_retailprice, p_partkey"""))
   )
 }
