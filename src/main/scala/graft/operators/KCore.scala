@@ -32,8 +32,18 @@ object KCore {
     * edge list after i+1 peels. */
   def peels(edges: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
     require(k >= 1 && rounds >= 1)
+    // Lineage is CUT each round (eager localCheckpoint): round i's plan
+    // references e_{i-1} three times (twice in the degree union, once as
+    // the semi-join source), so an uncut plan re-expands 3^i-fold — and
+    // persist() alone does not save it, because AQE-era cache lookup by
+    // canonicalized plan misses on these nested shapes and silently
+    // recomputes. Checkpointing materializes each round once and makes
+    // every later action O(cached edge list). A multi-node deployment
+    // with executor loss would use reliable checkpoint(dir) instead;
+    // the round structure is identical.
     var e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
+      .localCheckpoint(true)
     (1 to rounds).map { _ =>
       val deg = e.select(col("a").as("u")).union(e.select(col("b").as("u")))
         .groupBy("u").agg(count(lit(1)).as("d"))
@@ -42,6 +52,7 @@ object KCore {
         .join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
         .select("a", "b")
+        .localCheckpoint(true)
       e
     }
   }
