@@ -123,8 +123,19 @@ object Rollup {
       case "max" => max(col(c)).as(c)
       case "hll_union" => hll_union_agg(col(c)).as(c)
       case "hll_estimate" => hll_sketch_estimate(hll_union_agg(col(c))).as(c)
+      // quantile counters ride as KLL sketch columns (append with
+      // Kll.sketchAgg as the batch counter); union keeps the base
+      // mergeable across compaction, kll_p50/p95/p99 estimate on read
+      case "kll_union" => graft.expressions.Kll.unionAgg(col(c)).as(c)
+      case "kll_p50" =>
+        graft.expressions.Kll.quantile(graft.expressions.Kll.unionAgg(col(c)), 0.5).as(c)
+      case "kll_p95" =>
+        graft.expressions.Kll.quantile(graft.expressions.Kll.unionAgg(col(c)), 0.95).as(c)
+      case "kll_p99" =>
+        graft.expressions.Kll.quantile(graft.expressions.Kll.unionAgg(col(c)), 0.99).as(c)
       case other => throw new IllegalArgumentException(
-        s"unknown fold '$other' for counter '$c' (sum|min|max|hll_union|hll_estimate)")
+        s"unknown fold '$other' for counter '$c' " +
+          "(sum|min|max|hll_union|hll_estimate|kll_union|kll_p50|kll_p95|kll_p99)")
     }
     spark.read.parquet(path)
       .groupBy(groupCols.map(col): _*)

@@ -2828,6 +2828,42 @@ object Relational {
         WHERE NOT EXISTS (SELECT 1 FROM part q
           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        ORDER BY p_retailprice, p_partkey"""))
+        ORDER BY p_retailprice, p_partkey""")),
+
+    // ---- mergeable quantile counters (KLL sketch aggregate) --------------
+    // The native KLL TypedImperativeAggregate (expressions.Kll) run in its
+    // EXACT regime: per-(nation, segment) groups max out at ~150 values,
+    // far below the k=800 first-compaction capacity, where
+    // getQuantile(p, INCLUSIVE) provably returns the order statistic at
+    // position ceil(p*n) under ANY partial/merge order — which is
+    // exactly what the count-first oracle selects. The same sketch
+    // column is a Rollup counter (folds kll_union / kll_p50...), giving
+    // incremental per-batch quantiles at 100 TB; the over-capacity
+    // approximate regime is property-tested in KllSpec (rank-error
+    // bound), the HeavyHitters/HLL split.
+    "q160_kll_quantiles" -> Q(
+      (s, dir) => {
+        import graft.expressions.Kll
+        val sk = t(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(Kll.sketchAgg(col("c_acctbal"), k = 800).as("sk"))
+        sk.select(col("c_nationkey"), col("c_mktsegment"),
+            Kll.n(col("sk")).as("n"),
+            Kll.quantile(col("sk"), 0.25).as("p25"),
+            Kll.quantile(col("sk"), 0.50).as("p50"),
+            Kll.quantile(col("sk"), 0.75).as("p75"))
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""WITH r AS (SELECT c_nationkey, c_mktsegment, c_acctbal,
+              ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                ORDER BY c_acctbal) AS rn,
+              COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS nn
+            FROM customer)
+        SELECT c_nationkey, c_mktsegment, MAX(nn) AS n,
+          MAX(CASE WHEN rn = (25 * nn + 99) // 100 THEN c_acctbal END) AS p25,
+          MAX(CASE WHEN rn = (50 * nn + 99) // 100 THEN c_acctbal END) AS p50,
+          MAX(CASE WHEN rn = (75 * nn + 99) // 100 THEN c_acctbal END) AS p75
+        FROM r GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment"""))
   )
 }
