@@ -64,6 +64,32 @@ class KllSpec extends SparkSpec {
     assert(math.abs(p50 / n - 0.5) < 0.03, s"p50=$p50")
   }
 
+  test("streamed latency monitor: per-epoch KLL partials fold to batch truth") {
+    // maintainRollup ∘ Kll.sketchAgg = streaming percentile monitoring
+    // with NO stateful operator: each epoch appends its per-group sketch
+    // partial; read unions them. KLL union is order-invariant, so in the
+    // exact regime the streamed fold equals the one-shot batch quantile
+    // BIT-FOR-BIT — no disorder caveat, unlike any chained-state twin.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("kll_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("kll_stream").toString + "/lat"
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.EventStreams.maintainRollup(
+      mem.toDF().toDF("et", "v"), path, ckpt, Seq("et"),
+      Seq("lat" -> Kll.sketchAgg(col("v"), 800)))
+    mem.addData(("a", 10.0), ("a", 30.0), ("b", 5.0))
+    q.processAllAvailable()
+    mem.addData(("a", 20.0), ("b", 15.0), ("b", 25.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.catalog.Rollup.readAgg(spark, path, Seq("et"),
+        Seq("lat" -> "kll_p50"))
+      .orderBy("et").as[(String, Double)].collect().toSeq
+    // a: {10,20,30} -> 20; b: {5,15,25} -> 15 (positions ceil(.5*3)=2)
+    assert(got == Seq(("a", 20.0), ("b", 15.0)))
+  }
+
   test("null inputs are skipped; empty sketch quantile is null") {
     val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
       .toDF("g", "v")
