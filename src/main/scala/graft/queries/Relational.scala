@@ -2864,6 +2864,206 @@ object Relational {
           MAX(CASE WHEN rn = (50 * nn + 99) // 100 THEN c_acctbal END) AS p50,
           MAX(CASE WHEN rn = (75 * nn + 99) // 100 THEN c_acctbal END) AS p75
         FROM r GROUP BY c_nationkey, c_mktsegment
-        ORDER BY c_nationkey, c_mktsegment"""))
+        ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ---- TPC-H Q9 analogue: product profit by nation and year -----------
+    // Five-way join with the classic shape: the big fact (lineitem) joins
+    // orders on its key, while the three dims (filtered part, supplier,
+    // nation) broadcast — no dim ever shuffles the fact. Profit is exact
+    // decimal arithmetic end-to-end (revenue minus a retail-cost proxy;
+    // the fixtures carry no partsupp, so p_retailprice stands in for
+    // ps_supplycost), one final IEEE cast per group.
+    "q161_profit_by_nation" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val amount = (Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")) -
+          Det.money(col("p_retailprice")) * Det.money(col("l_quantity"))).as("amount")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"), amount)
+          .groupBy("n_name", "o_year")
+          .agg(Det.sumD(col("amount")).as("profit"))
+          .orderBy("n_name", "o_year")
+      },
+      Some(s"""SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount") +
+            " - " + Det.sqlMoney("p_retailprice") + " * " + Det.sqlMoney("l_quantity"))} AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, o_year ORDER BY n_name, o_year""")),
+
+    // ---- TPC-H Q12 analogue: ship-delay bucket vs order priority --------
+    // Conditional aggregation over a derived bucket (days from order to
+    // ship, 30-day bins). The fixtures carry no l_shipmode, so the
+    // bucket plays Q12's grouping role; the CASE split on priority is
+    // Q12's verbatim. Integer day arithmetic, floor(x/30.0) — an exact
+    // IEEE division of a small integer, identical in any engine.
+    "q162_ship_delay_mix" -> Q(
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay_bucket",
+            floor(datediff(col("l_shipdate"), col("o_orderdate")) / lit(30.0)).cast("long"))
+          .groupBy("delay_bucket")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("delay_bucket")
+      },
+      Some("""SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS delay_bucket,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY delay_bucket ORDER BY delay_bucket""")),
+
+    // ---- TPC-H Q13 analogue: customer order-count distribution ----------
+    // The left-outer-with-ON-filter shape: customers keep their row (count
+    // 0) when the filtered orders side has no match — a WHERE would
+    // silently turn the join inner and drop them. Two-level aggregate:
+    // per-customer counts, then the histogram of counts.
+    "q163_cust_order_dist" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        t(s, dir, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q14 analogue: promo revenue share -------------------------
+    // Numerator and denominator are the SAME exact decimal revenue sum
+    // (the no-ELSE CASE keeps the branch DECIMAL and null-skipping, the
+    // q138 market-share pattern); the share is two IEEE ops (mul, div)
+    // in a fixed order. Date-pruned fact scan, broadcast part dim.
+    "q164_promo_share" -> Q(
+      (s, dir) => {
+        val rev = Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) * Det.sumD(when(col("p_type") === "PROMO", rev)) /
+              Det.sumD(rev)).as("promo_share"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT 100.0 * ${Det.sqlSumD(
+          "CASE WHEN p_type = 'PROMO' THEN " + Det.sqlMoney("l_extendedprice") +
+            " * " + Det.sqlOneMinus("l_discount") + " END")} /
+          ${Det.sqlSumD(Det.sqlMoney("l_extendedprice") + " * " + Det.sqlOneMinus("l_discount"))}
+            AS promo_share,
+          COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""")),
+
+    // ---- TPC-H Q16 analogue: supplier count by part attributes ----------
+    // COUNT(DISTINCT) under a NOT-IN exclusion: suppliers below an
+    // account-balance floor are struck from consideration (the fixtures'
+    // stand-in for Q16's complaint suppliers). s_suppkey is non-null, so
+    // the null-aware NOT IN is exactly an anti join (the poisoned-null
+    // variant is gated separately in q144).
+    "q165_supplier_dist" -> Q(
+      (s, dir) => {
+        val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 3000)
+          .select(col("s_suppkey"))
+        val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&
+          col("p_type") =!= "ECONOMY" && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        t(s, dir, "lineitem")
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 3000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ---- TPC-H Q17 analogue: small-quantity revenue ----------------------
+    // The correlated per-part average decorrelated to a window over the
+    // ALREADY-FILTERED join (the part filter is on part attributes, so
+    // filtering cannot change any part's average — the window sees every
+    // lineitem of each surviving part). Exact decimal sum / count is one
+    // IEEE division per part; the 0.2 threshold is one IEEE multiply.
+    "q166_small_qty_revenue" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_partkey")
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter(col("p_type") === "SMALL")),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("avg_qty",
+            sum(Det.money(col("l_quantity"))).over(w).cast("double") /
+              count(col("l_quantity")).over(w))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(
+            (Det.moneySum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some(s"""WITH j AS (SELECT l_quantity, l_extendedprice,
+            CAST(SUM(${Det.sqlMoney("l_quantity")})
+                OVER (PARTITION BY l_partkey) AS DOUBLE) /
+              COUNT(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'SMALL')
+        SELECT ${Det.sqlMoneySum("l_extendedprice")} / 7.0 AS avg_yearly,
+          COUNT(*) AS n_small
+        FROM j WHERE l_quantity < 0.2 * avg_qty""")),
+
+    // ---- TPC-H Q11 analogue: important parts by inventory value ----------
+    // Grouped HAVING against a global scalar: per-part revenue kept
+    // DECIMAL, compared against the one-row global aggregate (broadcast
+    // cross join). Q11's fixed fraction is replaced by a SCALE-INVARIANT
+    // threshold — parts above 1.5× the mean per-part value — spelled as
+    // the cross-multiplied integer/decimal inequality 2·pv·n > 3·total,
+    // so the comparison never touches IEEE and the result is non-empty
+    // at every sf (a fixed fraction of total empties as the part count
+    // grows 100×).
+    "q167_important_parts" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val pv = li.groupBy("l_partkey")
+          .agg(sum(Det.money(col("l_extendedprice"))).as("pv"))
+        val total = li.agg(
+          sum(Det.money(col("l_extendedprice"))).as("tot"),
+          countDistinct(col("l_partkey")).as("npart"))
+        pv.crossJoin(broadcast(total))
+          .filter(col("pv") * lit(2) * col("npart") > col("tot") * lit(3))
+          .select(col("l_partkey"), col("pv").cast("double").as("value"))
+          .orderBy(desc("value"), col("l_partkey"))
+      },
+      Some(s"""SELECT l_partkey, CAST(SUM(${Det.sqlMoney("l_extendedprice")}) AS DOUBLE) AS value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(${Det.sqlMoney("l_extendedprice")}) * 2 *
+            (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) >
+          (SELECT SUM(${Det.sqlMoney("l_extendedprice")}) FROM lineitem) * 3
+        ORDER BY value DESC, l_partkey"""))
   )
 }
