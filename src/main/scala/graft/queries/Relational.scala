@@ -3064,6 +3064,162 @@ object Relational {
         HAVING SUM(${Det.sqlMoney("l_extendedprice")}) * 2 *
             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) >
           (SELECT SUM(${Det.sqlMoney("l_extendedprice")}) FROM lineitem) * 3
-        ORDER BY value DESC, l_partkey"""))
+        ORDER BY value DESC, l_partkey""")),
+
+    // ---- multi-source BFS hop distances ----------------------------------
+    // The sixth graph-analytics member (operators.Bfs): exact hop layers
+    // from a deterministic seed set over the q157 minute-co-occurrence
+    // graph. The gate pins EVERY layer (count + node xor per distance) —
+    // an engine whose frontier differs at any hop trips the hash. The
+    // generated oracle chain replays the same set algebra, MATERIALIZED
+    // per round.
+    "q168_bfs_distances" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("hr"))
+          .distinct()
+        val e2 = ev.withColumnRenamed("user_id", "user_b")
+        val edges = ev.join(e2, Seq("event_type", "hr"))
+          .filter(col("user_id") < col("user_b"))
+          .select(col("user_id").as("a"), col("user_b").as("b"))
+          .distinct()
+        val seeds = t(s, dir, "events")
+          .filter(col("user_id") % 7 === 0)
+          .select(col("user_id").as("u")).distinct()
+        graft.operators.Bfs.distances(edges, seeds, rounds = 3)
+      },
+      Some(graft.operators.Bfs.oracleSql(
+        """SELECT DISTINCT x.user_id AS a, y.user_id AS b
+           FROM (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) x
+           JOIN (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) y
+             ON x.event_type = y.event_type AND x.hr = y.hr
+            AND x.user_id < y.user_id""",
+        "SELECT DISTINCT user_id AS u FROM events WHERE user_id % 7 = 0",
+        rounds = 3))),
+
+    // ---- calendar densification + last-observation-carried-forward ------
+    // The gap-filling primitive every time-series feature pipeline needs:
+    // a (event_type × day) spine materialized from one min/max aggregate
+    // (sequence + explode — generated, never scanned), left join of the
+    // real daily counts, then LOCF via last(ignoreNulls) over an
+    // event_type-partitioned running frame. Integer counts only — LOCF
+    // copies values, so cross-engine bit equality is structural.
+    "q169_gap_fill_locf" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .crossJoin(ev.select("event_type").distinct())
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("event_type", "day"), "left_outer")
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+            last(col("n"), ignoreNulls = true).over(w).as("n_locf"),
+            col("n").isNull.cast("int").cast("long").as("is_gap"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+          daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+          spine AS (SELECT CAST(gs AS DATE) AS day FROM (
+            SELECT UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gs
+            FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev))),
+          grid AS (SELECT et.event_type, spine.day
+            FROM (SELECT DISTINCT event_type FROM ev) et, spine)
+        SELECT g.event_type, STRFTIME(g.day, '%Y-%m-%d') AS day, d.n,
+          LAST_VALUE(d.n IGNORE NULLS) OVER (PARTITION BY g.event_type
+            ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf,
+          CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day
+        ORDER BY g.event_type, g.day""")),
+
+    // ---- per-group mode + discrete median --------------------------------
+    // The two order-statistic aggregates the relational surface had not
+    // yet named: MODE with a deterministic tie-break (highest count,
+    // then smallest value — a row_number over the count table, never a
+    // value-domain collect) and PERCENTILE_DISC(0.5) via the count-first
+    // selection of operators.Robust (the value is SELECTED, never
+    // interpolated, so bit equality is structural).
+    "q170_mode_median" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val wm = Window.partitionBy("c_nationkey")
+          .orderBy(desc("cnt"), col("c_mktsegment"))
+        val mode = cust.groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wm))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+            col("cnt").as("mode_n"))
+        val med = graft.operators.Robust
+          .quantileSelect(cust, "c_nationkey", "c_acctbal", Seq(50))
+          .select(col("c_nationkey"), col("q50").as("p50_acctbal"))
+        mode.join(med, "c_nationkey").orderBy("c_nationkey")
+      },
+      Some("""WITH cnt AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+            FROM customer GROUP BY 1, 2),
+          mode AS (SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_n
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                ORDER BY cnt DESC, c_mktsegment) AS rn FROM cnt)
+            WHERE rn = 1),
+          r AS (SELECT c_nationkey, c_acctbal,
+              ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+              COUNT(*) OVER (PARTITION BY c_nationkey) AS nn
+            FROM customer),
+          med AS (SELECT c_nationkey,
+              MAX(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1
+                THEN c_acctbal END) AS p50_acctbal
+            FROM r GROUP BY c_nationkey)
+        SELECT mode.c_nationkey, mode_segment, mode_n, p50_acctbal
+        FROM mode JOIN med ON mode.c_nationkey = med.c_nationkey
+        ORDER BY mode.c_nationkey""")),
+
+    // ---- association rules over per-user event baskets -------------------
+    // Market-basket support / confidence / lift: baskets are the distinct
+    // (user, event_type) pairs, pair supports come from a user-keyed
+    // self-join (bounded: a user's basket is capped by the event-type
+    // domain, so the join fan-out is |basket|², never |events|²), item
+    // counts broadcast back. All counts are integers; confidence and
+    // lift are each ONE IEEE division of integer operands.
+    "q171_assoc_rules" -> Q(
+      (s, dir) => {
+        val b = t(s, dir, "events").select("user_id", "event_type").distinct()
+        val nUsers = b.agg(countDistinct(col("user_id")).as("n_users"))
+        val itemCnt = b.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val pairs = b.as("x")
+          .join(b.withColumnRenamed("event_type", "event_b").as("y"), "user_id")
+          .filter(col("event_type") < col("event_b"))
+          .groupBy(col("event_type").as("ante"), col("event_b").as("cons"))
+          .agg(count(lit(1)).as("support"))
+        pairs
+          .join(broadcast(itemCnt.select(col("event_type").as("ante"), col("cnt").as("cnt_a"))), "ante")
+          .join(broadcast(itemCnt.select(col("event_type").as("cons"), col("cnt").as("cnt_b"))), "cons")
+          .crossJoin(broadcast(nUsers))
+          .select(col("ante"), col("cons"), col("support"),
+            (col("support") / col("cnt_a")).as("confidence"),
+            ((col("support") * col("n_users")) / (col("cnt_a") * col("cnt_b"))).as("lift"))
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+          n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM b),
+          ic AS (SELECT event_type, COUNT(*) AS cnt FROM b GROUP BY 1),
+          p AS (SELECT x.event_type AS ante, y.event_type AS cons,
+              COUNT(*) AS support
+            FROM b x JOIN b y ON x.user_id = y.user_id
+              AND x.event_type < y.event_type
+            GROUP BY 1, 2)
+        SELECT ante, cons, support,
+          support / ia.cnt AS confidence,
+          (support * n_users) / (ia.cnt * ib.cnt) AS lift
+        FROM p JOIN ic ia ON p.ante = ia.event_type
+          JOIN ic ib ON p.cons = ib.event_type, n
+        ORDER BY ante, cons"""))
   )
 }
