@@ -2266,7 +2266,69 @@ object LlmOps {
           COALESCE(1.0 / (60.0 + CAST(r_tf AS DOUBLE)), 0.0)
             + COALESCE(1.0 / (60.0 + CAST(r_len AS DOUBLE)), 0.0) AS rrf
         FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
-        ORDER BY rrf DESC, doc_id LIMIT 10"""))
+        ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // ---- exact integer Gram matrix of quantized embeddings ---------------
+    // The covariance/PCA prep pass (X^T X) over the q109 int8 chain,
+    // computed in INTEGER space so a 64x64 linear-algebra reduction
+    // hash-matches bit-for-bit: operators.Gram folds each partition into
+    // one 2,080-cell triangular accumulator (mapPartitions — a running
+    // triangular array has no Catalyst spelling) and shuffles only
+    // partial cells, while the oracle runs the quadratic unnest
+    // self-join spelling — the hash proves the one-pass fold IS the
+    // Gram matrix. DuckDB's double sums of exact small ints are exact
+    // (max |cell| ~3e7 << 2^53), so both sides are integer-true.
+    "q172_embedding_gram" -> Q(
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        graft.operators.Gram.gramUpper(q, "qvec", d = 64)
+          .orderBy("i", "j")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          e AS (SELECT vec_id,
+            CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                 ELSE list_transform(v, x -> floor(x / amax * 127.0 + 0.5)) END AS qv
+          FROM q),
+          el AS (SELECT vec_id, unnest(qv) AS x,
+            generate_subscripts(qv, 1) AS i FROM e)
+        SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+          CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+          (SELECT COUNT(*) FROM e) AS n_vecs
+        FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i ORDER BY i, j""")),
+
+    // ---- exact set-similarity join (prefix filtering) --------------------
+    // The exact-recall sibling of q26's MinHash LSH: every trigram-
+    // shingle pair with Jaccard >= 0.8, found via the AllPairs/PPJoin
+    // prefix filter (operators.SetJoin) — candidates only from the
+    // rarest ~20% of each set under the global df order, never the
+    // all-pairs token join the ORACLE runs. The hash proves prefix
+    // filtering loses no pair; the threshold test is the
+    // cross-multiplied integer inequality 5·inter >= 4·(union).
+    "q173_setsim_join" -> Q(
+      (s, dir) => {
+        val el = docs(s, dir).select(col("doc_id").as("id"),
+          explode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 3))
+            .as("tok"))
+        graft.operators.SetJoin.jaccardJoin(el, tNum = 4, tDen = 5)
+          .orderBy("a", "b")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks) - 1)]) AS grams
+            FROM w WHERE len(toks) >= 3),
+          el AS (SELECT doc_id, unnest(grams) AS tok FROM g),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM el GROUP BY 1),
+          p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+            FROM el a JOIN el b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT a, b, inter, sa.n AS sz_a, sb.n AS sz_b
+        FROM p JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
+        ORDER BY a, b"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */

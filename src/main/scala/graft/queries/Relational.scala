@@ -3220,6 +3220,88 @@ object Relational {
           (support * n_users) / (ia.cnt * ib.cnt) AS lift
         FROM p JOIN ic ia ON p.ante = ia.event_type
           JOIN ic ib ON p.cons = ib.event_type, n
-        ORDER BY ante, cons"""))
+        ORDER BY ante, cons""")),
+
+    // ---- RFM customer segmentation ---------------------------------------
+    // The classic recency/frequency/monetary scoring: one orders pass
+    // builds the per-customer triple (integer days, integer count, exact
+    // decimal sum), quintile FENCES come from the count-first selection
+    // of operators.Robust (values SELECTED from the data — never an
+    // ntile, whose tie handling is row-order-dependent), and each score
+    // is a fence comparison. Monetary fences compare in DECIMAL, so no
+    // IEEE enters until the output cast.
+    "q174_rfm_segments" -> Q(
+      (s, dir) => {
+        val anchor = to_timestamp(lit("2001-09-01 00:00:00"))
+        val rfm = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(
+            datediff(anchor, max(col("o_orderdate"))).cast("long").as("recency"),
+            count(lit(1)).as("freq"),
+            sum(Det.money(col("o_totalprice"))).as("monetary"))
+          .withColumn("g", lit(1))
+        def fences(v: String, tag: String) = graft.operators.Robust
+          .quantileSelect(rfm, "g", v, Seq(20, 40, 60, 80))
+          .select(col("g"), col("q20").as(s"${tag}20"), col("q40").as(s"${tag}40"),
+            col("q60").as(s"${tag}60"), col("q80").as(s"${tag}80"))
+        def scoreUp(v: Column, tag: String) =
+          when(v <= col(s"${tag}20"), 1L).when(v <= col(s"${tag}40"), 2L)
+            .when(v <= col(s"${tag}60"), 3L).when(v <= col(s"${tag}80"), 4L)
+            .otherwise(5L)
+        val scored = rfm
+          .join(broadcast(fences("recency", "r")), "g")
+          .join(broadcast(fences("freq", "f")), "g")
+          .join(broadcast(fences("monetary", "m")), "g")
+          .withColumn("r_score", lit(6L) - scoreUp(col("recency"), "r"))
+          .withColumn("f_score", scoreUp(col("freq"), "f"))
+          .withColumn("m_score", scoreUp(col("monetary"), "m"))
+        scored.select(col("o_custkey"), col("recency"), col("freq"),
+            col("monetary").cast("double").as("monetary"),
+            col("r_score"), col("f_score"), col("m_score"),
+            when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+              .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+              .when(col("m_score") >= 4, "big_spender")
+              .otherwise("regular").as("segment"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""WITH rfm AS (SELECT o_custkey,
+            CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+              DATE '2001-09-01') AS BIGINT) AS recency,
+            COUNT(*) AS freq,
+            SUM(${Det.sqlMoney("o_totalprice")}) AS monetary
+          FROM orders GROUP BY o_custkey),
+          fr AS (SELECT MAX(CASE WHEN rn = ((nn - 1) * 20) // 100 + 1 THEN v END) AS r20,
+              MAX(CASE WHEN rn = ((nn - 1) * 40) // 100 + 1 THEN v END) AS r40,
+              MAX(CASE WHEN rn = ((nn - 1) * 60) // 100 + 1 THEN v END) AS r60,
+              MAX(CASE WHEN rn = ((nn - 1) * 80) // 100 + 1 THEN v END) AS r80
+            FROM (SELECT recency AS v, ROW_NUMBER() OVER (ORDER BY recency) AS rn,
+              COUNT(*) OVER () AS nn FROM rfm)),
+          ff AS (SELECT MAX(CASE WHEN rn = ((nn - 1) * 20) // 100 + 1 THEN v END) AS f20,
+              MAX(CASE WHEN rn = ((nn - 1) * 40) // 100 + 1 THEN v END) AS f40,
+              MAX(CASE WHEN rn = ((nn - 1) * 60) // 100 + 1 THEN v END) AS f60,
+              MAX(CASE WHEN rn = ((nn - 1) * 80) // 100 + 1 THEN v END) AS f80
+            FROM (SELECT freq AS v, ROW_NUMBER() OVER (ORDER BY freq) AS rn,
+              COUNT(*) OVER () AS nn FROM rfm)),
+          fm AS (SELECT MAX(CASE WHEN rn = ((nn - 1) * 20) // 100 + 1 THEN v END) AS m20,
+              MAX(CASE WHEN rn = ((nn - 1) * 40) // 100 + 1 THEN v END) AS m40,
+              MAX(CASE WHEN rn = ((nn - 1) * 60) // 100 + 1 THEN v END) AS m60,
+              MAX(CASE WHEN rn = ((nn - 1) * 80) // 100 + 1 THEN v END) AS m80
+            FROM (SELECT monetary AS v, ROW_NUMBER() OVER (ORDER BY monetary) AS rn,
+              COUNT(*) OVER () AS nn FROM rfm)),
+          sc AS (SELECT o_custkey, recency, freq, monetary,
+            6 - (CASE WHEN recency <= r20 THEN 1 WHEN recency <= r40 THEN 2
+              WHEN recency <= r60 THEN 3 WHEN recency <= r80 THEN 4 ELSE 5 END) AS r_score,
+            CASE WHEN freq <= f20 THEN 1 WHEN freq <= f40 THEN 2
+              WHEN freq <= f60 THEN 3 WHEN freq <= f80 THEN 4 ELSE 5 END AS f_score,
+            CASE WHEN monetary <= m20 THEN 1 WHEN monetary <= m40 THEN 2
+              WHEN monetary <= m60 THEN 3 WHEN monetary <= m80 THEN 4 ELSE 5 END AS m_score
+          FROM rfm, fr, ff, fm)
+        SELECT o_custkey, recency, freq, CAST(monetary AS DOUBLE) AS monetary,
+          CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+          CAST(m_score AS BIGINT) AS m_score,
+          CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            WHEN m_score >= 4 THEN 'big_spender'
+            ELSE 'regular' END AS segment
+        FROM sc ORDER BY o_custkey"""))
   )
 }
