@@ -11,46 +11,65 @@ import org.apache.spark.sql.functions._
   * exact-recall member of the family — record linkage and plagiarism
   * sweeps want no false negatives.
   *
-  * Prefix-filter lemma: order every set by one global token order
-  * (ascending document frequency, then token — rarest first, so
-  * prefixes carry the most selective tokens). If |A∩B| ≥ α then the
-  * first |A|−α+1 tokens of A and first |B|−α+1 of B share a token; with
-  * α = ceil(t·|s|) (J ≥ t ⟹ overlap ≥ t·|A∪B| ≥ t·|s| for BOTH sets),
-  * candidate generation can join on prefix tokens only. The prefix
-  * bound is computed in INTEGER arithmetic (t = tNum/tDen,
-  * ceil(a/b) = (a+b−1) div b) — an IEEE ceil(0.8·n) rounds the wrong
-  * way for some n and silently drops candidates.
+  * Prefix-filter lemma: order every set by ONE global token order. If
+  * |A∩B| ≥ α then the first |A|−α+1 tokens of A and first |B|−α+1 of B
+  * share a token; with α = ceil(t·|s|) (J ≥ t ⟹ overlap ≥ t·|A∪B| ≥
+  * t·|s| for BOTH sets), candidate generation can join on prefix tokens
+  * only. The prefix bound is computed in INTEGER arithmetic
+  * (t = tNum/tDen, ceil(a/b) = (a+b−1) div b) — an IEEE ceil(0.8·n)
+  * rounds the wrong way for some n and silently drops candidates.
   *
-  * Scale design (100 TB): the candidate join touches only prefix
-  * tokens — for t = 0.8 that is ~20% of each set, and the global df
-  * order puts the CORPUS-RAREST tokens there, so hot-token buckets
-  * (the n² failure of a naive token join) are structurally avoided.
-  * Verification joins full token lists against the (small) candidate
-  * set only; the final Jaccard test is a cross-multiplied integer
-  * inequality. Everything is counts — deterministic on any engine.
+  * Scale design (100 TB):
+  *  - The global order is (df, xxhash64(tok), tok) — ANY total order
+  *    satisfies the lemma, so the heavy stages (df count, df join,
+  *    prefix self-join) key on the 8-byte hash instead of shuffling
+  *    multi-byte shingle strings; the string appears only as a sort
+  *    tiebreak and in verification. A hash collision can only MERGE two
+  *    tokens' df classes (slightly different prefix choice — still a
+  *    valid global order) or create a false-positive candidate, which
+  *    verification removes; false negatives are impossible because
+  *    equal tokens always share a hash.
+  *  - The ascending-df order puts the corpus-RAREST tokens in the
+  *    prefix, so hot-token buckets (the n² failure of a naive token
+  *    join) are structurally avoided.
+  *  - Verification joins full token lists on the REAL strings, but only
+  *    after a broadcast semi-join on the (small) candidate id set — the
+  *    corpus-wide element list is never reshuffled for verification.
+  *  - The element list feeds five consumers; it is materialized once
+  *    (eager localCheckpoint), not re-tokenized per consumer.
   */
 object SetJoin {
 
-  /** All pairs (a < b) of `el` (columns `id`, `tok` — distinct set
+  /** All pairs (a < b) of `elRaw` (columns `id`, `tok` — distinct set
     * elements per id) with Jaccard ≥ tNum/tDen. Output: a, b, inter,
     * sz_a, sz_b. */
-  def jaccardJoin(el: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
+      .localCheckpoint(true)
     val sz = el.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfc = el.groupBy("tok").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("id").orderBy("df", "tok")
-    val prefix = el.join(dfc, "tok").join(sz, "id")
+    val dfc = el.groupBy("tokh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy("df", "tokh", "tok")
+    val prefix = el.join(dfc, "tokh").join(sz, "id")
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("id"), col("tok"))
-    val cand = prefix.select(col("id").as("a"), col("tok"))
-      .join(prefix.select(col("id").as("b"), col("tok")), "tok")
+      .select(col("id"), col("tokh"))
+    val cand = prefix.select(col("id").as("a"), col("tokh"))
+      .join(prefix.select(col("id").as("b"), col("tokh")), "tokh")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val inter = el.select(col("id").as("a"), col("tok"))
-      .join(cand, "a")
-      .join(el.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .localCheckpoint(true)
+    // verification: exact string-level intersection counts, over the
+    // candidate ids only (broadcast semi prune — no corpus reshuffle)
+    val elA = el.join(broadcast(cand.select(col("a").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("a"), col("tok"))
+    val elB = el.join(broadcast(cand.select(col("b").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("b"), col("tok"))
+    val inter = elA.join(broadcast(cand), "a")
+      .join(elB, Seq("b", "tok"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sz.select(col("id").as("a"), col("sz").as("sz_a")), "a")

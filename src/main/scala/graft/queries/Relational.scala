@@ -3302,6 +3302,98 @@ object Relational {
             WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
             WHEN m_score >= 4 THEN 'big_spender'
             ELSE 'regular' END AS segment
-        FROM sc ORDER BY o_custkey"""))
+        FROM sc ORDER BY o_custkey""")),
+
+    // ---- peak concurrency by sweep line ----------------------------------
+    // "Max concurrent sessions per day": per-(user, day) activity
+    // intervals become +1/-1 boundary events; a day-partitioned running
+    // sum is the live concurrency, its max the peak, the earliest
+    // attaining instant the peak time. The interval-overlap SELF-JOIN
+    // this replaces is quadratic in the busiest hour; the sweep is one
+    // sort per day partition. Identical total order on both engines
+    // ((t, +1-first, user_id)) makes every intermediate running value —
+    // not just the block maxima — bit-identical.
+    "q175_peak_concurrency" -> Q(
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val pts = iv.select(col("day"), col("user_id"), col("st").as("t"), lit(1L).as("delta"))
+          .union(iv.select(col("day"), col("user_id"), col("en").as("t"), lit(-1L).as("delta")))
+        val sweep = Window.partitionBy("day")
+          .orderBy(col("t"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = pts.withColumn("running", sum(col("delta")).over(sweep))
+          .withColumn("peak", max(col("running")).over(Window.partitionBy("day")))
+        run.groupBy("day").agg(
+            max(col("peak")).as("peak"),
+            sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"),
+            date_format(min(when(col("running") === col("peak"), col("t"))),
+              "yyyy-MM-dd HH:mm:ss").as("peak_ts"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("peak"), col("n_intervals"), col("peak_ts"))
+          .orderBy("day")
+      },
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            MIN(ts) AS st, MAX(ts) AS en FROM events GROUP BY 1, 2),
+          pts AS (SELECT day, user_id, st AS t, 1 AS delta FROM iv
+            UNION ALL SELECT day, user_id, en, -1 FROM iv),
+          run AS (SELECT day, t, delta,
+              SUM(delta) OVER (PARTITION BY day
+                ORDER BY t, delta DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+            FROM pts),
+          pk AS (SELECT *, MAX(running) OVER (PARTITION BY day) AS peak FROM run)
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+          CAST(MAX(peak) AS BIGINT) AS peak,
+          SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_intervals,
+          STRFTIME(MIN(CASE WHEN running = peak THEN t END),
+            '%Y-%m-%d %H:%M:%S') AS peak_ts
+        FROM pk GROUP BY day ORDER BY day""")),
+
+    // ---- key-skew diagnostics: Gini coefficient of the key histogram -----
+    // The engine's own medicine: quantify how skewed a key distribution
+    // is (the q87-salting / AQE-skew-join decision input) as the exact
+    // Gini of per-user activity counts. Count-first: ranks never touch
+    // raw rows — a window over DISTINCT count values assigns each value
+    // run its closed-form rank-sum contribution c·(m·r0 + m(m+1)/2), so
+    // the only window is value-domain bounded. Numerator/denominator
+    // stay BIGINT; gini is ONE IEEE division.
+    "q176_key_skew_gini" -> Q(
+      (s, dir) => {
+        val cu = t(s, dir, "events")
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+        val byVal = cu.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+        val wPrev = Window.partitionBy("event_type").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byVal
+          .withColumn("r0", coalesce(sum(col("m")).over(wPrev), lit(0L)))
+          .withColumn("contrib", col("c") * (col("m") * col("r0") +
+            expr("(m * (m + 1)) div 2")))
+        ranked.groupBy("event_type")
+          .agg(sum(col("m")).as("n_users"), sum(col("c") * col("m")).as("total"),
+            sum(col("contrib")).as("s1"))
+          .select(col("event_type"), col("n_users"), col("total"),
+            (lit(2) * col("s1") - (col("n_users") + 1) * col("total")).as("gini_num"),
+            (col("n_users") * col("total")).as("gini_den"),
+            ((lit(2) * col("s1") - (col("n_users") + 1) * col("total")) /
+              (col("n_users") * col("total"))).as("gini"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cu AS (SELECT event_type, user_id, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+          bv AS (SELECT event_type, c, COUNT(*) AS m FROM cu GROUP BY 1, 2),
+          rk AS (SELECT event_type, c, m,
+              COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+            FROM bv),
+          ag AS (SELECT event_type, SUM(m) AS n_users, SUM(c * m) AS total,
+              SUM(c * (m * r0 + (m * (m + 1)) // 2)) AS s1
+            FROM rk GROUP BY event_type)
+        SELECT event_type, n_users, total,
+          2 * s1 - (n_users + 1) * total AS gini_num,
+          n_users * total AS gini_den,
+          (2 * s1 - (n_users + 1) * total) / (n_users * total) AS gini
+        FROM ag ORDER BY event_type"""))
   )
 }
