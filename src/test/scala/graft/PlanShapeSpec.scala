@@ -490,4 +490,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pstr.contains("HashAggregate") && !pstr.contains("Join"),
       s"q124 should be a pure map + sort:\n$pstr")
   }
+
+  test("q161 five-way profit join: all three dims broadcast, part filter pushed") {
+    val df = SparkEntry.queries("q161_profit_by_nation")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact never shuffles for a dim: part/supplier/nation all arrive
+    // as broadcasts; only the li ⋈ orders key join may exchange
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"expected 3 broadcast dim joins:\n$plan")
+    val partScan = plan.linesIterator
+      .find(l => l.contains("part.parquet") && l.contains("FileScan"))
+      .getOrElse(fail(s"no part scan:\n$plan"))
+    assert(partScan.contains("EqualTo(p_type,PROMO)"),
+      s"part filter not pushed to its scan:\n$partScan")
+  }
+
+  test("q166 decorrelated average: ONE lineitem scan, window partitioned by part") {
+    val df = SparkEntry.queries("q166_small_qty_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("lineitem.parquet") && l.contains("FileScan"))
+    assert(liScans == 1,
+      s"correlated-average decorrelation must scan lineitem ONCE, saw $liScans:\n$plan")
+    // the per-part window must be partitioned (no global sort point)
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("Window ") && !l.contains("l_partkey")),
+      s"window not partitioned by part key:\n$plan")
+  }
+
+  test("q173 set-similarity join: no cartesian, verification joins broadcast-pruned") {
+    val df = SparkEntry.queries("q173_setsim_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"set-similarity join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate-id prune should broadcast, not shuffle the element list:\n$plan")
+  }
+
+  test("q175 sweep line: running-concurrency windows are day-partitioned") {
+    val df = SparkEntry.queries("q175_peak_concurrency")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("Window ") && !l.contains("day")),
+      s"sweep window lost its day partitioning (global sort point):\n$plan")
+  }
+
+  test("q176 gini: the rank window runs over aggregated count values only") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val df = SparkEntry.queries("q176_key_skew_gini")(spark, dir)
+    def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(reachesLeafWithoutAggregate)
+    }
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!reachesLeafWithoutAggregate(w.child),
+        s"gini rank window sorts un-aggregated base rows:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }
