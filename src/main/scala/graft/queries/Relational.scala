@@ -3394,6 +3394,94 @@ object Relational {
           2 * s1 - (n_users + 1) * total AS gini_num,
           n_users * total AS gini_den,
           (2 * s1 - (n_users + 1) * total) / (n_users * total) AS gini
-        FROM ag ORDER BY event_type"""))
+        FROM ag ORDER BY event_type""")),
+
+    // ---- cross-source reconciliation report ------------------------------
+    // The migration/consistency audit every pipeline handoff needs: does
+    // the order header total equal the lineitem-derived total? One full
+    // outer join classifies every key (no_lines / orphan_lines / match /
+    // mismatch within a cent) and quantifies the drift — the delta sum
+    // stays DECIMAL until the output cast, the tolerance compare is
+    // decimal-vs-decimal. (On these fixtures header totals are
+    // independent of lines, so the report is all no_lines+mismatch —
+    // which is the point: reconciliation MEASURES it.)
+    "q177_reconcile_totals" -> Q(
+      (s, dir) => {
+        val lt = t(s, dir, "lineitem").groupBy("l_orderkey")
+          .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")) *
+            Det.onePlus(col("l_tax"))).as("line_total"))
+        val rec = t(s, dir, "orders")
+          .join(lt, col("o_orderkey") === col("l_orderkey"), "full_outer")
+          .withColumn("delta",
+            abs(Det.money(col("o_totalprice")) - col("line_total")))
+          .withColumn("status",
+            when(col("l_orderkey").isNull, "no_lines")
+              .when(col("o_orderkey").isNull, "orphan_lines")
+              .when(col("delta") < lit(new java.math.BigDecimal("0.01")), "match")
+              .otherwise("mismatch"))
+        rec.groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("delta")).cast("double"), lit(0.0)).as("abs_drift"),
+            min(coalesce(col("o_orderkey"), col("l_orderkey"))).as("min_key"),
+            max(coalesce(col("o_orderkey"), col("l_orderkey"))).as("max_key"))
+          .orderBy("status")
+      },
+      Some(s"""WITH lt AS (SELECT l_orderkey,
+            SUM(${Det.sqlMoney("l_extendedprice")} * ${Det.sqlOneMinus("l_discount")} *
+              ${Det.sqlOnePlus("l_tax")}) AS line_total
+          FROM lineitem GROUP BY l_orderkey),
+          rec AS (SELECT o_orderkey, l_orderkey,
+            ABS(${Det.sqlMoney("o_totalprice")} - line_total) AS delta,
+            CASE WHEN l_orderkey IS NULL THEN 'no_lines'
+              WHEN o_orderkey IS NULL THEN 'orphan_lines'
+              WHEN ABS(${Det.sqlMoney("o_totalprice")} - line_total)
+                < CAST(0.01 AS DECIMAL(3,2)) THEN 'match'
+              ELSE 'mismatch' END AS status
+          FROM orders FULL OUTER JOIN lt ON o_orderkey = l_orderkey)
+        SELECT status, COUNT(*) AS n,
+          COALESCE(CAST(SUM(delta) AS DOUBLE), 0.0) AS abs_drift,
+          MIN(COALESCE(o_orderkey, l_orderkey)) AS min_key,
+          MAX(COALESCE(o_orderkey, l_orderkey)) AS max_key
+        FROM rec GROUP BY status ORDER BY status""")),
+
+    // ---- seasonal-baseline anomaly surface -------------------------------
+    // Day-of-week seasonality: each (event_type, isodow) cell gets an
+    // average daily-count baseline from its own history, and the cell's
+    // MOST anomalous day (highest count, earliest-day tie-break) is
+    // surfaced with its lift over baseline. A fixed "> k x baseline"
+    // cutoff empties as data grows (daily counts concentrate), so the
+    // report is the top-1 per cell — non-vacuous at every scale, and the
+    // lift column ranks severity. Lift = c·den/num is two IEEE ops of
+    // integer operands in a fixed order; everything upstream is counts.
+    "q178_seasonal_anomaly" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("dw", (weekday(col("day")) + 1).cast("long"))
+        val base = daily.groupBy("event_type", "dw")
+          .agg(sum(col("c")).as("num"), count(lit(1)).as("den"))
+        val w = Window.partitionBy("event_type", "dw")
+          .orderBy(desc("c"), col("day"))
+        daily.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(broadcast(base), Seq("event_type", "dw"))
+          .select(col("event_type"), col("dw"),
+            date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+            col("c"), col("num"), col("den"),
+            (col("c").cast("double") * col("den") / col("num")).as("lift"))
+          .orderBy("event_type", "dw")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            COUNT(*) AS c FROM events GROUP BY 1, 2),
+          d2 AS (SELECT *, CAST(isodow(day) AS BIGINT) AS dw FROM daily),
+          base AS (SELECT event_type, dw, SUM(c) AS num, COUNT(*) AS den
+            FROM d2 GROUP BY 1, 2),
+          pk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type, dw ORDER BY c DESC, day) AS rn
+            FROM d2) WHERE rn = 1)
+        SELECT pk.event_type, pk.dw, STRFTIME(pk.day, '%Y-%m-%d') AS peak_day,
+          c, num, den, CAST(c AS DOUBLE) * den / num AS lift
+        FROM pk JOIN base ON pk.event_type = base.event_type AND pk.dw = base.dw
+        ORDER BY pk.event_type, pk.dw"""))
   )
 }
