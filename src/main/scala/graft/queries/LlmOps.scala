@@ -2328,7 +2328,89 @@ object LlmOps {
         SELECT a, b, inter, sa.n AS sz_a, sb.n AS sz_b
         FROM p JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ---- leave-one-out target encoding -----------------------------------
+    // The ML feature-prep staple: encode a categorical column by the mean
+    // of a target over its OWN group, excluding the row itself (the
+    // leakage-free variant). Per-group sum/count broadcast back; the LOO
+    // mean is (sum_g − own)/(n_g − 1) with the numerator exact DECIMAL
+    // and ONE IEEE division per row; singleton groups yield null rather
+    // than a 0/0. Output restricted to a deterministic key slice (the
+    // encoding is computed over the FULL table first).
+    "q179_target_encoding" -> Q(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val g = o.groupBy("o_orderpriority")
+          .agg(sum(Det.money(col("o_totalprice"))).as("gsum"),
+            count(lit(1)).as("gn"))
+        o.join(broadcast(g), "o_orderpriority")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("gn"),
+            when(col("gn") > 1,
+              (col("gsum") - Det.money(col("o_totalprice"))).cast("double") /
+                (col("gn") - 1)).as("loo_mean"))
+          .filter(col("o_orderkey") <= 1000)
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH g AS (SELECT o_orderpriority,
+            SUM(${Det.sqlMoney("o_totalprice")}) AS gsum, COUNT(*) AS gn
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderkey, o.o_orderpriority, gn,
+          CASE WHEN gn > 1 THEN
+            CAST(gsum - ${Det.sqlMoney("o_totalprice")} AS DOUBLE) / (gn - 1)
+          END AS loo_mean
+        FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+        WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
+
+    // ---- feature hashing (the hashing trick) -----------------------------
+    // Categorical features folded into a fixed-width bucket space via the
+    // md5 oracle-tier hash (Hashing.h28 % 256), with the collision
+    // diagnostics a feature pipeline needs: rows and DISTINCT source
+    // features per bucket. Pure map + one aggregate; the production tier
+    // would swap xxhash64 (same algorithm, q40's two-tier pattern).
+    "q180_feature_hashing" -> Q(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val feats = c.select(explode(array(
+          concat(lit("seg="), col("c_mktsegment")),
+          concat(lit("nat="), col("c_nationkey").cast("string")))).as("feat"))
+        feats.withColumn("bucket", pmod(Hashing.h28(col("feat")), lit(256)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("feat")).as("n_features"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH feats AS (
+          SELECT 'seg=' || c_mktsegment AS feat FROM customer
+          UNION ALL
+          SELECT 'nat=' || CAST(c_nationkey AS VARCHAR) FROM customer)
+        SELECT ${Hashing.sqlH28("feat")} % 256 AS bucket,
+          COUNT(*) AS n_rows, COUNT(DISTINCT feat) AS n_features
+        FROM feats GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- inverse-frequency class weights ---------------------------------
+    // The class-imbalance correction every trainer consumes:
+    // w_c = n/(k·n_c) over the embeddings label column — integer operands,
+    // ONE IEEE division. The weighted count sanity identity
+    // Σ_c w_c·n_c = n/k·k = n is left to the reader of the output.
+    "q181_class_weights" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val per = e.groupBy("label").agg(count(lit(1)).as("n_c"))
+        val tot = e.agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("k"))
+        per.crossJoin(broadcast(tot))
+          .select(col("label").cast("long").as("label"), col("n_c"),
+            col("n"), col("k"),
+            (col("n") / (col("k") * col("n_c"))).as("weight"))
+          .orderBy("label")
+      },
+      Some("""WITH per AS (SELECT label, COUNT(*) AS n_c FROM embeddings GROUP BY label),
+          tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, n_c, n, k,
+          n / (k * n_c) AS weight
+        FROM per, tot ORDER BY label"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
