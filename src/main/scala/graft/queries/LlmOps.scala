@@ -2410,7 +2410,116 @@ object LlmOps {
           tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT label) AS k FROM embeddings)
         SELECT CAST(label AS BIGINT) AS label, n_c, n, k,
           n / (k * n_c) AS weight
-        FROM per, tot ORDER BY label"""))
+        FROM per, tot ORDER BY label""")),
+
+    // ---- deterministic negative sampling ---------------------------------
+    // Contrastive-training prep: k pseudo-random negatives per anchor from
+    // the md5 oracle tier — neg(id, j) = h28(id ':' j) mod n over the
+    // dense vec_id space, so sampling is pure arithmetic (no shuffle to
+    // "draw"); one join fetches the negative's label, and accidental
+    // positives (same label, or self) are FLAGGED rather than silently
+    // kept — the trainer's filter is one predicate. Output pins every
+    // drawn id, so the gate catches any drift in the sampling chain.
+    "q182_negative_sampling" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"))
+        val n = e.agg(count(lit(1)).as("n"))
+        val draws = e.crossJoin(broadcast(n))
+          .select(col("vec_id").as("anchor"), col("label").as("anchor_label"),
+            explode(sequence(lit(1), lit(4))).as("j"), col("n"))
+          .withColumn("neg_id",
+            pmod(Hashing.h28(concat(col("anchor").cast("string"), lit(":"),
+              col("j").cast("string"))), col("n")))
+        draws.join(e.select(col("vec_id").as("neg_id"),
+            col("label").as("neg_label")), "neg_id")
+          .select(col("anchor"), col("j").cast("long").as("j"), col("neg_id"),
+            col("neg_label").cast("long").as("neg_label"),
+            (col("neg_id") === col("anchor") ||
+              col("neg_label") === col("anchor_label")).cast("long")
+              .as("is_collision"))
+          .filter(col("anchor") < 50)
+          .orderBy("anchor", "j")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+          n AS (SELECT COUNT(*) AS n FROM e),
+          draws AS (SELECT vec_id AS anchor, label AS anchor_label, j,
+              ${Hashing.sqlH28("CAST(vec_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+                % n AS neg_id
+            FROM e, n, unnest([1, 2, 3, 4]) t(j))
+        SELECT anchor, CAST(j AS BIGINT) AS j, neg_id,
+          CAST(g.label AS BIGINT) AS neg_label,
+          CAST(CASE WHEN neg_id = anchor OR g.label = anchor_label
+            THEN 1 ELSE 0 END AS BIGINT) AS is_collision
+        FROM draws JOIN e g ON draws.neg_id = g.vec_id
+        WHERE anchor < 50 ORDER BY anchor, j""")),
+
+    // ---- stratified k-fold assignment ------------------------------------
+    // Cross-validation folds that preserve label balance exactly: within
+    // each label, rows ordered by id round-robin into k folds
+    // (row_number mod k — a label-partitioned window, bounded by the
+    // largest class). The gate pins the full label x fold census plus an
+    // id xor per cell, so any assignment drift trips the hash.
+    "q183_stratified_kfold" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("label").orderBy("vec_id")
+        emb(s, dir).select(col("vec_id"), col("label"))
+          .withColumn("fold", (row_number().over(w) - 1) % 5)
+          .groupBy(col("label").cast("long").as("label"),
+            col("fold").cast("long").as("fold"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("xor_ids"))
+          .orderBy("label", "fold")
+      },
+      Some("""WITH a AS (SELECT vec_id, label,
+            (ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % 5
+              AS fold
+          FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, CAST(fold AS BIGINT) AS fold,
+          COUNT(*) AS n, CAST(COALESCE(bit_xor(vec_id), 0) AS BIGINT) AS xor_ids
+        FROM a GROUP BY label, fold ORDER BY label, fold""")),
+
+    // ---- class-centroid geometry in integer space ------------------------
+    // Per-label centroid sums of the q109-quantized vectors and ALL
+    // pairwise centroid-sum dot products — the class-separability matrix
+    // (the Fisher-discriminant numerator's raw material) computed with
+    // zero IEEE accumulation: elementwise integer sums per label, then
+    // integer products of sums. |Σq| ≤ 127·n_c keeps 64-bit exact far
+    // beyond any real class size.
+    "q184_class_geometry" -> Q(
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+          .join(emb(s, dir).select(col("vec_id").as("id"), col("label")), "id")
+        val el = q.select(col("label"), posexplode(col("qvec")).as(Seq("i", "x")))
+        val sums = el.groupBy("label", "i")
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_c"))
+        val pairs = sums.select(col("label").as("la"), col("i"),
+            col("sx").as("sxa"), col("n_c").as("na"))
+          .join(sums.select(col("label").as("lb"), col("i"),
+            col("sx").as("sxb"), col("n_c").as("nb")), "i")
+          .filter(col("la") <= col("lb"))
+        pairs.groupBy(col("la").cast("long").as("la"),
+            col("lb").cast("long").as("lb"))
+          .agg(sum(col("sxa") * col("sxb")).as("dot_sums"),
+            max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+            CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+          e AS (SELECT vec_id, label,
+            CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                 ELSE list_transform(v, x -> floor(x / amax * 127.0 + 0.5)) END AS qv
+          FROM q),
+          el AS (SELECT label, generate_subscripts(qv, 1) AS i, unnest(qv) AS x
+            FROM e),
+          sums AS (SELECT label, i, SUM(x) AS sx, COUNT(*) AS n_c
+            FROM el GROUP BY 1, 2)
+        SELECT CAST(a.label AS BIGINT) AS la, CAST(b.label AS BIGINT) AS lb,
+          CAST(SUM(a.sx * b.sx) AS BIGINT) AS dot_sums,
+          MAX(a.n_c) AS n_a, MAX(b.n_c) AS n_b
+        FROM sums a JOIN sums b ON a.i = b.i AND a.label <= b.label
+        GROUP BY a.label, b.label ORDER BY la, lb"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
