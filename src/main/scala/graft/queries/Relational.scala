@@ -3482,6 +3482,47 @@ object Relational {
         SELECT pk.event_type, pk.dw, STRFTIME(pk.day, '%Y-%m-%d') AS peak_day,
           c, num, den, CAST(c AS DOUBLE) * den / num AS lift
         FROM pk JOIN base ON pk.event_type = base.event_type AND pk.dw = base.dw
-        ORDER BY pk.event_type, pk.dw"""))
+        ORDER BY pk.event_type, pk.dw""")),
+
+    // ---- error-rate monitoring with Wilson confidence intervals ----------
+    // The SLO report a small daily sample deserves: per-day error share
+    // with the Wilson 95% interval (the right interval near 0/1 where
+    // the normal approximation lies). IEEE sqrt is CORRECTLY ROUNDED by
+    // the standard (unlike pow/log, which q147 already avoids), so the
+    // fixed expression tree — integer operands, z² = 3.8416 as one
+    // literal — is bit-identical cross-engine.
+    "q185_error_rate_ci" -> Q(
+      (s, dir) => {
+        val z2 = lit(3.8416) // 1.96²
+        val daily = t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        val nn = col("n").cast("double")
+        val p = col("e") / col("n")
+        val center = (p + z2 / (lit(2.0) * nn)) / (lit(1.0) + z2 / nn)
+        val half = (sqrt(p * (lit(1.0) - p) / nn + z2 / (lit(4.0) * nn * nn)) *
+          lit(1.96)) / (lit(1.0) + z2 / nn)
+        daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("e"), p.as("p_hat"),
+            (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+            SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+          FROM events GROUP BY 1)
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, n, e,
+          e / n AS p_hat,
+          ((e / n + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))
+            - (SQRT((e / n) * (1.0 - e / n) / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
+              / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lo,
+          ((e / n + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)))
+            + (SQRT((e / n) * (1.0 - e / n) / CAST(n AS DOUBLE)
+                 + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
+              / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
+        FROM daily ORDER BY day"""))
   )
 }
