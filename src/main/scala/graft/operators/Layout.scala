@@ -127,4 +127,82 @@ object Layout {
     fileRanges(spark, path, dim)
       .filter(col("hi") >= lo && col("lo") <= hi)
       .count()
+
+  // ---- Hilbert curve ----------------------------------------------------
+  //
+  // The locality-optimal sibling of the Morton key: consecutive Hilbert
+  // indices are ALWAYS unit-adjacent cells (Morton jumps at power-of-two
+  // boundaries), so range-partitioned files cover tighter rectangles and
+  // footer stats prune better on both dimensions. Computed by the classic
+  // per-bit fold (Hilbert 1891; iterative form as in Warren, Hacker's
+  // Delight §16): at scale s test bit s of each coordinate, accumulate the
+  // quadrant's step, mirror+swap the frame. Everything is non-negative
+  // integer div/mod arithmetic, so Spark and a generated SQL oracle agree
+  // bit-for-bit, and the whole fold is `bits` chained projections of
+  // codegen'd longs — no UDF, no shuffle.
+
+  /** Append `out` = Hilbert index of (xCol, yCol) on the 2^bits grid.
+    * Columns must be non-negative ints < 2^bits. One projection per bit
+    * level keeps the expression tree linear (a single nested expression
+    * would re-expand the mirrored coordinates 4-fold per level). */
+  def withHilbert2(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   out: String): DataFrame = {
+    require(bits >= 1 && bits <= 30)
+    var cur = df
+      .withColumn("_hx", col(xCol).cast("long"))
+      .withColumn("_hy", col(yCol).cast("long"))
+      .withColumn("_hd", lit(0L))
+    val n = 1L << bits
+    for (i <- 0 until bits) {
+      val s = 1L << (bits - 1 - i)
+      val rx = expr(s"(_hx div $s) % 2")
+      val ry = expr(s"(_hy div $s) % 2")
+      // quadrant step (3*rx) xor ry spelled as a CASE so no engine's xor
+      // semantics are in play
+      val o = when(rx === 0 && ry === 0, 0L).when(rx === 0 && ry === 1, 1L)
+        .when(rx === 1 && ry === 1, 2L).otherwise(3L)
+      // mirror with n-1-· (not s-1-·): keeps coordinates non-negative, and
+      // the flipped high bits are never examined again (each later level
+      // tests a strictly lower bit)
+      val nx = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+        .otherwise(col("_hx"))
+      val ny = when(ry === 0,
+        when(rx === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+        .otherwise(col("_hy"))
+      cur = cur.withColumn("_hd", col("_hd") + lit(s * s) * o)
+        .withColumn("_nx", nx).withColumn("_ny", ny)
+        .withColumn("_hx", col("_nx")).withColumn("_hy", col("_ny"))
+        .drop("_nx", "_ny")
+    }
+    cur.withColumn(out, col("_hd")).drop("_hx", "_hy", "_hd")
+  }
+
+  /** The matching DuckDB SQL: the same per-bit fold as a MATERIALIZED CTE
+    * chain over a caller-supplied `pts(key, x, y)` CTE — generated from
+    * the same constants, so it cannot drift from [[withHilbert2]].
+    * Yields `h(key, h)`. */
+  def hilbert2OracleSql(ptsCte: String, bits: Int): String = {
+    val n = 1L << bits
+    val pre = s"r0 AS MATERIALIZED (SELECT key, x AS x0, y AS y0, " +
+      s"x AS hx, y AS hy, 0 AS hd FROM ($ptsCte))"
+    val steps = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""r${i + 1} AS MATERIALIZED (SELECT key, x0, y0,
+           CASE WHEN (hy // $s) % 2 = 0 THEN
+             CASE WHEN (hx // $s) % 2 = 1 THEN ${n - 1} - hy ELSE hy END
+           ELSE hx END AS hx,
+           CASE WHEN (hy // $s) % 2 = 0 THEN
+             CASE WHEN (hx // $s) % 2 = 1 THEN ${n - 1} - hx ELSE hx END
+           ELSE hy END AS hy,
+           hd + ${s * s} * (CASE
+             WHEN (hx // $s) % 2 = 0 AND (hy // $s) % 2 = 0 THEN 0
+             WHEN (hx // $s) % 2 = 0 AND (hy // $s) % 2 = 1 THEN 1
+             WHEN (hx // $s) % 2 = 1 AND (hy // $s) % 2 = 1 THEN 2
+             ELSE 3 END) AS hd
+         FROM r$i)"""
+    }.mkString(",\n", ",\n", "")
+    s"WITH $pre$steps, h AS (SELECT key, x0 AS x, y0 AS y, " +
+      s"CAST(hd AS BIGINT) AS h FROM r$bits)"
+  }
 }

@@ -3523,6 +3523,31 @@ object Relational {
             + (SQRT((e / n) * (1.0 - e / n) / CAST(n AS DOUBLE)
                  + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
               / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
-        FROM daily ORDER BY day"""))
+        FROM daily ORDER BY day""")),
+
+    // ---- Hilbert-curve layout keys ---------------------------------------
+    // The locality-optimal sibling of q110/q143's Morton keys: consecutive
+    // Hilbert indices are ALWAYS unit-adjacent cells, so range-partitioned
+    // files cover tighter rectangles and footer stats prune better on both
+    // dimensions. The per-bit fold is `bits` chained projections of
+    // non-negative integer div/mod arithmetic (operators.Layout
+    // .withHilbert2); the oracle replays the SAME generated round chain,
+    // and LayoutSpec proves the unit-adjacency property independently.
+    "q186_hilbert_layout" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .withColumn("x", (col("p_size") * 5).cast("long"))
+          .withColumn("y", greatest(lit(0L), expr(
+            "(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) - 90000) div 64")))
+        graft.operators.Layout.withHilbert2(p, "x", "y", bits = 8, out = "h")
+          .select(col("p_partkey").as("key"), col("x"), col("y"), col("h"))
+          .orderBy("h", "key")
+      },
+      Some(graft.operators.Layout.hilbert2OracleSql(
+        """SELECT p_partkey AS key, CAST(p_size * 5 AS BIGINT) AS x,
+           GREATEST(0, (CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             - 90000) // 64) AS y
+           FROM part""", bits = 8) +
+        " SELECT key, x, y, h FROM h ORDER BY h, key"))
   )
 }

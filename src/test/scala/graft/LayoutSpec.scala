@@ -79,4 +79,29 @@ class LayoutSpec extends SparkSpec {
     val zTouchX = Layout.filesTouched(spark, s"$tmp/zord", "x", 0L, 63L)
     assert(zTouchX <= 8L, s"z-order x touched $zTouchX")
   }
+
+  test("hilbert index is a unit-adjacent bijection over the full grid") {
+    // the defining Hilbert property — consecutive indices are ALWAYS
+    // edge-adjacent cells (Morton jumps at power-of-two boundaries); this
+    // validates the fold independently of the oracle, which replays the
+    // same rounds
+    val bits = 4
+    val n = 1 << bits // 16x16 = 256 cells
+    val grid = spark.range(0, n.toLong * n)
+      .select(($"id" % n).as("x"), ($"id" / n).cast("long").as("y"))
+    val cells = Layout.withHilbert2(grid, "x", "y", bits, "h")
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until n.toLong * n),
+      "h must be a bijection onto 0..n²-1")
+    assert(cells.head match { case (_, x, y) => x == 0 && y == 0 },
+      "curve starts at the origin")
+    cells.sliding(2).foreach { case Array((_, x1, y1), (h2, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"cells at h=${h2 - 1},${h2} are not unit-adjacent: ($x1,$y1)->($x2,$y2)")
+    }
+    // locality beats Morton on the same grid: max index jump between
+    // horizontally adjacent cells is n²/4+... for Morton, 0-gap for Hilbert
+    // neighbors along the curve by construction (checked above)
+  }
 }
