@@ -3548,6 +3548,93 @@ object Relational {
            GREATEST(0, (CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
              - 90000) // 64) AS y
            FROM part""", bits = 8) +
-        " SELECT key, x, y, h FROM h ORDER BY h, key"))
+        " SELECT key, x, y, h FROM h ORDER BY h, key")),
+
+    // ---- conversion attribution (first-touch / last-touch) ---------------
+    // The marketing-analytics staple: credit each purchase to the user's
+    // first and last click inside a 7-day lookback. Both touches come
+    // from ONE user-partitioned pass — a running last() for last-touch
+    // and a RANGE frame over microseconds for the windowed first-touch —
+    // never a purchases×clicks self-join. Timestamps are only SELECTED
+    // (min/max), so cross-engine equality is structural; credited
+    // touches roll up per (model, click day).
+    "q187_attribution" -> Q(
+      (s, dir) => {
+        val horizonUs = 7L * 24 * 3600 * 1000000
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            unix_micros(col("ts")).as("us"),
+            when(col("event_type") === "click", col("ts")).as("click_ts"))
+        val wLast = Window.partitionBy("user_id").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRange = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-horizonUs, -1)
+        val touched = ev
+          .withColumn("last_click", last(col("click_ts"), ignoreNulls = true).over(wLast))
+          .withColumn("first_click", min(col("click_ts")).over(wRange))
+          .filter(col("event_type") === "purchase")
+          .withColumn("last_click",
+            when(unix_micros(col("last_click")) >= col("us") - horizonUs,
+              col("last_click")))
+        val lastT = touched.filter(col("last_click").isNotNull)
+          .groupBy(lit("last_touch").as("model"),
+            date_format(col("last_click"), "yyyy-MM-dd").as("click_day"))
+          .agg(count(lit(1)).as("n_purchases"))
+        val firstT = touched.filter(col("first_click").isNotNull)
+          .groupBy(lit("first_touch").as("model"),
+            date_format(col("first_click"), "yyyy-MM-dd").as("click_day"))
+          .agg(count(lit(1)).as("n_purchases"))
+        lastT.union(firstT).orderBy("model", "click_day")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts,
+            epoch_us(ts) AS us,
+            CASE WHEN event_type = 'click' THEN ts END AS click_ts
+          FROM events),
+          t AS (SELECT *,
+            LAST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS last_click_raw,
+            MIN(click_ts) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+              AS first_click
+          FROM ev),
+          p AS (SELECT *, CASE WHEN epoch_us(last_click_raw) >= us - 604800000000
+              THEN last_click_raw END AS last_click
+            FROM t WHERE event_type = 'purchase')
+        SELECT 'last_touch' AS model,
+          STRFTIME(last_click, '%Y-%m-%d') AS click_day,
+          COUNT(*) AS n_purchases
+        FROM p WHERE last_click IS NOT NULL GROUP BY 2
+        UNION ALL
+        SELECT 'first_touch', STRFTIME(first_click, '%Y-%m-%d'), COUNT(*)
+        FROM p WHERE first_click IS NOT NULL GROUP BY 2
+        ORDER BY model, click_day""")),
+
+    // ---- weekly percentile-band trend ------------------------------------
+    // Monitoring percentiles over time: per ISO week, p50/p95 of the
+    // event value SELECTED count-first (operators.Robust — values present
+    // in the data, no interpolation, so arbitrary-precision doubles
+    // cross-match), with the week spelled as integer days-since-epoch
+    // div 7 (cross-engine week truncation differs; q152's lesson).
+    "q188_percentile_trend" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("wk", expr("datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7"))
+        graft.operators.Robust.quantileSelect(ev, "wk", "value", Seq(50, 95))
+          .select(col("wk").cast("long").as("wk"), col("n"),
+            col("q50").as("p50"), col("q95").as("p95"))
+          .orderBy("wk")
+      },
+      Some("""WITH ev AS (SELECT value,
+            date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS wk
+          FROM events),
+          r AS (SELECT wk, value,
+            ROW_NUMBER() OVER (PARTITION BY wk ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY wk) AS nn
+          FROM ev)
+        SELECT CAST(wk AS BIGINT) AS wk, MAX(nn) AS n,
+          MAX(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1 THEN value END) AS p50,
+          MAX(CASE WHEN rn = ((nn - 1) * 95) // 100 + 1 THEN value END) AS p95
+        FROM r GROUP BY wk ORDER BY wk"""))
   )
 }
