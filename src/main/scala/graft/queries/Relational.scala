@@ -3635,6 +3635,115 @@ object Relational {
         SELECT CAST(wk AS BIGINT) AS wk, MAX(nn) AS n,
           MAX(CASE WHEN rn = ((nn - 1) * 50) // 100 + 1 THEN value END) AS p50,
           MAX(CASE WHEN rn = ((nn - 1) * 95) // 100 + 1 THEN value END) AS p95
-        FROM r GROUP BY wk ORDER BY wk"""))
+        FROM r GROUP BY wk ORDER BY wk""")),
+
+    // ---- group limit WITH ties (dense_rank) ------------------------------
+    // The ties-respecting sibling of q03/q97's row_number top-k: every
+    // customer tied on one of the top-3 distinct balances per nation
+    // keeps its row — the SQL-standard FETCH ... WITH TIES semantics a
+    // row-bounded limit silently violates. Spark plans dense_rank with a
+    // rank-limit pushdown just like row_number (WindowGroupLimit).
+    "q189_topk_with_ties" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"))
+        t(s, dir, "customer")
+          .withColumn("rk", dense_rank().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+            col("c_acctbal"))
+          .orderBy("c_nationkey", "rk", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal
+        FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC) AS rk FROM customer)
+        WHERE rk <= 3 ORDER BY c_nationkey, rk, c_custkey""")),
+
+    // ---- hierarchical share-of-total -------------------------------------
+    // Ratio-to-report at two levels of one hierarchy in a single pass:
+    // each nation's revenue as a share of its region and of the world,
+    // from ONE fine-grain aggregate re-folded exactly (decimal all the
+    // way; each share is one IEEE division of exact operands). The
+    // region/world totals are windows over the 25-row nation aggregate —
+    // value-domain bounded, never the fact table.
+    "q190_share_of_total" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Det.moneySumExact(col("l_extendedprice")).as("rev"))
+        val wR = Window.partitionBy("r_name")
+        val wAll = Window.partitionBy()
+        rev
+          .withColumn("region_rev", sum(col("rev")).over(wR))
+          .withColumn("world_rev", sum(col("rev")).over(wAll))
+          .select(col("r_name"), col("n_name"), col("rev").cast("double").as("rev"),
+            (col("rev").cast("double") / col("region_rev").cast("double"))
+              .as("share_of_region"),
+            (col("rev").cast("double") / col("world_rev").cast("double"))
+              .as("share_of_world"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""WITH rev AS (SELECT r_name, n_name,
+            SUM(${Det.sqlMoney("l_extendedprice")}) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, CAST(rev AS DOUBLE) AS rev,
+          CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+            AS share_of_region,
+          CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_world
+        FROM rev ORDER BY r_name, n_name""")),
+
+    // ---- interval union (merge overlapping ranges) -----------------------
+    // The interval-algebra primitive session_window's fixed gap cannot
+    // express: merge each user's overlapping [first event, +30 min]
+    // activity ranges and report covered microseconds. Islands by the
+    // running-max trick — a new island starts where start > max(end) of
+    // everything prior — one user-partitioned sort, exact integer
+    // microsecond arithmetic end-to-end.
+    "q191_interval_union" -> Q(
+      (s, dir) => {
+        val winUs = 30L * 60 * 1000000
+        val iv = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) + winUs).as("en"))
+        val wPrev = Window.partitionBy("user_id").orderBy("st", "en")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("user_id").orderBy("st", "en")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val islands = iv
+          .withColumn("new_island",
+            when(col("st") > max(col("en")).over(wPrev), 1L)
+              .when(max(col("en")).over(wPrev).isNull, 1L).otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wRun))
+        islands.groupBy("user_id", "island")
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("ien") - col("ist")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+            epoch_us(ts) + 1800000000 AS en FROM events),
+          m AS (SELECT *,
+            MAX(en) OVER (PARTITION BY user_id ORDER BY st, en
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+          FROM iv),
+          isl AS (SELECT *,
+            SUM(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m),
+          merged AS (SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+            FROM isl GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_intervals,
+          SUM(ien - ist) AS covered_us
+        FROM merged GROUP BY user_id ORDER BY user_id"""))
   )
 }
