@@ -1,12 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmOps, Relational}
+import graft.queries.{Analytics, LlmOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[(String, Relational.Q)] = Relational.defs ++ LlmOps.defs
+  private def allDefs: Seq[(String, Relational.Q)] =
+    Relational.defs ++ LlmOps.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

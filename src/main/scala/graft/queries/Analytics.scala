@@ -1,0 +1,448 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.TextAnalysis
+import graft.operators.Advisor
+import graft.queries.Relational.Q
+
+/** Time-series analytics over the event stream — trend estimation,
+  * autocorrelation, changepoint detection, exponential smoothing.
+  *
+  * The shared scale shape: every query first REDUCES the event fact to
+  * per-day counts (one aggregate, map-side combinable), then runs its
+  * analysis over the day spine — a series whose length is bounded by the
+  * calendar span (× the event-type domain), not the data volume. At
+  * 100 TB the fact scan dominates and everything downstream is
+  * kilobytes; the unpartitioned/`event_type`-partitioned windows here
+  * are all value-domain bounded (same argument as q73/q176).
+  *
+  * Cross-engine exactness: all series values are BIGINT counts; each
+  * statistic keeps its sums/products in BIGINT (overflow headroom
+  * documented per query) and applies ONE fixed IEEE expression tree at
+  * the end — divisions and correctly-rounded sqrt only (the q147/q185
+  * discipline), so results hash bit-for-bit against DuckDB.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-(event_type, day) counts over the gap-filled day spine (absent
+    * days count 0) — the dense series the four analyses share. */
+  private def dailySpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        coalesce(col("n"), lit(0L)).as("y"))
+  }
+
+  /** Oracle CTE mirroring [[dailySpine]]: `sp(event_type, day, x, y)`. */
+  private val spineSql: String =
+    """ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+      days AS (SELECT CAST(gs AS DATE) AS day FROM (
+        SELECT UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+          CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gs
+        FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev))),
+      sp AS (SELECT et.event_type, days.day,
+          CAST(DATEDIFF('day', DATE '1970-01-01', days.day) AS BIGINT) AS x,
+          COALESCE(d.n, 0) AS y
+        FROM (SELECT DISTINCT event_type FROM ev) et
+        CROSS JOIN days
+        LEFT JOIN daily d ON et.event_type = d.event_type AND days.day = d.day)"""
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- exact-sums OLS trend ------------------------------------------
+    // Per-event-type linear trend of daily volume: the five power sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) fold in BIGINT (x = epoch day ~2e4,
+    // y = daily count; n·Σx² ≈ 4e2·4e2·4e8 ≈ 6e16 — inside int64), then
+    // slope/intercept/r² are ONE fixed IEEE tree over the exact
+    // operands. This is the regr_slope/regr_r2 family computed portably:
+    // both engines build identical integers and round identically.
+    "q192_daily_trend" -> Q(
+      (s, dir) => {
+        val sums = dailySpine(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        val slope = num / dx
+        sums.select(col("event_type"), col("n"),
+            slope.as("slope"),
+            ((col("sy").cast("double") - slope * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept"),
+            (num * num / (dx * dy)).as("r2"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $spineSql,
+          sums AS (SELECT event_type, COUNT(*) AS n,
+              SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+              SUM(x*x) AS sxx, SUM(y*y) AS syy
+            FROM sp GROUP BY event_type)
+        SELECT event_type, n,
+          CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+          (CAST(sy AS DOUBLE)
+             - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+          CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+            / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+        FROM sums ORDER BY event_type""")),
+
+    // ---- autocorrelation function --------------------------------------
+    // Lag-1/2/3 ACF of the global daily series: pair (y_t, y_{t-l}) via
+    // window lag over the spine (one global series, length = calendar
+    // span — the documented bounded unpartitioned window), then the
+    // exact-sums Pearson r with correctly-rounded sqrt (q185 precedent).
+    // The weekly seasonality planted in the generator shows up as the
+    // lag-7-vs-lag-1 contrast downstream dashboards read.
+    "q193_autocorr" -> Q(
+      (s, dir) => {
+        val gdaily = dailySpine(s, dir).groupBy("day")
+          .agg(sum(col("y")).as("y"))
+        val w = Window.orderBy("day")
+        val lagged = gdaily.select(col("day") +: col("y") +:
+          Seq(1, 2, 3, 7).map(l => lag(col("y"), l).over(w).as(s"y$l")): _*)
+        val pairs = Seq(1, 2, 3, 7).map { l =>
+          lagged.filter(col(s"y$l").isNotNull).agg(
+            lit(l.toLong).as("lag"),
+            count(lit(1)).as("n"),
+            sum(col("y")).as("sa"), sum(col(s"y$l")).as("sb"),
+            sum(col("y") * col(s"y$l")).as("sab"),
+            sum(col("y") * col("y")).as("saa"),
+            sum(col(s"y$l") * col(s"y$l")).as("sbb"))
+        }.reduce(_ unionAll _)
+        pairs.select(col("lag"), col("n"),
+            ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+                 * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+              .as("acf"))
+          .orderBy("lag")
+      },
+      Some(s"""WITH $spineSql,
+          gdaily AS (SELECT day, SUM(y) AS y FROM sp GROUP BY day),
+          lagged AS (SELECT y,
+              LAG(y, 1) OVER (ORDER BY day) AS y1,
+              LAG(y, 2) OVER (ORDER BY day) AS y2,
+              LAG(y, 3) OVER (ORDER BY day) AS y3,
+              LAG(y, 7) OVER (ORDER BY day) AS y7
+            FROM gdaily),
+          pairs AS (
+            SELECT CAST(1 AS BIGINT) AS lag, COUNT(*) AS n, SUM(y) AS sa,
+                SUM(y1) AS sb, SUM(y*y1) AS sab, SUM(y*y) AS saa,
+                SUM(y1*y1) AS sbb FROM lagged WHERE y1 IS NOT NULL
+            UNION ALL SELECT 2, COUNT(*), SUM(y), SUM(y2), SUM(y*y2),
+                SUM(y*y), SUM(y2*y2) FROM lagged WHERE y2 IS NOT NULL
+            UNION ALL SELECT 3, COUNT(*), SUM(y), SUM(y3), SUM(y*y3),
+                SUM(y*y), SUM(y3*y3) FROM lagged WHERE y3 IS NOT NULL
+            UNION ALL SELECT 7, COUNT(*), SUM(y), SUM(y7), SUM(y*y7),
+                SUM(y*y), SUM(y7*y7) FROM lagged WHERE y7 IS NOT NULL)
+        SELECT lag, n,
+          CAST(n*sab - sa*sb AS DOUBLE)
+            / (SQRT(CAST(n*saa - sa*sa AS DOUBLE))
+               * SQRT(CAST(n*sbb - sb*sb AS DOUBLE))) AS acf
+        FROM pairs ORDER BY lag""")),
+
+    // ---- CUSUM changepoint ---------------------------------------------
+    // Per-event-type most-likely level-shift day: the running cumulative
+    // deviation from the mean, kept INTEGER by cross-multiplying —
+    // n·prefix_k − k·S (= n·Σ_{i≤k}(y_i − S/n)) — so the argmax is an
+    // exact integer comparison with a deterministic earliest-day
+    // tie-break. Magnitudes: n·prefix ≤ 4e2·2e5 = 8e7 — far inside
+    // int64. Output keeps the integer numerator plus n; no division
+    // ever happens.
+    "q194_changepoint" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val wRun = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val scored = sp
+          .withColumn("k", count(lit(1)).over(wRun))
+          .withColumn("prefix", sum(col("y")).over(wRun))
+          .withColumn("nn", count(lit(1)).over(wAll))
+          .withColumn("tot", sum(col("y")).over(wAll))
+          .withColumn("cusum", col("nn") * col("prefix") - col("k") * col("tot"))
+        val wPick = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        scored.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+            col("cusum").as("cusum_num"), col("nn").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $spineSql,
+          scored AS (SELECT event_type, day,
+              COUNT(*) OVER w AS nn, SUM(y) OVER w AS tot,
+              COUNT(*) OVER wr AS k, SUM(y) OVER wr AS prefix
+            FROM sp
+            WINDOW w AS (PARTITION BY event_type),
+              wr AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          cs AS (SELECT event_type, day, nn*prefix - k*tot AS cusum, nn
+            FROM scored),
+          pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ABS(cusum) DESC, day) AS rn FROM cs)
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS cp_day,
+          cusum AS cusum_num, nn AS n_days
+        FROM pick WHERE rn = 1 ORDER BY event_type""")),
+
+    // ---- dyadic EWMA ----------------------------------------------------
+    // Exponentially-weighted daily volume with α = 1/2 over a 16-day
+    // horizon: weight 2^(15−j) for lag j folds in BIGINT (≤ 2e5·2^15·16
+    // ≈ 1e11), then ONE division by 2^16 — a power of two, so the
+    // quotient is EXACT in binary floating point, not merely
+    // deterministic. The general-α recurrence is inherently sequential
+    // and rounding-order-dependent; the dyadic windowed form is the
+    // scale-safe exact variant (16 lag columns over the bounded spine).
+    "q195_ewma_volume" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val num = (0 until 16).map { j =>
+          coalesce(lag(col("y"), j).over(w), lit(0L)) * lit(1L << (15 - j))
+        }.reduce(_ + _)
+        sp.withColumn("k", row_number().over(w))
+          .withColumn("num", num)
+          .filter(col("k") >= 16)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+            (col("num").cast("double") / lit(65536.0d)).as("ewma"))
+          .orderBy("event_type", "day")
+      },
+      Some {
+        val terms = (0 until 16).map { j =>
+          s"COALESCE(LAG(y, $j) OVER w, 0) * ${1L << (15 - j)}"
+        }.mkString(" + ")
+        s"""WITH $spineSql,
+          ew AS (SELECT event_type, day, y,
+              ROW_NUMBER() OVER w AS k, $terms AS num
+            FROM sp WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day, y,
+          CAST(num AS DOUBLE) / 65536.0 AS ewma
+        FROM ew WHERE k >= 16 ORDER BY event_type, day"""
+      }),
+
+    // ---- cumulative distinct users --------------------------------------
+    // Exact running COUNT(DISTINCT) — the growth-curve metric a naive
+    // per-day distinct-over-expanding-window computes in O(n²). The
+    // first-seen trick makes it linear: each user contributes to exactly
+    // one day (min event day, one user-keyed aggregate), daily news sum
+    // cumulatively over the bounded day spine. Daily actives ride the
+    // same (day, user) reduction. All integers.
+    "q196_cumulative_users" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val firsts = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        val actives = ev.distinct()
+          .groupBy("day").agg(count(lit(1)).as("active_users"))
+        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(firsts, Seq("day"), "left_outer")
+          .join(actives, Seq("day"), "left_outer")
+          .select(col("day"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"),
+            coalesce(col("active_users"), lit(0L)).as("active_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("new_users"), col("active_users"), col("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+          firsts AS (SELECT day, COUNT(*) AS new_users FROM (
+            SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id) GROUP BY day),
+          actives AS (SELECT day, COUNT(*) AS active_users FROM (
+            SELECT DISTINCT day, user_id FROM ev) GROUP BY day),
+          spine AS (SELECT CAST(gs AS DATE) AS day FROM (
+            SELECT UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+              CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS gs
+            FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev)))
+        SELECT STRFTIME(s.day, '%Y-%m-%d') AS day,
+          COALESCE(f.new_users, 0) AS new_users,
+          COALESCE(a.active_users, 0) AS active_users,
+          SUM(COALESCE(f.new_users, 0)) OVER (ORDER BY s.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        FROM spine s LEFT JOIN firsts f ON s.day = f.day
+        LEFT JOIN actives a ON s.day = a.day
+        ORDER BY day""")),
+
+    // ---- multi-hot vocabulary bitmask ------------------------------------
+    // One-hot/multi-hot feature encoding packed into a single BIGINT:
+    // the top-24 corpus terms (df order, deterministic tie-break) become
+    // bit positions; each document's mask is bit_or(1<<idx) over its
+    // distinct vocab terms. The vocab is a LIMITed 24-row table
+    // (TakeOrderedAndProject — never a corpus-wide rank window) broadcast
+    // into the token join; 24 bits keeps the shift inside signed-int64
+    // range in both engines. Pure integer output.
+    "q197_vocab_bitmask" -> Q(
+      (s, dir) => {
+        val docsT = Tables.widened(s, t(s, dir, "documents"))
+        val toks = docsT.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        val wv = Window.orderBy(desc("cnt"), col("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("tok")).limit(24)
+          .withColumn("idx", row_number().over(wv) - 1)
+        val masks = toks.join(broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("m"))
+        docsT.select("doc_id").join(masks, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("m"), lit(0L)).as("mask"),
+            expr("CAST(bit_count(coalesce(m, CAST(0 AS BIGINT))) AS BIGINT)")
+              .as("n_vocab_terms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(list_distinct(
+            regexp_extract_all(text, '\w+'))) AS tok FROM documents),
+          vocab AS (SELECT tok,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1 AS idx
+            FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+              ORDER BY cnt DESC, tok LIMIT 24)),
+          masks AS (SELECT doc_id, BIT_OR(CAST(1 AS BIGINT) << idx) AS m
+            FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(m.m, 0) AS mask,
+          CAST(BIT_COUNT(COALESCE(m.m, CAST(0 AS BIGINT))) AS BIGINT) AS n_vocab_terms
+        FROM documents d LEFT JOIN masks m ON d.doc_id = m.doc_id
+        ORDER BY d.doc_id""")),
+
+    // ---- per-dimension min-max feature scaling ---------------------------
+    // The standard-scaler sibling of q109's quantization: per-dimension
+    // [min, max] over the whole corpus (posexplode + one 64-row
+    // aggregate), broadcast back, each value scaled by ONE fixed tree —
+    // float→double widening is exact, (v−mn) and the division round
+    // once each, identically in both engines. Output is row-level for a
+    // deterministic id slice (the corpus-wide stats still come from ALL
+    // rows), keeping the gate's result bounded at any scale.
+    "q198_feature_scaling" -> Q(
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        val stats = ex.groupBy("dim")
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        ex.filter(col("vec_id") < 40)
+          .join(broadcast(stats), "dim")
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            ((col("v").cast("double") - col("mn").cast("double"))
+              / (col("mx").cast("double") - col("mn").cast("double")))
+              .as("scaled"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            UNNEST(embedding) AS v FROM embeddings),
+          stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim)
+        SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+          (CAST(e.v AS DOUBLE) - CAST(s.mn AS DOUBLE))
+            / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) AS scaled
+        FROM ex e JOIN stats s ON e.dim = s.dim
+        WHERE e.vec_id < 40 ORDER BY e.vec_id, e.dim""")),
+
+    // ---- equi-depth histogram (optimizer statistics) ---------------------
+    // The statistics object a cost-based optimizer keeps per column:
+    // 8 equi-depth buckets over order totals QUANTIZED TO DOLLARS — the
+    // rounding bounds the distinct-value domain by the price range (a
+    // generator constant), so the count-first cumulative window spans
+    // the value domain, not the row count (the q52/q73 argument). Fence
+    // k sits at integer position ((n−1)·k) div 8 + 1; bucket id is the
+    // exact count of fences strictly below the value (broadcast join,
+    // no per-row branching); per-bucket n/ndv/lo/hi are all integers.
+    "q199_equidepth_hist" -> Q(
+      (s, dir) => {
+        val vals = t(s, dir, "orders")
+          .select(floor(col("o_totalprice")).cast("long").as("d"))
+        val vc = vals.groupBy("d").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vc.withColumn("cum", sum(col("cnt")).over(wCum))
+          .crossJoin(broadcast(vals.agg(count(lit(1)).as("nn"))))
+        val fences = (1 to 7).map { k =>
+          cum.filter(col("cum") >= expr(s"((nn - 1) * $k) div 8") + 1)
+            .agg(min(col("d")).as("fence"))
+        }.reduce(_ unionAll _)
+        vc.crossJoin(broadcast(fences))
+          .groupBy("d")
+          .agg(sum(when(col("d") > col("fence"), 1L).otherwise(0L))
+            .as("fences_below"),
+            max(col("cnt")).as("cnt"))
+          .groupBy(col("fences_below").as("bucket"))
+          .agg(min(col("d")).as("lo"), max(col("d")).as("hi"),
+            sum(col("cnt")).as("n"), count(lit(1)).as("ndv"))
+          .orderBy("bucket")
+      },
+      Some("""WITH vals AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS d
+            FROM orders),
+          vc AS (SELECT d, COUNT(*) AS cnt FROM vals GROUP BY d),
+          cum AS (SELECT d, cnt, SUM(cnt) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              (SELECT COUNT(*) FROM vals) AS nn
+            FROM vc),
+          fences AS (
+            SELECT MIN(d) AS fence FROM cum WHERE cum >= (nn - 1) * 1 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 2 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 3 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 4 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 5 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 6 // 8 + 1
+            UNION ALL SELECT MIN(d) FROM cum WHERE cum >= (nn - 1) * 7 // 8 + 1),
+          tagged AS (SELECT d,
+              SUM(CASE WHEN d > fence THEN 1 ELSE 0 END) AS fences_below,
+              MAX(cnt) AS cnt
+            FROM vc CROSS JOIN fences GROUP BY d)
+        SELECT fences_below AS bucket, MIN(d) AS lo, MAX(d) AS hi,
+          SUM(cnt) AS n, COUNT(*) AS ndv
+        FROM tagged GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- join-strategy advisor -------------------------------------------
+    // The engine profiling its own inputs (operators.Advisor): row
+    // count, distinct-key count, and hottest-key frequency per side,
+    // folded through a deterministic integer rule-chain into the
+    // physical-join verdict (broadcast / salted shuffle / sort-merge).
+    // Thresholds are chosen so the three probed joins exercise
+    // different rules; the verdicts legitimately differ across scale
+    // factors — the oracle recomputes them from the same counts.
+    "q200_join_advisor" -> Q(
+      (s, dir) => {
+        Advisor.advise("orders_customer",
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey"),
+            broadcastRows = 5000L)
+          .unionAll(Advisor.advise("lineitem_orders",
+            t(s, dir, "lineitem"), col("l_orderkey"),
+            t(s, dir, "orders"), col("o_orderkey"),
+            broadcastRows = 5000L))
+          .unionAll(Advisor.advise("events_selfuser",
+            t(s, dir, "events"), col("user_id"),
+            t(s, dir, "events").filter(col("event_type") === "purchase"),
+            col("user_id"), broadcastRows = 5000L, skewPct = 1L))
+          .orderBy("join_name")
+      },
+      Some(Seq(
+          Advisor.adviseSql("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey", broadcastRows = 5000L),
+          Advisor.adviseSql("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey", broadcastRows = 5000L),
+          Advisor.adviseSql("events_selfuser", "events", "user_id",
+            "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id",
+            broadcastRows = 5000L, skewPct = 1L))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name"))),
+  )
+}
