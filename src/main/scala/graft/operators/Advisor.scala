@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-driven join-strategy advisor — the engine profiling its own
+  * inputs to pick the physical plan a 100 TB deployment should run.
+  *
+  * For each join side it computes the three quantities every planner
+  * decision needs: row count, distinct key count (build-side hash table
+  * size), and the hottest key's frequency (the shuffle-skew driver that
+  * q176's Gini summarizes corpus-wide). The verdict is a deterministic
+  * integer rule-chain over those exact counts:
+  *
+  *   - smaller side fits the broadcast budget      → `broadcast_<side>`
+  *   - hottest probe key exceeds `skewPct`% of its
+  *     side (one reducer drowns)                   → `shuffle_salted`
+  *   - otherwise                                   → `sort_merge`
+  *
+  * Everything is a pair of groupBy aggregates (map-side combinable) —
+  * the profile costs one pass per side regardless of table width, and
+  * at scale it runs on a sample partition or the table's statistics
+  * instead; the rule chain itself is size-independent. Integer counts
+  * and string verdicts only, so the output hashes bit-for-bit.
+  */
+object Advisor {
+
+  /** One-row key profile: n_rows, n_keys, max_freq for `key` in `df`. */
+  def keyProfile(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_freq"))
+
+  /** Advise on `left ⋈ right`; returns one row with both profiles and
+    * the strategy verdict. `joinName` labels the row. */
+  def advise(joinName: String, left: DataFrame, lk: Column,
+             right: DataFrame, rk: Column,
+             broadcastRows: Long = 1000000L, skewPct: Long = 5L): DataFrame = {
+    val lp = keyProfile(left, lk)
+      .select(col("n_rows").as("l_rows"), col("n_keys").as("l_keys"),
+        col("max_freq").as("l_max_freq"))
+    val rp = keyProfile(right, rk)
+      .select(col("n_rows").as("r_rows"), col("n_keys").as("r_keys"),
+        col("max_freq").as("r_max_freq"))
+    lp.crossJoin(rp)
+      .select(lit(joinName).as("join_name"),
+        col("l_rows"), col("l_keys"), col("l_max_freq"),
+        col("r_rows"), col("r_keys"), col("r_max_freq"),
+        when(least(col("l_rows"), col("r_rows")) <= broadcastRows,
+            concat(lit("broadcast_"),
+              when(col("l_rows") <= col("r_rows"), "left").otherwise("right")))
+          .when(greatest(col("l_max_freq") * 100 - col("l_rows") * skewPct,
+              col("r_max_freq") * 100 - col("r_rows") * skewPct) > 0,
+            lit("shuffle_salted"))
+          .otherwise(lit("sort_merge")).as("strategy"))
+  }
+
+  /** Oracle-SQL twin of [[advise]] over DuckDB tables (same literals,
+    * same rule chain) — `lt`/`rt` are table names, `lk`/`rk` key columns. */
+  def adviseSql(joinName: String, lt: String, lk: String,
+                rt: String, rk: String,
+                broadcastRows: Long = 1000000L, skewPct: Long = 5L): String =
+    s"""SELECT '$joinName' AS join_name,
+        l_rows, l_keys, l_max_freq, r_rows, r_keys, r_max_freq,
+        CASE
+          WHEN LEAST(l_rows, r_rows) <= $broadcastRows THEN
+            'broadcast_' || (CASE WHEN l_rows <= r_rows THEN 'left' ELSE 'right' END)
+          WHEN GREATEST(l_max_freq * 100 - l_rows * $skewPct,
+                        r_max_freq * 100 - r_rows * $skewPct) > 0 THEN 'shuffle_salted'
+          ELSE 'sort_merge'
+        END AS strategy
+      FROM (SELECT SUM(cnt) AS l_rows, COUNT(*) AS l_keys, MAX(cnt) AS l_max_freq
+            FROM (SELECT $lk, COUNT(*) AS cnt FROM $lt GROUP BY 1)),
+           (SELECT SUM(cnt) AS r_rows, COUNT(*) AS r_keys, MAX(cnt) AS r_max_freq
+            FROM (SELECT $rk, COUNT(*) AS cnt FROM $rt GROUP BY 1))"""
+}
