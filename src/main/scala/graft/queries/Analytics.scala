@@ -444,5 +444,97 @@ object Analytics {
             "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id",
             broadcastRows = 5000L, skewPct = 1L))
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name"))),
+
+    // ---- rank-distribution window functions ------------------------------
+    // percent_rank + cume_dist — the two relative-rank windows the
+    // surface had not yet named. Both are pure functions of the value
+    // multiset (rank−1)/(n−1) and cume/n — each ONE IEEE division of
+    // exact integers, so row-level output hashes despite ties. (ntile is
+    // deliberately absent: its tie placement is row-order-dependent,
+    // the q174 ruling.)
+    "q201_rank_distribution" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+          PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+        ORDER BY c_nationkey, c_acctbal, c_custkey""")),
+
+    // ---- bitmap-index intersection ---------------------------------------
+    // The roaring-bitmap idea as plain SQL structures: per (day, word)
+    // user-presence bitmaps (word = user div 32, bit = user mod 32 —
+    // 32-bit words keep every shift inside signed int64 in both
+    // engines), day-pair co-activity = Σ bit_count(a AND b) over a
+    // word-keyed equi-join. The shuffle carries one BIGINT per 32 users
+    // instead of one row per user — the classic OLAP distinct-
+    // intersection accelerator. The oracle computes the DIRECT distinct
+    // user intersection, so the gate proves the bitmap algebra exact.
+    "q202_bitmap_intersect" -> Q(
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val bm = du
+          .select(col("day"), expr("user_id div 32").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("b"))
+          .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
+        val a = bm.select(col("day").as("d1"), col("w"), col("bits").as("b1"))
+        val b = bm.select(col("day").as("d2"), col("w"), col("bits").as("b2"))
+        a.join(b, Seq("w")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2")
+          .agg(sum(expr("CAST(bit_count(b1 & b2) AS BIGINT)")).as("n_both"))
+          .filter(col("n_both") > 0)
+          .select(date_format(col("d1"), "yyyy-MM-dd").as("d1"),
+            date_format(col("d2"), "yyyy-MM-dd").as("d2"), col("n_both"))
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events)
+        SELECT STRFTIME(a.day, '%Y-%m-%d') AS d1,
+          STRFTIME(b.day, '%Y-%m-%d') AS d2,
+          COUNT(*) AS n_both
+        FROM du a JOIN du b ON a.user_id = b.user_id AND a.day < b.day
+        GROUP BY 1, 2 ORDER BY d1, d2""")),
+
+    // ---- Theil-Sen robust trend ------------------------------------------
+    // The robust complement of q192's OLS: the median of all pairwise
+    // slopes. Slopes become exact integers in micro-units/day —
+    // (Δy·1e6) div Δx, truncation-toward-zero division agreeing between
+    // Spark `div` and DuckDB `//` including negatives — and the median
+    // is SELECTED count-first (operators.Robust), never interpolated.
+    // The pair self-join runs on the day spine: |days|² per event type,
+    // bounded by the calendar span squared, never by data volume.
+    "q203_theil_sen" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val ai = sp.select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
+        val aj = sp.select(col("event_type"), col("x").as("xj"), col("y").as("yj"))
+        val slopes = ai.join(aj, "event_type").filter(col("xi") < col("xj"))
+          .select(col("event_type"),
+            expr("((yj - yi) * 1000000) div (xj - xi)").as("slope_u"))
+        val med = graft.operators.Robust
+          .quantileSelect(slopes, "event_type", "slope_u", Seq(50))
+        med.select(col("event_type"), col("n").as("n_pairs"),
+            col("q50").as("slope_micro"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $spineSql,
+          pairs AS (SELECT a.event_type,
+              ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_u
+            FROM sp a JOIN sp b ON a.event_type = b.event_type AND a.x < b.x),
+          r AS (SELECT event_type, slope_u,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_u) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS nn
+            FROM pairs)
+        SELECT event_type, MAX(nn) AS n_pairs,
+          MIN(CASE WHEN rn >= (nn - 1) * 50 // 100 + 1 THEN slope_u END)
+            AS slope_micro
+        FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }
