@@ -45,6 +45,29 @@ object Analytics {
         coalesce(col("n"), lit(0L)).as("y"))
   }
 
+  /** Per-group OLS over a `(g, x, y)` integer series: six BIGINT power
+    * sums (map-side combinable, ADDITIVE — a [[graft.catalog.Rollup]]
+    * maintaining per-day counts feeds this directly, the streaming trend
+    * monitor in AnalyticsSpec) then slope/intercept/r² as ONE fixed IEEE
+    * tree over the exact operands. */
+  def trendStats(series: DataFrame, g: String): DataFrame = {
+    val sums = series.groupBy(g).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / dx
+    sums.select(col(g), col("n"),
+      slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double")).as("intercept"),
+      (num * num / (dx * dy)).as("r2"))
+  }
+
   /** Oracle CTE mirroring [[dailySpine]]: `sp(event_type, day, x, y)`. */
   private val spineSql: String =
     """ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
@@ -70,24 +93,8 @@ object Analytics {
     // operands. This is the regr_slope/regr_r2 family computed portably:
     // both engines build identical integers and round identically.
     "q192_daily_trend" -> Q(
-      (s, dir) => {
-        val sums = dailySpine(s, dir).groupBy("event_type").agg(
-          count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-        val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-        val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-        val slope = num / dx
-        sums.select(col("event_type"), col("n"),
-            slope.as("slope"),
-            ((col("sy").cast("double") - slope * col("sx").cast("double"))
-              / col("n").cast("double")).as("intercept"),
-            (num * num / (dx * dy)).as("r2"))
-          .orderBy("event_type")
-      },
+      (s, dir) => trendStats(dailySpine(s, dir), "event_type")
+        .orderBy("event_type"),
       Some(s"""WITH $spineSql,
           sums AS (SELECT event_type, COUNT(*) AS n,
               SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,

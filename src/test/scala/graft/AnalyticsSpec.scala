@@ -85,6 +85,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streamed trend monitor: rollup-maintained daily counts fold to the batch trend") {
+    // The q192 power sums are additive, so a Rollup maintaining
+    // (event_type, day) → n from a stream feeds trendStats directly;
+    // the streamed trend must equal the batch trend over the same data.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("trend_ckpt").toString
+    val path = java.nio.file.Files.createTempDirectory("trend").toString + "/daily"
+    val mem = MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams.maintainRollup(
+      mem.toDF().toDF("day", "event_type"), path, ckpt,
+      Seq("event_type", "day"), Seq("n" -> count(lit(1))))
+    val rows = Seq(
+      ("2024-01-01", "view"), ("2024-01-01", "view"), ("2024-01-02", "view"),
+      ("2024-01-02", "view"), ("2024-01-02", "view"), ("2024-01-03", "view"),
+      ("2024-01-01", "click"), ("2024-01-03", "click"), ("2024-01-03", "click"))
+    mem.addData(rows.take(4): _*); q.processAllAvailable()
+    mem.addData(rows.drop(4): _*); q.processAllAvailable()
+    q.stop()
+
+    def withX(df: org.apache.spark.sql.DataFrame) = df.select(col("event_type"),
+      datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"), col("n").cast("long").as("y"))
+    val streamed = Analytics.trendStats(
+        withX(graft.catalog.Rollup.read(spark, path, Seq("event_type", "day"), Seq("n"))),
+        "event_type")
+      .orderBy("event_type").collect().toSeq
+    val batch = Analytics.trendStats(
+        withX(rows.toDF("day", "event_type").groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"))),
+        "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == batch)
+    // and the planted series' trends are the hand-computed exact values:
+    // view: days (0,1,2 rel) counts (2,3,1) → slope = -1/2
+    val view = streamed.find(_.getString(0) == "view").get
+    assert(view.getDouble(2) == -0.5)
+  }
+
   test("q196 cumulative users: running sum of firsts equals expanding distinct") {
     val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (2L, "2024-01-02"),
       (3L, "2024-01-03"), (1L, "2024-01-03"), (4L, "2024-01-03"))
