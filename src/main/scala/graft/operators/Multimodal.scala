@@ -184,6 +184,43 @@ object Multimodal {
     }.toDF("key", "mean_r", "mean_g", "mean_b")
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a decoded
+    * image: integer grayscale (r+g+b) div 3 over the record's pixel grid
+    * (callers resize to 8×8 first for the canonical form), bit p set iff
+    * gray_p · nPixels > Σgray — the mean threshold cross-multiplied so no
+    * division or float ever happens. Packed as two 32-bit words
+    * (lo = bits 0..31, hi = 32..63) so every downstream shift stays
+    * inside signed int64 in BOTH engines (the q202 bitmap ruling).
+    * Near-duplicate search treats the four 16-bit band slices as LSH
+    * keys (the simhash/q42 banding pattern applied to pixels). */
+  def aHash(ds: Dataset[ImageRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val n = r.height * r.width
+      val gray = new Array[Int](n)
+      var sum = 0L
+      var p = 0
+      while (p < n) {
+        val base = p * r.channels
+        val g =
+          if (r.channels >= 3)
+            ((r.data(base) & 0xff) + (r.data(base + 1) & 0xff) +
+              (r.data(base + 2) & 0xff)) / 3
+          else r.data(base) & 0xff
+        gray(p) = g; sum += g; p += 1
+      }
+      var lo = 0L; var hi = 0L
+      p = 0
+      while (p < n && p < 64) {
+        if (gray(p).toLong * n > sum) {
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        }
+        p += 1
+      }
+      (r.key, r.identifier, hi, lo)
+    }.toDF("key", "id", "hi", "lo")
+  }
+
   /** Video frame record; `VideoData` surface (datum.proto:23-31 — declared
     * but never constructed in the reference). `frameIdx` is the frame's
     * index in the source stream (so `everyNth` sampling keeps the original

@@ -542,6 +542,94 @@ object Analytics {
         SELECT event_type, MAX(nn) AS n_pairs,
           MIN(CASE WHEN rn >= (nn - 1) * 50 // 100 + 1 THEN slope_u END)
             AS slope_micro
-        FROM r GROUP BY event_type ORDER BY event_type"""))
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- image perceptual-hash near-dup detection ------------------------
+    // Image-level dedup, HASH-GATED end-to-end like q46/q105/q106: the
+    // corpus is the md5-formula synthetic image family with planted
+    // near-duplicates (every doc_id ≡ 1 mod 50 reuses its predecessor's
+    // image with one channel of pixel (0,0) shifted by +3 mod 256), the
+    // pipeline is real — decode → Multimodal.aHash (integer grayscale,
+    // cross-multiplied mean threshold, 2×32-bit words) → 16-bit-band
+    // LSH candidate join → Hamming ≤ 6 verify — and DuckDB recomputes
+    // every hash bit DIRECTLY from the pixel formula. All integers, so
+    // candidate generation, banding, and the XOR popcount verify are
+    // proven identical. Scale: hashing is map-only; the band join
+    // shuffles 16-byte hash rows (never pixels) bucketed by band value.
+    "q204_image_phash_dups" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docsT = Tables.widened(s, t(s, dir, "documents"))
+        val base = docsT.select(col("doc_id"),
+          when(col("doc_id") % 50 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id")).cast("string").as("img_id"))
+        val decoded = graft.operators.Multimodal
+          .syntheticDecoded(base.as[(Long, String)])
+        val jittered = decoded.map { r =>
+          if (r.key % 50 == 1) {
+            val d = r.data.clone()
+            d(0) = (((d(0) & 0xff) + 3) % 256).toByte
+            r.copy(data = d)
+          } else r
+        }
+        val h = graft.operators.Multimodal.aHash(jittered)
+        val bands = h.select(col("key"), col("hi"), col("lo"),
+          posexplode(array(
+            expr("lo % 65536"), expr("(lo div 65536) % 65536"),
+            expr("hi % 65536"), expr("(hi div 65536) % 65536")))
+            .as(Seq("bk", "bv")))
+        val a = bands.select(col("key").as("da"), col("hi").as("ahi"),
+          col("lo").as("alo"), col("bk"), col("bv"))
+        val b = bands.select(col("key").as("db"), col("hi").as("bhi"),
+          col("lo").as("blo"), col("bk"), col("bv"))
+        a.join(b, Seq("bk", "bv")).filter(col("da") < col("db"))
+          .select("da", "db", "ahi", "alo", "bhi", "blo").distinct()
+          .withColumn("hamming",
+            expr("CAST(bit_count(ahi ^ bhi) + bit_count(alo ^ blo) AS BIGINT)"))
+          .filter(col("hamming") <= 6)
+          .select(col("da"), col("db"), col("hamming"))
+          .orderBy("da", "db")
+      },
+      Some {
+        import graft.functions.{Hashing => H}
+        def pix(c: Int) = H.sqlH28(
+          s"img || ':' || CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR) || ',$c'") + " % 256"
+        s"""WITH g AS (SELECT doc_id,
+              CAST(CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END
+                AS VARCHAR) AS img,
+              doc_id % 50 = 1 AS pert
+            FROM documents),
+          cell AS (SELECT doc_id, img, pert, x, y FROM g
+            CROSS JOIN range(8) rx(x) CROSS JOIN range(8) ry(y)),
+          px AS (SELECT doc_id, y*8 + x AS p,
+              ((${pix(0)} + CASE WHEN pert AND x = 0 AND y = 0 THEN 3 ELSE 0 END) % 256
+               + ${pix(1)} + ${pix(2)}) // 3 AS gray
+            FROM cell),
+          sums AS (SELECT doc_id, SUM(gray) AS sg FROM px GROUP BY doc_id),
+          bits AS (SELECT px.doc_id, p,
+              CASE WHEN gray * 64 > sg THEN 1 ELSE 0 END AS b
+            FROM px JOIN sums USING (doc_id)),
+          words AS (SELECT doc_id,
+              SUM(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << (p % 32))
+                ELSE 0 END) AS lo,
+              SUM(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << (p % 32))
+                ELSE 0 END) AS hi
+            FROM bits GROUP BY doc_id),
+          bands AS (SELECT doc_id, hi, lo,
+              UNNEST([0, 1, 2, 3]) AS bk,
+              UNNEST([lo % 65536, (lo // 65536) % 65536,
+                      hi % 65536, (hi // 65536) % 65536]) AS bv
+            FROM words),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+              a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+            FROM bands a JOIN bands b
+              ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT da, db,
+          CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS BIGINT)
+            AS hamming
+        FROM cand
+        WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6
+        ORDER BY da, db"""
+      })
   )
 }

@@ -231,6 +231,27 @@ class MultimodalSpec extends SparkSpec {
       s"segment RMS $e != ${amp / math.sqrt(2)}"))
   }
 
+  test("aHash: half-dark/half-bright image sets exactly the bright half's bits") {
+    // 8x8 grayscale-ish RGB: rows 0-3 value 10, rows 4-7 value 200 →
+    // mean 105; bits 32..63 set, 0..31 clear → lo=0, hi=0xFFFFFFFF.
+    val data = new Array[Byte](8 * 8 * 3)
+    for (p <- 0 until 64; c <- 0 until 3)
+      data(p * 3 + c) = (if (p < 32) 10 else 200).toByte
+    val rec = Multimodal.ImageRecord(1L, "t", 3, 8, 8, data)
+    val r = Multimodal.aHash(Seq(rec).toDS()).collect().head
+    assert(r.getLong(2) == 0xFFFFFFFFL && r.getLong(3) == 0L)
+  }
+
+  test("aHash: one-pixel jitter moves the hash by at most a few bits") {
+    val base = Multimodal.syntheticDecoded(Seq((1L, "img")).toDS()).collect().head
+    val d = base.data.clone(); d(0) = (((d(0) & 0xff) + 3) % 256).toByte
+    val rows = Multimodal.aHash(Seq(base, base.copy(key = 2L, data = d)).toDS())
+      .collect().sortBy(_.getLong(0))
+    val ham = java.lang.Long.bitCount(rows(0).getLong(2) ^ rows(1).getLong(2)) +
+      java.lang.Long.bitCount(rows(0).getLong(3) ^ rows(1).getLong(3))
+    assert(ham <= 6, s"jittered hamming $ham")
+  }
+
   test("syntheticWavs: real codec bytes, decodable, per-id deterministic") {
     val ds = Multimodal.syntheticWavs(Seq((1L, "a"), (2L, "b")).toDS())
     val recs = Multimodal.decodeAudio(ds).collect().sortBy(_.key)
