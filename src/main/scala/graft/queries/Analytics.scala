@@ -630,6 +630,160 @@ object Analytics {
         FROM cand
         WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6
         ORDER BY da, db"""
-      })
+      }),
+
+    // ---- Spearman rank correlation ----------------------------------------
+    // Per-nation monotone association between supplier balance and
+    // realized supply revenue: ranks are row_number with a suppkey
+    // tie-break (deterministic total order; revenue compared as exact
+    // decimal), Σd² folds in BIGINT, ρ = 1 − 6Σd²/(n(n²−1)) is one IEEE
+    // division. The rank windows are PARTITIONED by nation — the same
+    // sharding q201's percent_rank rides; no global sort anywhere.
+    "q205_spearman" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(Det.moneySumExact(col("l_extendedprice")).as("rev"))
+        val sup = t(s, dir, "supplier")
+          .join(rev, Seq("s_suppkey"), "left_outer")
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+            coalesce(col("rev"), lit(0).cast(Det.Money)).as("rev"))
+        val wx = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+        val wy = Window.partitionBy("s_nationkey").orderBy("rev", "s_suppkey")
+        val ranked = sup
+          .withColumn("rx", row_number().over(wx).cast("long"))
+          .withColumn("ry", row_number().over(wy).cast("long"))
+        ranked.groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+          .filter(col("n") >= 2)
+          .select(col("s_nationkey"), col("n"),
+            (lit(1.0) - lit(6.0) * col("sd2").cast("double")
+              / (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey AS s_suppkey,
+            SUM(${Det.sqlMoney("l_extendedprice")}) AS rev
+          FROM lineitem GROUP BY 1),
+        sup AS (SELECT s_nationkey, s.s_suppkey, s_acctbal,
+            COALESCE(rev, CAST(0 AS DECIMAL(12,2))) AS rev
+          FROM supplier s LEFT JOIN rev ON s.s_suppkey = rev.s_suppkey),
+        ranked AS (SELECT s_nationkey,
+            CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+              ORDER BY s_acctbal, s_suppkey) AS BIGINT) AS rx,
+            CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+              ORDER BY rev, s_suppkey) AS BIGINT) AS ry
+          FROM sup),
+        agg AS (SELECT s_nationkey, COUNT(*) AS n,
+            SUM((rx - ry) * (rx - ry)) AS sd2
+          FROM ranked GROUP BY s_nationkey)
+      SELECT s_nationkey, n,
+        1.0 - 6.0 * CAST(sd2 AS DOUBLE) / CAST(n * (n*n - 1) AS DOUBLE) AS rho
+      FROM agg WHERE n >= 2 ORDER BY s_nationkey""")),
+
+    // ---- Mann-Whitney U test ----------------------------------------------
+    // Two-sample location test (URGENT vs LOW order totals): midrank
+    // handling kept INTEGER by doubling — a tied run of m values starting
+    // after cumulative count c has 2·midrank = 2c + m + 1, so the group
+    // rank sum folds as BIGINT and 2·U₁ = 2n₁n₂ + n₁(n₁+1) − 2R₁ is
+    // exact. The z-score (no tie correction — documented) is one fixed
+    // IEEE tree with a correctly-rounded sqrt. Values are dollar-
+    // quantized so the count-first table spans the bounded price domain
+    // (the q199 ruling).
+    "q206_mannwhitney" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(floor(col("o_totalprice")).cast("long").as("d"),
+            (col("o_orderpriority") === "1-URGENT").as("g1"))
+        val vc = o.groupBy("d").agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
+        val wCum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val mid = vc.withColumn("cb",
+            coalesce(sum(col("c1") + col("c2")).over(wCum), lit(0L)))
+          .withColumn("mr2", lit(2L) * col("cb") + col("c1") + col("c2") + 1L)
+        val sums = mid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(col("c1") * col("mr2")).as("r1x2"))
+        sums.select(col("n1"), col("n2"),
+            (lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1L)
+              - col("r1x2")).as("u1x2"))
+          .withColumn("z",
+            (col("u1x2") - col("n1") * col("n2")).cast("double")
+              / (lit(2.0) * sqrt((col("n1") * col("n2")
+                * (col("n1") + col("n2") + 1L)).cast("double") / lit(12.0))))
+          .orderBy("n1")
+      },
+      Some("""WITH o AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS d,
+            o_orderpriority = '1-URGENT' AS g1
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        vc AS (SELECT d, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+            SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS c2
+          FROM o GROUP BY d),
+        mid AS (SELECT d, c1, c2,
+            COALESCE(SUM(c1 + c2) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM vc),
+        sums AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+            SUM(c1 * (2*cb + c1 + c2 + 1)) AS r1x2
+          FROM mid)
+      SELECT n1, n2,
+        2*n1*n2 + n1*(n1 + 1) - r1x2 AS u1x2,
+        CAST(2*n1*n2 + n1*(n1 + 1) - r1x2 - n1*n2 AS DOUBLE)
+          / (2.0 * SQRT(CAST(n1*n2*(n1 + n2 + 1) AS DOUBLE) / 12.0)) AS z
+      FROM sums ORDER BY n1""")),
+
+    // ---- Kolmogorov-Smirnov two-sample test ---------------------------------
+    // D = max |F₁ − F₂| kept exact by cross-multiplying the empirical
+    // CDFs: |cum₁·n₂ − cum₂·n₁| is BIGINT (≤ n₁·n₂ ≈ 4e9 at sf0.1), the
+    // argmax is an integer comparison with an earliest-value tie-break,
+    // and D itself is ONE division at the end. Same bounded dollar-
+    // quantized value table as q206.
+    "q207_ks_test" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(floor(col("o_totalprice")).cast("long").as("d"),
+            (col("o_orderpriority") === "1-URGENT").as("g1"))
+        val vc = o.groupBy("d").agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
+        val wCum = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vc
+          .withColumn("cum1", sum(col("c1")).over(wCum))
+          .withColumn("cum2", sum(col("c2")).over(wCum))
+          .crossJoin(broadcast(vc.agg(sum(col("c1")).as("n1"),
+            sum(col("c2")).as("n2"))))
+          .withColumn("dnum", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        val wPick = Window.orderBy(desc("dnum"), col("d"))
+        cum.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("d").as("at_value"), col("n1"), col("n2"), col("dnum"),
+            (col("dnum").cast("double")
+              / (col("n1") * col("n2")).cast("double")).as("ks_d"))
+          .orderBy("at_value")
+      },
+      Some("""WITH o AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS d,
+            o_orderpriority = '1-URGENT' AS g1
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        vc AS (SELECT d, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+            SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS c2
+          FROM o GROUP BY d),
+        cum AS (SELECT d,
+            SUM(c1) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cum1,
+            SUM(c2) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS cum2,
+            (SELECT SUM(c1) FROM vc) AS n1, (SELECT SUM(c2) FROM vc) AS n2
+          FROM vc),
+        scored AS (SELECT d, n1, n2,
+            ABS(cum1*n2 - cum2*n1) AS dnum,
+            ROW_NUMBER() OVER (ORDER BY ABS(cum1*n2 - cum2*n1) DESC, d) AS rn
+          FROM cum)
+      SELECT d AS at_value, n1, n2, dnum,
+        CAST(dnum AS DOUBLE) / CAST(n1*n2 AS DOUBLE) AS ks_d
+      FROM scored WHERE rn = 1 ORDER BY at_value"""))
   )
 }
