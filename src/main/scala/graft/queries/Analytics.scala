@@ -380,11 +380,16 @@ object Analytics {
         val wCum = Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = vc.withColumn("cum", sum(col("cnt")).over(wCum))
-          .crossJoin(broadcast(vals.agg(count(lit(1)).as("nn"))))
-        val fences = (1 to 7).map { k =>
-          cum.filter(col("cum") >= expr(s"((nn - 1) * $k) div 8") + 1)
-            .agg(min(col("d")).as("fence"))
-        }.reduce(_ unionAll _)
+          .crossJoin(broadcast(vc.agg(sum(col("cnt")).as("nn"))))
+        // all 7 fences in ONE aggregate pass over the cum table (a
+        // conditional min per fence), exploded back to rows for the join
+        val fenceCols = (1 to 7).map { k =>
+          min(when(col("cum") >= expr(s"((nn - 1) * $k) div 8") + 1, col("d")))
+            .as(s"f$k")
+        }
+        val fenceRow = cum.agg(fenceCols.head, fenceCols.tail: _*)
+        val fences = fenceRow.select(
+          explode(array((1 to 7).map(k => col(s"f$k")): _*)).as("fence"))
         vc.crossJoin(broadcast(fences))
           .groupBy("d")
           .agg(sum(when(col("d") > col("fence"), 1L).otherwise(0L))
