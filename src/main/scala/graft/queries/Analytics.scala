@@ -789,6 +789,142 @@ object Analytics {
           FROM cum)
       SELECT d AS at_value, n1, n2, dnum,
         CAST(dnum AS DOUBLE) / CAST(n1*n2 AS DOUBLE) AS ks_d
-      FROM scored WHERE rn = 1 ORDER BY at_value"""))
+      FROM scored WHERE rn = 1 ORDER BY at_value""")),
+
+    // ---- chi² independence + Cramér's V ------------------------------------
+    // Association strength for a whole contingency table (market segment
+    // × region), where q153 scores terms one at a time. Per-cell χ²
+    // terms are one fixed tree over exact integers ((o·n − rs·cs)² /
+    // (n·rs·cs)); the CROSS-CELL sum — normally order-nondeterministic
+    // in IEEE — is made portable by folding a DETERMINISTICALLY SORTED
+    // cell list left-to-right (Spark `aggregate` over
+    // sort_array(collect_list), DuckDB `list_reduce` over an ORDER BY
+    // aggregate list: both are left folds). The cell domain is
+    // |segments|·|regions| = 25 — value-bounded.
+    "q208_cramers_v" -> Q(
+      (s, dir) => {
+        val cells = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("n_regionkey").as("reg"))
+          .agg(count(lit(1)).as("o"))
+        val withMarg = cells
+          .withColumn("rs", sum(col("o")).over(Window.partitionBy("seg")))
+          .withColumn("cs", sum(col("o")).over(Window.partitionBy("reg")))
+          .crossJoin(broadcast(cells.agg(sum(col("o")).as("nn"),
+            countDistinct(col("seg")).as("r"), countDistinct(col("reg")).as("c"))))
+        val term = ((col("o") * col("nn") - col("rs") * col("cs"))
+          * (col("o") * col("nn") - col("rs") * col("cs"))).cast("double")
+          ./((col("nn") * col("rs") * col("cs")).cast("double"))
+        withMarg.withColumn("term", term)
+          .groupBy("nn", "r", "c")
+          .agg(expr("aggregate(sort_array(collect_list(struct(seg, reg, term)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2"))
+          .select(col("nn").as("n"), col("r"), col("c"), col("chi2"),
+            sqrt(col("chi2") / (col("nn") * least(col("r") - 1, col("c") - 1))
+              .cast("double")).as("cramers_v"))
+          .orderBy("n")
+      },
+      Some("""WITH cells AS (SELECT c_mktsegment AS seg, n_regionkey AS reg,
+            COUNT(*) AS o
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        marg AS (SELECT seg, reg, o,
+            SUM(o) OVER (PARTITION BY seg) AS rs,
+            SUM(o) OVER (PARTITION BY reg) AS cs,
+            (SELECT SUM(o) FROM cells) AS nn,
+            (SELECT COUNT(DISTINCT seg) FROM cells) AS r,
+            (SELECT COUNT(DISTINCT reg) FROM cells) AS c
+          FROM cells),
+        terms AS (SELECT nn, r, c, seg, reg,
+            CAST((o*nn - rs*cs) * (o*nn - rs*cs) AS DOUBLE)
+              / CAST(nn*rs*cs AS DOUBLE) AS term
+          FROM marg),
+        folded AS (SELECT nn, r, c,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(term ORDER BY seg, reg)), (acc, x) -> acc + x) AS chi2
+          FROM terms GROUP BY nn, r, c)
+      SELECT nn AS n, r, c, chi2,
+        SQRT(chi2 / CAST(nn * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+      FROM folded ORDER BY n""")),
+
+    // ---- rolling correlation ----------------------------------------------
+    // 14-day co-movement of two event streams (click vs purchase daily
+    // volumes): the six power sums ride ONE rows-frame window each over
+    // the bounded day spine, then the q193 Pearson tree per day. The
+    // frame makes the sums exact integers regardless of scale; only the
+    // final r is IEEE.
+    "q209_rolling_corr" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val two = sp.groupBy("day").agg(
+          sum(when(col("event_type") === "click", col("y")).otherwise(0L)).as("ya"),
+          sum(when(col("event_type") === "purchase", col("y")).otherwise(0L)).as("yb"))
+        val w = Window.orderBy("day").rowsBetween(-13, 0)
+        val k = Window.orderBy("day")
+        val rolled = two
+          .withColumn("idx", row_number().over(k))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sa", sum(col("ya")).over(w))
+          .withColumn("sb", sum(col("yb")).over(w))
+          .withColumn("sab", sum(col("ya") * col("yb")).over(w))
+          .withColumn("saa", sum(col("ya") * col("ya")).over(w))
+          .withColumn("sbb", sum(col("yb") * col("yb")).over(w))
+          .filter(col("idx") >= 14)
+        rolled.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("sa"), col("sb"),
+            ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+                 * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+              .as("corr14"))
+          .orderBy("day")
+      },
+      Some(s"""WITH $spineSql,
+          two AS (SELECT day,
+              SUM(CASE WHEN event_type = 'click' THEN y ELSE 0 END) AS ya,
+              SUM(CASE WHEN event_type = 'purchase' THEN y ELSE 0 END) AS yb
+            FROM sp GROUP BY day),
+          rolled AS (SELECT day, ya, yb,
+              ROW_NUMBER() OVER (ORDER BY day) AS idx,
+              COUNT(*) OVER w AS n,
+              SUM(ya) OVER w AS sa, SUM(yb) OVER w AS sb,
+              SUM(ya*yb) OVER w AS sab, SUM(ya*ya) OVER w AS saa,
+              SUM(yb*yb) OVER w AS sbb
+            FROM two
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, sa, sb,
+          CAST(n*sab - sa*sb AS DOUBLE)
+            / (SQRT(CAST(n*saa - sa*sa AS DOUBLE))
+               * SQRT(CAST(n*sbb - sb*sb AS DOUBLE))) AS corr14
+        FROM rolled WHERE idx >= 14 ORDER BY day""")),
+
+    // ---- event path trigrams ----------------------------------------------
+    // Sequence mining: the most common 3-step behavior paths. Each
+    // user's total-ordered event stream ((ts, event_id) — the q154
+    // ordering) yields per-row (e, next, next²) via two leads riding ONE
+    // user-partitioned sort; global top-10 paths end in a
+    // TakeOrderedAndProject (never a corpus-wide rank window, the q158
+    // ruling), with a path-string tie-break for determinism.
+    "q210_event_trigrams" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val paths = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path")).limit(10)
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+            LEAD(event_type, 1) OVER w AS e2,
+            LEAD(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        paths AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+          FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      SELECT path, COUNT(*) AS n FROM paths
+      GROUP BY path ORDER BY n DESC, path LIMIT 10"""))
   )
 }
