@@ -45,6 +45,15 @@ object Analytics {
         coalesce(col("n"), lit(0L)).as("y"))
   }
 
+  /** Benford first-digit probabilities log10(1+1/d), d = 1..9, as FIXED
+    * decimal strings: both engines PARSE the identical string (correctly
+    * rounded in each), because computing log10 at build time is not
+    * portable — JVM Math.log10 and C libm differ in the last ulp. */
+  private val BenfordProbs: Seq[String] = Seq(
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+
   /** Per-group OLS over a `(g, x, y)` integer series: six BIGINT power
     * sums (map-side combinable, ADDITIVE — a [[graft.catalog.Rollup]]
     * maintaining per-day counts feeds this directly, the streaming trend
@@ -925,6 +934,184 @@ object Analytics {
         paths AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
           FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
       SELECT path, COUNT(*) AS n FROM paths
-      GROUP BY path ORDER BY n DESC, path LIMIT 10"""))
+      GROUP BY path ORDER BY n DESC, path LIMIT 10""")),
+
+    // ---- Benford first-digit test -----------------------------------------
+    // Fraud/anomaly screening for money columns: observed first-digit
+    // counts vs Benford's log10(1+1/d). The expected shares are COMPILED
+    // CONSTANTS spliced into both engines from the same Scala double
+    // (shortest-repr round-trip, so both parse the identical bit
+    // pattern) — no log() at query time (non-correctly-rounded libm, the
+    // q147 ruling). First digit by string head of the integer part —
+    // pure integer/string ops. χ² folds the 9 bounded digit terms in
+    // sorted order (the q208 portable-fold pattern).
+    "q211_benford" -> Q(
+      (s, dir) => {
+        val probCol = BenfordProbs.zipWithIndex.map { case (p, i) =>
+          when(col("digit") === (i + 1), lit(p.toDouble))
+        }.reduceRight(_ otherwise _)
+        val digits = t(s, dir, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("o"))
+        val scored = digits
+          .crossJoin(broadcast(digits.agg(sum(col("o")).as("nn"))))
+          .withColumn("expected", col("nn").cast("double") * probCol)
+          .withColumn("term",
+            (col("o").cast("double") - col("expected"))
+              * (col("o").cast("double") - col("expected")) / col("expected"))
+        val chi2 = scored.groupBy("nn")
+          .agg(expr("aggregate(sort_array(collect_list(struct(digit, term)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2"))
+          .select(col("chi2"))
+        scored.crossJoin(broadcast(chi2))
+          .select(col("digit"), col("o"), col("expected"), col("term"), col("chi2"))
+          .orderBy("digit")
+      },
+      Some {
+        val probCase = BenfordProbs.zipWithIndex.map { case (p, i) =>
+          s"WHEN digit = ${i + 1} THEN CAST($p AS DOUBLE)"
+        }.mkString("CASE ", " ", " END")
+        s"""WITH digits AS (SELECT
+              CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS digit,
+              COUNT(*) AS o
+            FROM orders GROUP BY 1),
+          scored AS (SELECT digit, o,
+              CAST((SELECT SUM(o) FROM digits) AS DOUBLE) * ($probCase) AS expected
+            FROM digits),
+          terms AS (SELECT digit, o, expected,
+              (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+                / expected AS term
+            FROM scored),
+          folded AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(term ORDER BY digit)), (acc, x) -> acc + x) AS chi2
+            FROM terms)
+        SELECT digit, o, expected, term, chi2
+        FROM terms CROSS JOIN folded ORDER BY digit"""
+      }),
+
+    // ---- weighted median ----------------------------------------------------
+    // Order-statistic with weights: the quantity-weighted median line
+    // price per return flag. Weights are integral quantities, the value
+    // domain is cents — the count-first table carries (value, Σweight)
+    // and the fence is the smallest value with 2·cumweight ≥ W, an exact
+    // integer comparison (weighted lower median; never interpolated).
+    "q212_weighted_median" -> Q(
+      (s, dir) => {
+        val vc = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            (Det.money(col("l_extendedprice")) * 100).cast("long").as("cents"),
+            floor(col("l_quantity")).cast("long").as("qty"))
+          .groupBy("flag", "cents").agg(sum(col("qty")).as("wt"))
+        val wCum = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("flag")
+        vc.withColumn("cum", sum(col("wt")).over(wCum))
+          .withColumn("tot", sum(col("wt")).over(wAll))
+          .groupBy("flag")
+          .agg(max(col("tot")).as("total_weight"),
+            min(when(col("cum") * 2 >= col("tot"), col("cents"))).as("median_cents"))
+          .orderBy("flag")
+      },
+      Some(s"""WITH vc AS (SELECT l_returnflag AS flag,
+            CAST(${Det.sqlMoney("l_extendedprice")} * 100 AS BIGINT) AS cents,
+            SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS wt
+          FROM lineitem GROUP BY 1, 2),
+        cum AS (SELECT flag, cents, wt,
+            SUM(wt) OVER (PARTITION BY flag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(wt) OVER (PARTITION BY flag) AS tot
+          FROM vc)
+      SELECT flag, MAX(tot) AS total_weight,
+        MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS median_cents
+      FROM cum GROUP BY flag ORDER BY flag""")),
+
+    // ---- conversion latency percentiles ------------------------------------
+    // Time-to-convert distribution: per user, first view → first
+    // purchase (two conditional mins in ONE user-keyed aggregate — no
+    // self-join), latencies quantized to whole minutes so the
+    // count-first quantile table spans the calendar-bounded minute
+    // domain, and the p25/50/75/90 fences are SELECTED (Robust's
+    // nearest-rank discipline). All integers.
+    "q213_conversion_latency" -> Q(
+      (s, dir) => {
+        val firsts = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("tv"),
+            min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+              .as("tp"))
+          .filter(col("tv").isNotNull && col("tp").isNotNull
+            && col("tp") > col("tv"))
+          .select(expr("(tp - tv) div 60000000").as("lat_min"))
+        val med = graft.operators.Robust
+          .quantileSelect(firsts.withColumn("g", lit(1)), "g", "lat_min",
+            Seq(25, 50, 75, 90))
+        med.select(col("n").as("n_converted"), col("q25"), col("q50"),
+          col("q75"), col("q90"))
+      },
+      Some("""WITH firsts AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+            MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+          FROM events GROUP BY user_id),
+        lat AS (SELECT CAST((tp - tv) // 60000000 AS BIGINT) AS lat_min
+          FROM firsts WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv),
+        r AS (SELECT lat_min,
+            ROW_NUMBER() OVER (ORDER BY lat_min) AS rn,
+            COUNT(*) OVER () AS nn
+          FROM lat)
+      SELECT MAX(nn) AS n_converted,
+        MIN(CASE WHEN rn >= (nn - 1) * 25 // 100 + 1 THEN lat_min END) AS q25,
+        MIN(CASE WHEN rn >= (nn - 1) * 50 // 100 + 1 THEN lat_min END) AS q50,
+        MIN(CASE WHEN rn >= (nn - 1) * 75 // 100 + 1 THEN lat_min END) AS q75,
+        MIN(CASE WHEN rn >= (nn - 1) * 90 // 100 + 1 THEN lat_min END) AS q90
+      FROM r""")),
+
+    // ---- session bounce rate ------------------------------------------------
+    // The q18 sessionization (30-min-gap islands on one user-ordered
+    // pass) folded to the product metric: per day-of-session-start,
+    // total sessions, single-event bounces, and the rate as one IEEE
+    // division of exact counts.
+    "q214_bounce_rate" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = 30L * 60 * 1000000
+        val sess = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("newSess",
+            when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+              .when(lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("newSess")).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val perSess = sess.groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"))
+        perSess.groupBy(date_format(to_date(col("t0")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
+          .withColumn("bounce_rate",
+            col("bounces").cast("double") / col("sessions").cast("double"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us
+          FROM events),
+        marked AS (SELECT *,
+            CASE WHEN LAG(us) OVER w IS NULL THEN 1
+                 WHEN us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS newSess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (SELECT *,
+            SUM(newSess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked),
+        per AS (SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS t0
+          FROM sess GROUP BY 1, 2)
+      SELECT STRFTIME(CAST(t0 AS DATE), '%Y-%m-%d') AS day,
+        COUNT(*) AS sessions,
+        SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
+        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+      FROM per GROUP BY 1 ORDER BY day"""))
   )
 }
