@@ -552,4 +552,56 @@ class PlanShapeSpec extends SparkSpec {
         s"gini rank window sorts un-aggregated base rows:\n${df.queryExecution.optimizedPlan}")
     }
   }
+
+  test("q192/q194 time-series: every window is aggregate-bounded (spine, not fact)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def reachesLeafWithoutAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(reachesLeafWithoutAggregate)
+    }
+    for (q <- Seq("q192_daily_trend", "q194_changepoint", "q209_rolling_corr")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      windows.foreach { w =>
+        assert(!reachesLeafWithoutAggregate(w.child),
+          s"$q: a window sorts un-aggregated event rows:\n${df.queryExecution.optimizedPlan}")
+      }
+    }
+  }
+
+  test("q197 vocab bitmask: vocab is a LIMIT (TakeOrdered), joined by broadcast") {
+    val df = SparkEntry.queries("q197_vocab_bitmask")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-24 must plan as TakeOrderedAndProject, not a rank window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"24-row vocab must broadcast into the token join:\n$plan")
+  }
+
+  test("q204 image phash: band join is equi (no cartesian), hashes only shuffle") {
+    val df = SparkEntry.queries("q204_image_phash_dups")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"band candidate join degenerated to an all-pairs product:\n$plan")
+  }
+
+  test("q210 trigrams: global top-10 is TakeOrderedAndProject, not a rank window") {
+    val df = SparkEntry.queries("q210_event_trigrams")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 paths must not plan a corpus-wide rank window:\n$plan")
+  }
+
+  test("q199 histogram: fences come from ONE aggregate pass (a single window)") {
+    val df = SparkEntry.queries("q199_equidepth_hist")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val windowOps = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windowOps <= 1,
+      s"expected a single cumulative window (one fence pass), saw $windowOps:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 7-row fence table must broadcast into the bucket tagging:\n$plan")
+  }
 }
