@@ -54,6 +54,14 @@ object Analytics {
     "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
     "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
 
+  /** NDCG@10 rank discounts 1/log2(pos+1), pos = 1..10, as fixed decimal
+    * strings (the [[BenfordProbs]] portability ruling: log2 at build time
+    * differs between libms in the last ulp; a parsed string does not). */
+  private val NdcgW: Seq[String] = Seq(
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879")
+
   /** Per-group OLS over a `(g, x, y)` integer series: six BIGINT power
     * sums (map-side combinable, ADDITIVE — a [[graft.catalog.Rollup]]
     * maintaining per-day counts feeds this directly, the streaming trend
@@ -1112,6 +1120,76 @@ object Analytics {
         SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
-      FROM per GROUP BY 1 ORDER BY day"""))
+      FROM per GROUP BY 1 ORDER BY day""")),
+
+    // ---- NDCG ranking quality ---------------------------------------------
+    // The IR-evaluation metric for the retrieval stack (q68/q120), run
+    // on a self-contained ranking: per nation, the top-10 customers by
+    // balance (WindowGroupLimit — the rank cap sits below the exchange),
+    // relevance = "placed ≥ 5 orders" (exact count). The log2 discounts
+    // are parsed-string constants per position; DCG and the ideal DCG
+    // fold ≤10 terms in EXPLICIT position order (the q208 portable
+    // fold), and NDCG is one division — null when the list has no
+    // relevant member, identically in both engines.
+    "q215_ndcg" -> Q(
+      (s, dir) => {
+        val wRank = Window.partitionBy("c_nationkey")
+          .orderBy(desc("c_acctbal"), col("c_custkey"))
+        val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        val top = t(s, dir, "customer")
+          .withColumn("pos", row_number().over(wRank))
+          .filter(col("pos") <= 10)
+          .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+          .withColumn("rel",
+            when(coalesce(col("n_orders"), lit(0L)) >= 5, 1L).otherwise(0L))
+        val wIdeal = Window.partitionBy("c_nationkey")
+          .orderBy(desc("rel"), col("pos"))
+        val scored = top
+          .withColumn("ipos", row_number().over(wIdeal))
+          .withColumn("w", NdcgW.zipWithIndex.map { case (v, i) =>
+            when(col("pos") === (i + 1), lit(v.toDouble))
+          }.reduceRight(_ otherwise _))
+          .withColumn("iw", NdcgW.zipWithIndex.map { case (v, i) =>
+            when(col("ipos") === (i + 1), lit(v.toDouble))
+          }.reduceRight(_ otherwise _))
+        scored.groupBy("c_nationkey")
+          .agg(sum(col("rel")).as("n_rel"),
+            expr("aggregate(sort_array(collect_list(struct(pos, rel, w)))," +
+              " CAST(0 AS DOUBLE), (acc, x) -> acc + x.rel * x.w)").as("dcg"),
+            expr("aggregate(sort_array(collect_list(struct(ipos, rel, iw)))," +
+              " CAST(0 AS DOUBLE), (acc, x) -> acc + x.rel * x.iw)").as("idcg"))
+          .select(col("c_nationkey"), col("n_rel"), col("dcg"), col("idcg"),
+            when(col("idcg") > 0, col("dcg") / col("idcg")).as("ndcg"))
+          .orderBy("c_nationkey")
+      },
+      Some {
+        def wcase(c: String) = NdcgW.zipWithIndex.map { case (v, i) =>
+          s"WHEN $c = ${i + 1} THEN CAST($v AS DOUBLE)"
+        }.mkString("CASE ", " ", " END")
+        s"""WITH cnt AS (SELECT o_custkey, COUNT(*) AS n_orders
+              FROM orders GROUP BY 1),
+          top AS (SELECT c_nationkey, c_custkey, pos FROM (
+              SELECT c_nationkey, c_custkey,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS pos
+              FROM customer) WHERE pos <= 10),
+          rels AS (SELECT c_nationkey, pos,
+              CASE WHEN COALESCE(n_orders, 0) >= 5 THEN 1 ELSE 0 END AS rel
+            FROM top LEFT JOIN cnt ON c_custkey = o_custkey),
+          ideal AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY rel DESC, pos) AS ipos FROM rels),
+          folded AS (SELECT c_nationkey, SUM(rel) AS n_rel,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(rel * (${wcase("pos")}) ORDER BY pos)),
+                (acc, x) -> acc + x) AS dcg,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(rel * (${wcase("ipos")}) ORDER BY ipos)),
+                (acc, x) -> acc + x) AS idcg
+            FROM ideal GROUP BY c_nationkey)
+        SELECT c_nationkey, n_rel, dcg, idcg,
+          CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+        FROM folded ORDER BY c_nationkey"""
+      })
   )
 }
