@@ -1190,6 +1190,49 @@ object Analytics {
         SELECT c_nationkey, n_rel, dcg, idcg,
           CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
         FROM folded ORDER BY c_nationkey"""
-      })
+      }),
+
+    // ---- quantile normalization -------------------------------------------
+    // The bioinformatics/feature-prep transform that forces every
+    // feature dimension onto a shared distribution: rank each value
+    // within its dimension (deterministic (v, vec_id) order; the window
+    // is PARTITIONED by the 64 dims — documented parallelism bound, the
+    // q198 sibling), average the 64 per-rank values into the reference
+    // profile with the ORDERED fold (sum of 64 doubles is otherwise
+    // order-nondeterministic), divide by the rank's dim count, and map
+    // every cell to its rank's profile value. Output is the bounded
+    // vec_id slice; the profile is computed from the WHOLE corpus.
+    "q216_quantile_norm" -> Q(
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            col("v").cast("double").as("v"))
+        val wr = Window.partitionBy("dim").orderBy("v", "vec_id")
+        val ranked = ex.withColumn("rk", row_number().over(wr))
+        val prof = ranked.groupBy("rk")
+          .agg((expr("aggregate(sort_array(collect_list(struct(dim, v)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)")
+            / count(lit(1)).cast("double")).as("pv"))
+        ranked.filter(col("vec_id") < 30)
+          .join(prof, "rk")
+          .select(col("vec_id"), col("dim"), col("v"), col("pv").as("qnorm"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+            CAST(UNNEST(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        ranked AS (SELECT vec_id, dim, v,
+            ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rk
+          FROM ex),
+        prof AS (SELECT rk,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(v ORDER BY dim)), (acc, x) -> acc + x)
+              / CAST(COUNT(*) AS DOUBLE) AS pv
+          FROM ranked GROUP BY rk)
+      SELECT vec_id, dim, v, pv AS qnorm
+      FROM ranked JOIN prof USING (rk)
+      WHERE vec_id < 30 ORDER BY vec_id, dim"""))
   )
 }
