@@ -1233,6 +1233,90 @@ object Analytics {
           FROM ranked GROUP BY rk)
       SELECT vec_id, dim, v, pv AS qnorm
       FROM ranked JOIN prof USING (rk)
-      WHERE vec_id < 30 ORDER BY vec_id, dim"""))
+      WHERE vec_id < 30 ORDER BY vec_id, dim""")),
+
+    // ---- batch perceptron (integer-exact distributed training) -------------
+    // A linear classifier TRAINED inside the engine, bit-reproducibly:
+    // features are the q109 int8-quantized embeddings, labels y = ±1
+    // from the fixture's label column, and each round of the batch
+    // (pocket-style) perceptron — margin yᵢ(w·xᵢ), misclassified set,
+    // w ← w + Σ yᵢxᵢ — is PURE INTEGER arithmetic, so three rounds of
+    // distributed gradient training hash-match DuckDB replaying the
+    // same rounds as a generated MATERIALIZED CTE chain (the
+    // q118/q157/q168 iterative-oracle pattern). Per round: one
+    // dim-keyed join against the broadcast 64-long weight table and two
+    // map-side-combinable aggregates; the weights collected to the
+    // driver are the model itself (the Ivf-centroid ruling). Dot
+    // magnitudes: |w| ≤ n·127 ≈ 8e7 at sf0.1, dot ≤ 64·127·|w| ≈ 6e11
+    // — inside int64.
+    "q217_perceptron" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+          .join(emb.select(col("vec_id").as("id"),
+            when(col("label") % 2 === 0, 1L).otherwise(-1L).as("y")), "id")
+        val ex = q.select(col("id"), col("y"),
+            posexplode(col("qvec")).as(Seq("dim", "x")))
+          .select(col("id"), col("y"), col("dim").cast("long").as("dim"),
+            col("x"))
+        ex.persist()
+        val nDims = ex.agg(max(col("dim"))).head().getLong(0).toInt + 1
+        var w = Array.fill(nDims)(0L)
+        val snaps = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+        for (_ <- 1 to 3) {
+          val spark = ex.sparkSession
+          import spark.implicits._
+          val wdf = w.zipWithIndex.toSeq.map { case (v, d) => (d.toLong, v) }
+            .toDF("dim", "wv")
+          val dots = ex.join(broadcast(wdf), "dim")
+            .groupBy("id", "y").agg(sum(col("x") * col("wv")).as("dot"))
+          val updates = ex
+            .join(dots.filter(col("y") * col("dot") <= 0).select("id"), "id")
+            .groupBy("dim").agg(sum(col("y") * col("x")).as("u"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          w = w.zipWithIndex.map { case (v, d) =>
+            v + updates.getOrElse(d.toLong, 0L)
+          }
+          snaps += w.clone()
+        }
+        ex.unpersist()
+        val spark2 = s
+        import spark2.implicits._
+        (0 until nDims).map { d =>
+          (d.toLong, snaps(0)(d), snaps(1)(d), snaps(2)(d))
+        }.toDF("dim", "w1", "w2", "w3").orderBy("dim")
+      },
+      Some("""WITH q AS MATERIALIZED (SELECT vec_id AS id,
+            CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y,
+            list_transform(
+              CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                   ELSE list_transform(v, x -> floor(x / amax * 127.0 + 0.5)) END,
+              x -> CAST(x AS BIGINT)) AS qv
+          FROM (SELECT vec_id, label,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+              CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings)),
+        ex AS MATERIALIZED (SELECT id, y,
+            CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+            UNNEST(qv) AS x
+          FROM q),
+        w1 AS MATERIALIZED (SELECT dim, SUM(y * x) AS w FROM ex GROUP BY dim),
+        d2 AS MATERIALIZED (SELECT e.id, e.y, SUM(e.x * w1.w) AS dot
+          FROM ex e JOIN w1 ON e.dim = w1.dim GROUP BY e.id, e.y),
+        u2 AS MATERIALIZED (SELECT dim, SUM(e.y * e.x) AS u
+          FROM ex e JOIN d2 ON e.id = d2.id
+          WHERE d2.y * d2.dot <= 0 GROUP BY dim),
+        w2 AS MATERIALIZED (SELECT w1.dim, w1.w + COALESCE(u2.u, 0) AS w
+          FROM w1 LEFT JOIN u2 ON w1.dim = u2.dim),
+        d3 AS MATERIALIZED (SELECT e.id, e.y, SUM(e.x * w2.w) AS dot
+          FROM ex e JOIN w2 ON e.dim = w2.dim GROUP BY e.id, e.y),
+        u3 AS MATERIALIZED (SELECT dim, SUM(e.y * e.x) AS u
+          FROM ex e JOIN d3 ON e.id = d3.id
+          WHERE d3.y * d3.dot <= 0 GROUP BY dim),
+        w3 AS MATERIALIZED (SELECT w2.dim, w2.w + COALESCE(u3.u, 0) AS w
+          FROM w2 LEFT JOIN u3 ON w2.dim = u3.dim)
+      SELECT w1.dim, w1.w AS w1, w2.w AS w2, w3.w AS w3
+      FROM w1 JOIN w2 ON w1.dim = w2.dim JOIN w3 ON w1.dim = w3.dim
+      ORDER BY w1.dim"""))
   )
 }
