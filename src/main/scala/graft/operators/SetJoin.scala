@@ -78,4 +78,50 @@ object SetJoin {
         lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
       .select("a", "b", "inter", "sz_a", "sz_b")
   }
+
+  /** ASYMMETRIC containment join: all ordered pairs (a ≠ b) with
+    * |A∩B| / |A| ≥ tNum/tDen — "a is (mostly) contained in b", the
+    * quote/inclusion detector Jaccard misses when |B| ≫ |A|.
+    *
+    * Containment prefix lemma: overlap ≥ α = ceil(t·|A|) means A's first
+    * |A|−α+1 tokens (any global order) must hit B's FULL set — only the
+    * PROBE side gets a prefix; the build side keeps whole postings.
+    * Consequence for scale: candidate fan-out is bounded by df(prefix
+    * token) with no B-side pruning — ascending-df order keeps prefix
+    * tokens corpus-rarest (same mitigation as [[jaccardJoin]]), and a
+    * 100 TB deployment serves the B side from the capped q119 posting
+    * index with an exact fallback verify for capped terms. Integer ceil
+    * arithmetic and string-level verification as in [[jaccardJoin]]. */
+  def containmentJoin(elRaw: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen)
+    val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
+      .localCheckpoint(true)
+    val sz = el.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfc = el.groupBy("tokh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy("df", "tokh", "tok")
+    val prefix = el.join(dfc, "tokh").join(sz, "id")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("id"), col("tokh"))
+    val cand = prefix.select(col("id").as("a"), col("tokh"))
+      .join(el.select(col("id").as("b"), col("tokh")), "tokh")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint(true)
+    val elA = el.join(broadcast(cand.select(col("a").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("a"), col("tok"))
+    val elB = el.join(broadcast(cand.select(col("b").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("b"), col("tok"))
+    val inter = elA.join(broadcast(cand), "a")
+      .join(elB, Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sz.select(col("id").as("b"), col("sz").as("sz_b")), "b")
+      .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
+      .select("a", "b", "inter", "sz_a", "sz_b")
+  }
 }

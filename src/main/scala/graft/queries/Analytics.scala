@@ -1317,6 +1317,38 @@ object Analytics {
           FROM w2 LEFT JOIN u3 ON w2.dim = u3.dim)
       SELECT w1.dim, w1.w AS w1, w2.w AS w2, w3.w AS w3
       FROM w1 JOIN w2 ON w1.dim = w2.dim JOIN w3 ON w1.dim = w3.dim
-      ORDER BY w1.dim"""))
+      ORDER BY w1.dim""")),
+
+    // ---- containment join (asymmetric near-dup) ----------------------------
+    // |A∩B|/|A| ≥ 0.8 over word-3-gram sets: the quote/inclusion
+    // detector that symmetric Jaccard (q173) misses when B is much
+    // larger than A. `SetJoin.containmentJoin` — probe-side-only prefix
+    // under the global df order, exact integer ceil bound, string-level
+    // verify behind a broadcast candidate prune. The oracle runs the
+    // full all-pairs token join, so the hash proves exact recall of the
+    // one-sided prefix filter.
+    "q218_containment_join" -> Q(
+      (s, dir) => {
+        val el = Tables.widened(s, t(s, dir, "documents"))
+          .select(col("doc_id").as("id"),
+            explode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 3))
+              .as("tok"))
+        graft.operators.SetJoin.containmentJoin(el, tNum = 4, tDen = 5)
+          .orderBy("a", "b")
+      },
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+            FROM documents),
+          g AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks) - 1)]) AS grams
+            FROM w WHERE len(toks) >= 3),
+          el AS (SELECT doc_id, unnest(grams) AS tok FROM g),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM el GROUP BY 1),
+          p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+            FROM el a JOIN el b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT a, b, inter, sa.n AS sz_a, sb.n AS sz_b
+        FROM p JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE 5 * inter >= 4 * sa.n
+        ORDER BY a, b"""))
   )
 }

@@ -46,6 +46,48 @@ class SetJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 2L, 2L)))
   }
 
+  test("containment join finds the inclusion that Jaccard misses") {
+    // A = {a,b,c} fully inside B = {a..j}: containment(A,B) = 1 but
+    // Jaccard = 3/10 — the symmetric join must NOT report it, the
+    // containment join MUST (in the A→B direction only).
+    val el = (Seq("a", "b", "c").map(1L -> _) ++
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j").map(2L -> _) ++
+      Seq("x", "y", "z").map(3L -> _)).toDF("id", "tok")
+    val jac = SetJoin.jaccardJoin(el, 4, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"jaccard 0.8 should find nothing: $jac")
+    val con = SetJoin.containmentJoin(el, 4, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(con == Set((1L, 2L, 3L, 3L, 10L)), s"containment: $con")
+  }
+
+  test("containment join equals brute force at several thresholds") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog and cat",
+      3L -> "quick brown fox news", 4L -> "something else entirely here",
+      5L -> "the quick brown fox jumps")
+    val el = docs.toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("tok")).distinct()
+    def brute(tn: Int, td: Int) = {
+      val a = el.select(col("id").as("a"), col("tok"))
+      val b = el.select(col("id").as("b"), col("tok"))
+      val sz = el.groupBy("id").count()
+      a.join(b, "tok").filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("id").as("a"), col("count").as("sz_a")), "a")
+        .join(sz.select(col("id").as("b"), col("count").as("sz_b")), "b")
+        .filter(col("inter") * td >= lit(tn) * col("sz_a"))
+        .select("a", "b", "inter", "sz_a", "sz_b")
+    }
+    for ((tn, td) <- Seq((4, 5), (1, 2), (1, 1))) {
+      val got = SetJoin.containmentJoin(el, tn, td)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = brute(tn, td).as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"t=$tn/$td got=$got want=$want")
+    }
+  }
+
   test("integer gram matrix matches the hand-computed triangle across partitions") {
     val vecs = Seq(Seq(1L, 2L, 3L), Seq(-1L, 0L, 2L), Seq(4L, 4L, 4L))
       .toDF("qvec").repartition(3)
