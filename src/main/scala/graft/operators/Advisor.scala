@@ -56,6 +56,35 @@ object Advisor {
           .otherwise(lit("sort_merge")).as("strategy"))
   }
 
+  /** Exact equi-join output cardinality WITHOUT materializing the join:
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k) over the two key histograms — the
+    * planner's join-size statistic computed from two map-side-combinable
+    * aggregates and a count-table join (shuffle carries one row per
+    * DISTINCT key, never the fact rows). Also reports each side's rows
+    * for the selectivity ratio. */
+  def joinSize(joinName: String, left: DataFrame, lk: Column,
+               right: DataFrame, rk: Column): DataFrame = {
+    val fa = left.groupBy(lk.as("k")).agg(count(lit(1)).as("ca"))
+    val fb = right.groupBy(rk.as("k")).agg(count(lit(1)).as("cb"))
+    fa.join(fb, "k")
+      .agg(sum(col("ca") * col("cb")).as("out_rows"))
+      .crossJoin(fa.agg(sum(col("ca")).as("l_rows")))
+      .crossJoin(fb.agg(sum(col("cb")).as("r_rows")))
+      .select(lit(joinName).as("join_name"), col("l_rows"), col("r_rows"),
+        coalesce(col("out_rows"), lit(0L)).as("out_rows"))
+  }
+
+  /** Oracle-SQL twin of [[joinSize]]. */
+  def joinSizeSql(joinName: String, lt: String, lk: String,
+                  rt: String, rk: String): String =
+    s"""SELECT '$joinName' AS join_name,
+        (SELECT COUNT(*) FROM $lt) AS l_rows,
+        (SELECT COUNT(*) FROM $rt) AS r_rows,
+        COALESCE((SELECT SUM(ca * cb) FROM
+          (SELECT $lk AS k, COUNT(*) AS ca FROM $lt GROUP BY 1) fa
+          JOIN (SELECT $rk AS k, COUNT(*) AS cb FROM $rt GROUP BY 1) fb
+          USING (k)), 0) AS out_rows"""
+
   /** Oracle-SQL twin of [[advise]] over DuckDB tables (same literals,
     * same rule chain) — `lt`/`rt` are table names, `lk`/`rk` key columns. */
   def adviseSql(joinName: String, lt: String, lk: String,

@@ -1349,6 +1349,37 @@ object Analytics {
         SELECT a, b, inter, sa.n AS sz_a, sb.n AS sz_b
         FROM p JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
         WHERE 5 * inter >= 4 * sa.n
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ---- join-cardinality estimation ---------------------------------------
+    // The other half of q200's advisor: EXACT join output size from the
+    // two key histograms (Σ f_A(k)·f_B(k)) without running the join —
+    // the statistic a cost-based planner needs to order a join tree.
+    // The count-table join shuffles one row per distinct key; the
+    // self-join probe (events × purchases on user) is exactly the case
+    // where the estimate explodes quadratically and the planner must
+    // know BEFORE execution.
+    "q219_join_size" -> Q(
+      (s, dir) => {
+        Advisor.joinSize("orders_customer",
+            t(s, dir, "orders"), col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey"))
+          .unionAll(Advisor.joinSize("lineitem_orders",
+            t(s, dir, "lineitem"), col("l_orderkey"),
+            t(s, dir, "orders"), col("o_orderkey")))
+          .unionAll(Advisor.joinSize("events_selfuser",
+            t(s, dir, "events"), col("user_id"),
+            t(s, dir, "events").filter(col("event_type") === "purchase"),
+            col("user_id")))
+          .orderBy("join_name")
+      },
+      Some(Seq(
+          Advisor.joinSizeSql("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          Advisor.joinSizeSql("lineitem_orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          Advisor.joinSizeSql("events_selfuser", "events", "user_id",
+            "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id"))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name")))
   )
 }
