@@ -2519,7 +2519,63 @@ object LlmOps {
           CAST(SUM(a.sx * b.sx) AS BIGINT) AS dot_sums,
           MAX(a.n_c) AS n_a, MAX(b.n_c) AS n_b
         FROM sums a JOIN sums b ON a.i = b.i AND a.label <= b.label
-        GROUP BY a.label, b.label ORDER BY la, lb"""))
+        GROUP BY a.label, b.label ORDER BY la, lb""")),
+
+    // ---- train/eval split leakage audit ------------------------------------
+    // The integrity check every dedup→split pipeline owes its evals:
+    // a near-dup CLUSTER whose members land in different splits leaks
+    // training data into val/test even though every doc is in exactly
+    // one split. Composes q43's connected components with q93's
+    // hash-bucket split rule and reports each leaking cluster's split
+    // census — empty output is the healthy state; the fixture's planted
+    // near-dups make it non-empty. Oracle replays the full chain
+    // (recursive-CTE components + the same md5 split arithmetic).
+    "q220_split_leakage" -> Q(
+      (s, dir) => {
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+            ngram = 2, k = 32, b = 8, r = 4, theta = 0.5))
+        val b = pmod(H.h28(
+          concat(lit("spl:"), col("id").cast("string"))), lit(1000))
+        clusters
+          .withColumn("split",
+            when(b < 900, "train").when(b < 950, "val").otherwise("test"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("split")).as("n_splits"),
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .filter(col("n_splits") > 1)
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $SqlGrams,
+        $SqlMinhashCand,
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
+        pairs AS (SELECT a, b FROM p WHERE jac >= 0.5),
+        sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        reach AS (SELECT src, dst FROM sym
+                  UNION
+                  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        comp AS (SELECT id, LEAST(id, MIN(dst)) AS cluster
+                 FROM nodes LEFT JOIN reach ON reach.src = id
+                 GROUP BY id),
+        sp AS (SELECT id, cluster,
+            CASE WHEN ${H.sqlH28("'spl:' || CAST(id AS VARCHAR)")} % 1000 < 900
+                   THEN 'train'
+                 WHEN ${H.sqlH28("'spl:' || CAST(id AS VARCHAR)")} % 1000 < 950
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM comp)
+        SELECT cluster, COUNT(*) AS n_docs,
+          COUNT(DISTINCT split) AS n_splits,
+          SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+          SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+          SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        FROM sp GROUP BY cluster HAVING COUNT(DISTINCT split) > 1
+        ORDER BY cluster"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
