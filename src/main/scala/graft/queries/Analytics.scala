@@ -1380,6 +1380,161 @@ object Analytics {
             "orders", "o_orderkey"),
           Advisor.joinSizeSql("events_selfuser", "events", "user_id",
             "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id"))
-        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name")))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name"))),
+
+    // ---- Pareto (80/20) coverage -------------------------------------------
+    // "How many users produce 80% of the events?" — kept EXACT and
+    // value-domain bounded: per-user counts collapse to (count-class,
+    // users, volume) rows, the descending cumulative runs over DISTINCT
+    // count values (the q176 Gini companion), the 80% fence is integer
+    // ceil arithmetic, and the crossing class contributes ceil((V −
+    // before)/cnt) additional users — no per-user scan order anywhere.
+    "q221_pareto_coverage" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"))
+        val cls = per.groupBy("cnt").agg(count(lit(1)).as("m"))
+          .withColumn("vol", col("cnt") * col("m"))
+        val wCum = Window.orderBy(desc("cnt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cls
+          .withColumn("cumu", sum(col("m")).over(wCum))
+          .withColumn("cumv", sum(col("vol")).over(wCum))
+          .crossJoin(broadcast(cls.agg(sum(col("m")).as("tu"),
+            sum(col("vol")).as("tv"))))
+          .withColumn("target", expr("(4 * tv + 4) div 5"))
+        val crossing = cum.filter(col("cumv") >= col("target"))
+          .orderBy(desc("cnt")).limit(1)
+        crossing.select(col("tu").as("total_users"), col("tv").as("total_events"),
+            (col("cumu") - col("m")
+              + expr("(target - (cumv - vol) + cnt - 1) div cnt"))
+              .as("users_for_80pct"),
+            col("cnt").as("crossing_class"))
+      },
+      Some("""WITH per AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+          cls AS (SELECT cnt, COUNT(*) AS m, cnt * COUNT(*) AS vol
+            FROM per GROUP BY cnt),
+          cum AS (SELECT cnt, m, vol,
+              SUM(m) OVER w AS cumu, SUM(vol) OVER w AS cumv,
+              (SELECT SUM(m) FROM cls) AS tu, (SELECT SUM(vol) FROM cls) AS tv
+            FROM cls WINDOW w AS (ORDER BY cnt DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          f AS (SELECT *, (4 * tv + 4) // 5 AS target FROM cum),
+          x AS (SELECT * FROM f WHERE cumv >= target ORDER BY cnt DESC LIMIT 1)
+        SELECT tu AS total_users, tv AS total_events,
+          cumu - m + (target - (cumv - vol) + cnt - 1) // cnt AS users_for_80pct,
+          cnt AS crossing_class
+        FROM x""")),
+
+    // ---- event-type correlation matrix -------------------------------------
+    // All-pairs daily-volume correlations (the q209 rolling pair,
+    // generalized): the spine self-join on day over the |types|² ≤ 25
+    // bounded pair domain, exact power sums per pair, one Pearson tree
+    // each. The dashboard's co-movement matrix.
+    "q222_corr_matrix" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val a = sp.select(col("day"), col("event_type").as("ta"), col("y").as("ya"))
+        val b = sp.select(col("day"), col("event_type").as("tb"), col("y").as("yb"))
+        val sums = a.join(b, "day").filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("n"),
+            sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+            sum(col("ya") * col("yb")).as("sab"),
+            sum(col("ya") * col("ya")).as("saa"),
+            sum(col("yb") * col("yb")).as("sbb"))
+        sums.select(col("ta"), col("tb"), col("n"),
+            ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+                 * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+              .as("r"))
+          .orderBy("ta", "tb")
+      },
+      Some(s"""WITH $spineSql,
+          p AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n,
+              SUM(a.y) AS sa, SUM(b.y) AS sb, SUM(a.y * b.y) AS sab,
+              SUM(a.y * a.y) AS saa, SUM(b.y * b.y) AS sbb
+            FROM sp a JOIN sp b ON a.day = b.day AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT ta, tb, n,
+          CAST(n*sab - sa*sb AS DOUBLE)
+            / (SQRT(CAST(n*saa - sa*sa AS DOUBLE))
+               * SQRT(CAST(n*sbb - sb*sb AS DOUBLE))) AS r
+        FROM p ORDER BY ta, tb""")),
+
+    // ---- forecasting lag-feature table --------------------------------------
+    // The feature-engineering export a training pipeline feeds a
+    // forecaster: per (event_type, day) — target, lag-1, lag-7, 7-day
+    // rolling sum, and day-of-week as PORTABLE integer arithmetic
+    // ((epochday + 4) % 7; engine DOW functions disagree on numbering).
+    // One ordered pass over the bounded spine; all integers.
+    "q223_lag_features" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, 0)
+        dailySpine(s, dir)
+          .withColumn("idx", row_number().over(w))
+          .withColumn("lag1", lag(col("y"), 1).over(w))
+          .withColumn("lag7", lag(col("y"), 7).over(w))
+          .withColumn("roll7", sum(col("y")).over(w7))
+          .filter(col("idx") >= 8)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            expr("(x + 4) % 7").as("dow"),
+            col("y"), col("lag1"), col("lag7"), col("roll7"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH $spineSql,
+          f AS (SELECT event_type, day, x, y,
+              ROW_NUMBER() OVER w AS idx,
+              LAG(y, 1) OVER w AS lag1, LAG(y, 7) OVER w AS lag7,
+              SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7
+            FROM sp WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
+          (x + 4) % 7 AS dow, y, lag1, lag7, roll7
+        FROM f WHERE idx >= 8 ORDER BY event_type, day""")),
+
+    // ---- top-k with OTHER rollup --------------------------------------------
+    // The reporting staple: each region's top-3 nations by revenue plus
+    // one OTHER row folding the tail — rank over the 25-row nation
+    // aggregate (value-domain bounded), exact decimal re-fold (the
+    // two-level aggregate stays exact because decimal addition is
+    // associative), one presentation sort.
+    "q224_topk_others" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(Det.moneySumExact(col("l_extendedprice")).as("rev"))
+        val wr = Window.partitionBy("r_name").orderBy(desc("rev"), col("n_name"))
+        rev.withColumn("rk", row_number().over(wr))
+          .withColumn("bucket", when(col("rk") <= 3, col("n_name"))
+            .otherwise(lit("OTHER")))
+          .groupBy("r_name", "bucket")
+          .agg(count(lit(1)).cast("long").as("n_nations"),
+            Det.refoldMoney(col("rev")).as("revenue"))
+          .orderBy(col("r_name"), desc("revenue"), col("bucket"))
+      },
+      Some(s"""WITH rev AS (SELECT r_name, n_name,
+            SUM(${Det.sqlMoney("l_extendedprice")}) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY r_name
+            ORDER BY rev DESC, n_name) AS rk FROM rev),
+        b AS (SELECT r_name,
+            CASE WHEN rk <= 3 THEN n_name ELSE 'OTHER' END AS bucket, rev
+          FROM rk)
+      SELECT r_name, bucket, COUNT(*) AS n_nations,
+        CAST(SUM(rev) AS DOUBLE) AS revenue
+      FROM b GROUP BY 1, 2 ORDER BY r_name, revenue DESC, bucket"""))
   )
 }
