@@ -1535,6 +1535,100 @@ object Analytics {
           FROM rk)
       SELECT r_name, bucket, COUNT(*) AS n_nations,
         CAST(SUM(rev) AS DOUBLE) AS revenue
-      FROM b GROUP BY 1, 2 ORDER BY r_name, revenue DESC, bucket"""))
+      FROM b GROUP BY 1, 2 ORDER BY r_name, revenue DESC, bucket""")),
+
+    // ---- trailing-window distinct users -------------------------------------
+    // Rolling 7-day active users, EXACT and linear: a sliding
+    // COUNT(DISTINCT) cannot ride a window frame, so each (user, day)
+    // presence is exploded to the ≤7 window-ends it serves (map-side ×7,
+    // no per-window rescan), deduped, and counted — the standard
+    // "contribute-to-windows" rewrite that keeps distinct-counting
+    // shuffle-bounded at any scale. Window ends outside the observed
+    // span are trimmed so both engines agree on the report range.
+    "q225_trailing_distinct" -> Q(
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val bounds = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val contrib = du
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("w"))
+          .distinct()
+        contrib.crossJoin(broadcast(bounds))
+          .filter(col("w") >= col("d0") && col("w") <= col("d1"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("active_7d"))
+          .select(date_format(col("w"), "yyyy-MM-dd").as("day"), col("active_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+          bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+          contrib AS (SELECT DISTINCT user_id, CAST(gs AS DATE) AS w
+            FROM du, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+              CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) t(gs))
+        SELECT STRFTIME(w, '%Y-%m-%d') AS day, COUNT(*) AS active_7d
+        FROM contrib, bounds WHERE w >= d0 AND w <= d1
+        GROUP BY w ORDER BY day""")),
+
+    // ---- revenue bridge (new / churn / expansion) ---------------------------
+    // The SaaS waterfall: month-over-month per-customer revenue deltas
+    // classified as new / churned / expansion / contraction / flat, with
+    // EXACT decimal movement sums. Month index is integer Y*12+M (no
+    // cross-engine month arithmetic); consecutive months meet in one
+    // full outer join keyed (customer, month) — per-pair independent,
+    // shuffle on the compound key, never a month loop.
+    "q226_revenue_bridge" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("midx"),
+            Det.money(col("o_totalprice")).as("r"))
+          .groupBy("cust", "midx").agg(sum(col("r")).as("rev"))
+        val prev = rev.select(col("cust"), (col("midx") + 1).as("m"),
+          col("rev").as("prev_rev"))
+        val cur = rev.select(col("cust"), col("midx").as("m"),
+          col("rev").as("cur_rev"))
+        val joined = cur.join(prev, Seq("cust", "m"), "full_outer")
+        val classed = joined.withColumn("class",
+          when(col("prev_rev").isNull, "new")
+            .when(col("cur_rev").isNull, "churned")
+            .when(col("cur_rev") > col("prev_rev"), "expansion")
+            .when(col("cur_rev") < col("prev_rev"), "contraction")
+            .otherwise("flat"))
+        // trim the synthetic edge months (before first / after last real month)
+        val span = rev.agg(min(col("midx")).as("m0"), max(col("midx")).as("m1"))
+        classed.crossJoin(broadcast(span))
+          .filter(col("m") > col("m0") && col("m") <= col("m1"))
+          .groupBy("m", "class")
+          .agg(count(lit(1)).as("n_customers"),
+            Det.sumD(coalesce(col("cur_rev"), lit(0).cast(Det.Money))
+              - coalesce(col("prev_rev"), lit(0).cast(Det.Money))).as("delta"))
+          .orderBy("m", "class")
+      },
+      Some(s"""WITH rev AS (SELECT o_custkey AS cust,
+            CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS midx,
+            SUM(${Det.sqlMoney("o_totalprice")}) AS rev
+          FROM orders GROUP BY 1, 2),
+        joined AS (SELECT COALESCE(c.cust, p.cust) AS cust,
+            COALESCE(c.m, p.m) AS m, c.cur_rev, p.prev_rev
+          FROM (SELECT cust, midx AS m, rev AS cur_rev FROM rev) c
+          FULL OUTER JOIN (SELECT cust, midx + 1 AS m, rev AS prev_rev FROM rev) p
+            ON c.cust = p.cust AND c.m = p.m),
+        classed AS (SELECT m,
+            CASE WHEN prev_rev IS NULL THEN 'new'
+                 WHEN cur_rev IS NULL THEN 'churned'
+                 WHEN cur_rev > prev_rev THEN 'expansion'
+                 WHEN cur_rev < prev_rev THEN 'contraction'
+                 ELSE 'flat' END AS class,
+            COALESCE(cur_rev, CAST(0 AS DECIMAL(12,2)))
+              - COALESCE(prev_rev, CAST(0 AS DECIMAL(12,2))) AS delta
+          FROM joined),
+        span AS (SELECT MIN(midx) AS m0, MAX(midx) AS m1 FROM rev)
+      SELECT m, class, COUNT(*) AS n_customers,
+        CAST(SUM(delta) AS DOUBLE) AS delta
+      FROM classed, span WHERE m > m0 AND m <= m1
+      GROUP BY 1, 2 ORDER BY m, class"""))
   )
 }
