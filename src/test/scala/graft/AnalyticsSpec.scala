@@ -124,6 +124,83 @@ class AnalyticsSpec extends SparkSpec {
     assert(view.getDouble(2) == -0.5)
   }
 
+  test("Mann-Whitney doubled midranks: hand-computed U on a tied sample") {
+    // groups A={1,2,2}, B={2,3}: sorted 1,2,2,2,3 — midrank(1)=1,
+    // midrank(2)=3 (ranks 2,3,4), midrank(3)=5.
+    // R_A = 1+3+3 = 7 → 2R_A = 14; 2U_A = 2·n1·n2 + n1(n1+1) − 2R_A
+    //     = 12 + 12 − 14 = 10 → U_A = 5.
+    val vals = Seq((1L, true), (2L, true), (2L, true), (2L, false), (3L, false))
+    val byV = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var cb = 0L; var r1x2 = 0L
+    for ((_, vs) <- byV) {
+      val c1 = vs.count(_._2).toLong; val m = vs.size.toLong
+      r1x2 += c1 * (2 * cb + m + 1); cb += m
+    }
+    val n1 = 3L; val n2 = 2L
+    val u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+    assert(r1x2 == 14 && u1x2 == 10)
+  }
+
+  test("KS cross-multiplied CDFs: disjoint samples give D = 1") {
+    // A = {1,2}, B = {10,20}: at value 2, F1=1, F2=0 → |cum1·n2−cum2·n1| = 2·2−0 = 4 = n1·n2
+    val a = Seq(1L, 2L); val b = Seq(10L, 20L)
+    val vals = (a.map(_ -> true) ++ b.map(_ -> false)).sortBy(_._1)
+    var c1 = 0L; var c2 = 0L
+    val dnum = vals.map { case (_, g1) =>
+      if (g1) c1 += 1 else c2 += 1
+      math.abs(c1 * b.size - c2 * a.size)
+    }.max
+    assert(dnum == a.size.toLong * b.size && dnum.toDouble / (a.size * b.size) == 1.0)
+  }
+
+  test("weighted median fence: smallest value with 2·cumweight ≥ W") {
+    // values (v, w): (10,1),(20,1),(30,5) → W=7, fence at 30 (cum 7·2 ≥ 7)
+    val vc = Seq((10L, 1L), (20L, 1L), (30L, 5L))
+    val tot = vc.map(_._2).sum
+    var cum = 0L
+    val med = vc.collectFirst { case (v, w) if { cum += w; cum * 2 >= tot } => v }
+    assert(med.contains(30L))
+  }
+
+  test("Pareto crossing arithmetic: planted 80/20 shape") {
+    // 2 users with 40 events each, 8 users with 2.5.. use ints: 8 users × 3
+    // total = 80 + 24 = 104; target = ceil(0.8·104) = (416+4)/5 = 84
+    // desc classes: (40, 2 users, vol 80) cum 80 < 84;
+    // (3, 8 users, vol 24) cum 104 ≥ 84 → extra = ceil((84-80)/3) = 2 → 4 users
+    val classes = Seq((40L, 2L), (3L, 8L))
+    val tv = classes.map { case (c, m) => c * m }.sum
+    val target = (4 * tv + 4) / 5
+    var cumu = 0L; var cumv = 0L
+    val ans = classes.collectFirst { case (c, m) if {
+      cumu += m; cumv += c * m; cumv >= target
+    } => cumu - m + (target - (cumv - c * m) + c - 1) / c }
+    assert(target == 84 && ans.contains(4L))
+  }
+
+  test("q225 trailing distinct equals the brute expanding scan") {
+    val ev = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (1L, "2024-01-05"),
+      (3L, "2024-01-08"), (1L, "2024-01-09"), (2L, "2024-01-09"))
+      .toDF("user_id", "day").select(col("user_id"), to_date(col("day")).as("day"))
+    val got = ev.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("w"))
+      .distinct()
+      .join(broadcast(ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))),
+        expr("w >= d0 AND w <= d1"))
+      .groupBy("w").agg(countDistinct("user_id").as("n"))
+      .orderBy("w").as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+    val days = (1 to 9).map(d => f"2024-01-0$d")
+    val rows = ev.as[(Long, java.sql.Date)].collect()
+    for (d <- days) {
+      val end = java.time.LocalDate.parse(d)
+      val brute = rows.filter { case (_, dd) =>
+        val x = dd.toLocalDate
+        !x.isAfter(end) && !x.isBefore(end.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(got.getOrElse(d, 0L) == brute, s"day $d")
+    }
+  }
+
   test("q196 cumulative users: running sum of firsts equals expanding distinct") {
     val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (2L, "2024-01-02"),
       (3L, "2024-01-03"), (1L, "2024-01-03"), (4L, "2024-01-03"))
