@@ -1629,6 +1629,52 @@ object Analytics {
       SELECT m, class, COUNT(*) AS n_customers,
         CAST(SUM(delta) AS DOUBLE) AS delta
       FROM classed, span WHERE m > m0 AND m <= m1
-      GROUP BY 1, 2 ORDER BY m, class"""))
+      GROUP BY 1, 2 ORDER BY m, class""")),
+
+    // ---- cohort LTV curves --------------------------------------------------
+    // Cumulative revenue per acquisition cohort: customers keyed by
+    // first-order month, every order charged to (cohort, months-since),
+    // cell sums exact DECIMAL, the cumulative ride a cohort-partitioned
+    // window over the months² bounded grid, and LTV-per-customer is one
+    // division by the fixed cohort size. Month arithmetic is integer
+    // Y·12+M throughout (the q226 ruling).
+    "q228_cohort_ltv" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("midx"),
+            Det.money(col("o_totalprice")).as("r"))
+        val coh = o.groupBy("cust").agg(min(col("midx")).as("cohort"))
+        val cells = o.join(coh, "cust")
+          .groupBy(col("cohort"), (col("midx") - col("cohort")).as("k"))
+          .agg(sum(col("r")).as("rev"))
+        val sizes = coh.groupBy("cohort").agg(count(lit(1)).as("n_cust"))
+        val wCum = Window.partitionBy("cohort").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.withColumn("cum_rev", sum(col("rev")).over(wCum))
+          .join(broadcast(sizes), "cohort")
+          .select(col("cohort"), col("k"), col("n_cust"),
+            col("cum_rev").cast("double").as("cum_rev"),
+            (col("cum_rev").cast("double") / col("n_cust").cast("double"))
+              .as("ltv_per_cust"))
+          .orderBy("cohort", "k")
+      },
+      Some(s"""WITH o AS (SELECT o_custkey AS cust,
+            CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS midx,
+            ${Det.sqlMoney("o_totalprice")} AS r
+          FROM orders),
+        coh AS (SELECT cust, MIN(midx) AS cohort FROM o GROUP BY cust),
+        cells AS (SELECT cohort, midx - cohort AS k, SUM(r) AS rev
+          FROM o JOIN coh USING (cust) GROUP BY 1, 2),
+        sizes AS (SELECT cohort, COUNT(*) AS n_cust FROM coh GROUP BY cohort),
+        cum AS (SELECT cohort, k, SUM(rev) OVER (PARTITION BY cohort ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+          FROM cells)
+      SELECT cohort, k, n_cust,
+        CAST(cum_rev AS DOUBLE) AS cum_rev,
+        CAST(cum_rev AS DOUBLE) / CAST(n_cust AS DOUBLE) AS ltv_per_cust
+      FROM cum JOIN sizes USING (cohort)
+      ORDER BY cohort, k"""))
   )
 }

@@ -2575,7 +2575,55 @@ object LlmOps {
           SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
           SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
         FROM sp GROUP BY cluster HAVING COUNT(DISTINCT split) > 1
-        ORDER BY cluster"""))
+        ORDER BY cluster""")),
+
+    // ---- dedup-aware (cluster-level) sampling -------------------------------
+    // Sampling documents independently oversamples duplicated families
+    // and tears near-dup clusters across the kept/dropped boundary. The
+    // fix: sample by CLUSTER REPRESENTATIVE — every doc inherits its
+    // component's min-id (q43), singletons represent themselves, and the
+    // md5 keep-decision is made once per representative, so families
+    // survive or drop atomically. Per-language census of docs vs
+    // representatives kept; the all-or-nothing property is the n_docs ≥
+    // n_reps structure the oracle re-derives.
+    "q227_cluster_sampling" -> Q(
+      (s, dir) => {
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+            ngram = 2, k = 32, b = 8, r = 4, theta = 0.5))
+        val withRep = docs(s, dir)
+          .join(clusters.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+        val kept = withRep.filter(pmod(H.h28(
+          concat(lit("smp:"), col("rep").cast("string"))), lit(10)) < 2)
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_reps"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE $SqlGrams,
+        $SqlMinhashCand,
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b),
+        pairs AS (SELECT a, b FROM p WHERE jac >= 0.5),
+        sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        reach AS (SELECT src, dst FROM sym
+                  UNION
+                  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        comp AS (SELECT id, LEAST(id, MIN(dst)) AS cluster
+                 FROM nodes LEFT JOIN reach ON reach.src = id
+                 GROUP BY id),
+        wr AS (SELECT d.doc_id, d.lang, d.n_chars,
+            COALESCE(comp.cluster, d.doc_id) AS rep
+          FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+        kept AS (SELECT * FROM wr
+          WHERE ${H.sqlH28("'smp:' || CAST(rep AS VARCHAR)")} % 10 < 2)
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_reps,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM kept GROUP BY lang ORDER BY lang"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
