@@ -1675,6 +1675,70 @@ object Analytics {
         CAST(cum_rev AS DOUBLE) AS cum_rev,
         CAST(cum_rev AS DOUBLE) / CAST(n_cust AS DOUBLE) AS ltv_per_cust
       FROM cum JOIN sizes USING (cohort)
-      ORDER BY cohort, k"""))
+      ORDER BY cohort, k""")),
+
+    // ---- as-of join with tolerance -------------------------------------------
+    // pandas merge_asof's `tolerance` semantic: each event enriched with
+    // the user's most recent order, but a match OLDER THAN 30 DAYS is
+    // nulled — stale context is worse than none. Built as q49's
+    // single-shuffle as-of (the matched time travels in the carry
+    // struct) plus one integer date-distance predicate; DuckDB's native
+    // ASOF JOIN has no tolerance, so the oracle post-filters the same
+    // way — the semantics are pinned by construction on both sides.
+    "q229_asof_tolerance" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val od = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.operators.AsOfJoin.asOf(
+            e, "user_id", "ts", od, "o_custkey", "o_orderdate",
+            Seq("o_orderkey", "o_orderdate"))
+          .select(col("event_id"),
+            when(datediff(to_date(col("ts")), to_date(col("o_orderdate"))) <= 30,
+              col("o_orderkey")).as("recent_order"))
+          .orderBy("event_id")
+      },
+      Some("""WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id,
+          CASE WHEN DATEDIFF('day', CAST(od.o_orderdate AS DATE), CAST(e.ts AS DATE)) <= 30
+            THEN od.o_orderkey END AS recent_order
+        FROM events e ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        ORDER BY event_id""")),
+
+    // ---- top-decile membership ------------------------------------------------
+    // Per-nation p90 balance fence SELECTED count-first (never
+    // interpolated, never a per-row rank window over the fact), then the
+    // members at-or-above their nation's fence censused with exact
+    // decimal sums — the "top spenders" report that composes the
+    // quantile and aggregation machinery.
+    "q230_top_decile" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val fence = graft.operators.Robust
+          .quantileSelect(cust, "c_nationkey", "c_acctbal", Seq(90))
+          .select(col("c_nationkey"), col("q90"))
+        cust.join(broadcast(fence), "c_nationkey")
+          .filter(col("c_acctbal") >= col("q90"))
+          .groupBy("c_nationkey")
+          .agg(max(col("q90")).as("fence"), count(lit(1)).as("n_top"),
+            Det.moneySum(col("c_acctbal")).as("top_balance"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH r AS (SELECT c_nationkey, c_acctbal,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+            COUNT(*) OVER (PARTITION BY c_nationkey) AS nn
+          FROM customer),
+        fence AS (SELECT c_nationkey,
+            MIN(CASE WHEN rn >= (nn - 1) * 90 // 100 + 1 THEN c_acctbal END) AS q90
+          FROM r GROUP BY c_nationkey)
+      SELECT c.c_nationkey, MAX(f.q90) AS fence, COUNT(*) AS n_top,
+        ${Det.sqlMoneySum("c.c_acctbal")} AS top_balance
+      FROM customer c JOIN fence f ON c.c_nationkey = f.c_nationkey
+      WHERE c.c_acctbal >= f.q90
+      GROUP BY c.c_nationkey ORDER BY c.c_nationkey"""))
   )
 }

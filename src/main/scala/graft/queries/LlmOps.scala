@@ -2623,7 +2623,38 @@ object LlmOps {
           WHERE ${H.sqlH28("'smp:' || CAST(rep AS VARCHAR)")} % 10 < 2)
         SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_reps,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM kept GROUP BY lang ORDER BY lang"""))
+        FROM kept GROUP BY lang ORDER BY lang""")),
+
+    // ---- dedup threshold sensitivity sweep ----------------------------------
+    // The tuning curve a dedup deployment reads before picking θ: ONE
+    // candidate-generation + verification pass (θ=0 keeps every verified
+    // candidate), then pair counts at five thresholds from the same jac
+    // column — the signatures and the n² guard are never recomputed per
+    // threshold. The jac doubles are bit-identical cross-engine (q26's
+    // gate), so the threshold comparisons are deterministic.
+    "q231_dedup_sweep" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          ngram = 2, k = 32, b = 8, r = 4, theta = 0.0)
+        pairs.agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_50"),
+          sum(when(col("jac") >= 0.6, 1L).otherwise(0L)).as("n_60"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_70"),
+          sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_80"),
+          sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_90"))
+      },
+      Some(s"""WITH $SqlGrams,
+        $SqlMinhashCand,
+        p AS (SELECT c.a, c.b, $SqlJac AS jac
+              FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
+        SELECT COUNT(*) AS n_candidates,
+          SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS n_50,
+          SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS n_60,
+          SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS n_70,
+          SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS n_80,
+          SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_90
+        FROM p"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
