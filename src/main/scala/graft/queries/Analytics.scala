@@ -1739,6 +1739,39 @@ object Analytics {
         ${Det.sqlMoneySum("c.c_acctbal")} AS top_balance
       FROM customer c JOIN fence f ON c.c_nationkey = f.c_nationkey
       WHERE c.c_acctbal >= f.q90
-      GROUP BY c.c_nationkey ORDER BY c.c_nationkey"""))
+      GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
+
+    // ---- schema-evolution union (BY NAME) -----------------------------------
+    // Appending a column without rewriting history: a legacy extract
+    // (key, total) and a current extract (key, total, priority) union BY
+    // NAME with null back-fill — Spark `unionByName(allowMissingColumns)`
+    // vs DuckDB `UNION ALL BY NAME` — then one census per (priority,
+    // era) proving both engines agree on the padded rows. The
+    // Snapshots.appendEvolve storage twin of the same idea is spec-gated;
+    // this is the query-level surface.
+    "q232_union_by_name" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cutoff = to_timestamp(lit("1996-01-01 00:00:00"))
+        val legacy = o.filter(col("o_orderdate") < cutoff)
+          .select(col("o_orderkey"), Det.money(col("o_totalprice")).as("total"))
+        val current = o.filter(col("o_orderdate") >= cutoff)
+          .select(col("o_orderkey"), Det.money(col("o_totalprice")).as("total"),
+            col("o_orderpriority").as("priority"))
+        legacy.unionByName(current, allowMissingColumns = true)
+          .groupBy(coalesce(col("priority"), lit("(legacy)")).as("priority"))
+          .agg(count(lit(1)).as("n"), Det.sumD(col("total")).as("total"))
+          .orderBy("priority")
+      },
+      Some(s"""WITH u AS (
+          SELECT o_orderkey, ${Det.sqlMoney("o_totalprice")} AS total
+            FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          UNION ALL BY NAME
+          SELECT o_orderkey, ${Det.sqlMoney("o_totalprice")} AS total,
+              o_orderpriority AS priority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+        SELECT COALESCE(priority, '(legacy)') AS priority,
+          COUNT(*) AS n, ${Det.sqlSumD("total")} AS total
+        FROM u GROUP BY 1 ORDER BY priority"""))
   )
 }
