@@ -1772,6 +1772,76 @@ object Analytics {
             FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
         SELECT COALESCE(priority, '(legacy)') AS priority,
           COUNT(*) AS n, ${Det.sqlSumD("total")} AS total
-        FROM u GROUP BY 1 ORDER BY priority"""))
+        FROM u GROUP BY 1 ORDER BY priority""")),
+
+    // ---- forecast backtest (exact residual analysis) ------------------------
+    // Model evaluation without a single inexact intermediate: the q192
+    // OLS fit is kept RATIONAL — pred_i·den = a_num + slope_num·x_i with
+    // den = nΣx²−(Σx)², a_num = ΣyΣx²−ΣxΣxy — so every residual is the
+    // exact integer y_i·den − a_num − slope_num·x_i. Products run in
+    // DECIMAL(38,0) from (18,0) operands (Spark) / HUGEINT (DuckDB) —
+    // the q147 wide-integer discipline — because y·den leaves int64
+    // range as daily volume scales. Output: per type the worst-predicted
+    // day (exact argmax, earliest-day tie-break) and scaled MAE as ONE
+    // final division.
+    "q233_forecast_backtest" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+        val sums = dailySpine(s, dir).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        val withFit = sums
+          .withColumn("den", d18(col("n")) * d18(col("sxx")) - d18(col("sx")) * d18(col("sx")))
+          .withColumn("a_num", d18(col("sy")) * d18(col("sxx")) - d18(col("sx")) * d18(col("sxy")))
+          .withColumn("b_num", d18(col("n")) * d18(col("sxy")) - d18(col("sx")) * d18(col("sy")))
+        val resid = dailySpine(s, dir)
+          .join(broadcast(withFit), "event_type")
+          .withColumn("rnum",
+            d18(col("y")) * col("den") - col("a_num") - col("b_num") * d18(col("x")))
+          .withColumn("anum", abs(col("rnum")))
+        val wPick = Window.partitionBy("event_type")
+          .orderBy(desc("anum"), col("day"))
+        val worst = resid.withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("worst_day"),
+            col("anum").cast("double").as("worst_resid_num"))
+        val mae = resid.groupBy("event_type")
+          .agg(sum(col("anum")).as("sum_abs"), max(col("n")).as("n"),
+            max(col("den")).as("den"))
+          .select(col("event_type"), col("n"),
+            (col("sum_abs").cast("double")
+              / (col("n").cast("double") * col("den").cast("double"))).as("mae"))
+        mae.join(worst, "event_type").orderBy("event_type")
+      },
+      Some(s"""WITH $spineSql,
+        sums AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x*y) AS sxy, SUM(x*x) AS sxx
+          FROM sp GROUP BY event_type),
+        fit AS (SELECT event_type, n,
+            CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+            CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS a_num,
+            CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS b_num
+          FROM sums),
+        resid AS (SELECT sp.event_type, sp.day,
+            ABS(CAST(sp.y AS HUGEINT) * f.den - f.a_num - f.b_num * sp.x) AS anum,
+            f.n, f.den
+          FROM sp JOIN fit f ON sp.event_type = f.event_type),
+        worst AS (SELECT event_type,
+            STRFTIME(day, '%Y-%m-%d') AS worst_day,
+            CAST(anum AS DOUBLE) AS worst_resid_num
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY anum DESC, day) AS rk FROM resid)
+          WHERE rk = 1),
+        mae AS (SELECT event_type, MAX(n) AS n,
+            CAST(SUM(anum) AS DOUBLE)
+              / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(den) AS DOUBLE)) AS mae
+          FROM resid GROUP BY event_type)
+      SELECT m.event_type, m.n, m.mae, w.worst_day, w.worst_resid_num
+      FROM mae m JOIN worst w ON m.event_type = w.event_type
+      ORDER BY m.event_type"""))
   )
 }
