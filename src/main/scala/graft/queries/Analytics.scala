@@ -1842,6 +1842,94 @@ object Analytics {
           FROM resid GROUP BY event_type)
       SELECT m.event_type, m.n, m.mae, w.worst_day, w.worst_resid_num
       FROM mae m JOIN worst w ON m.event_type = w.event_type
-      ORDER BY m.event_type"""))
+      ORDER BY m.event_type""")),
+
+    // ---- distributed exact prefix sums ---------------------------------------
+    // SUM OVER (ORDER BY …) is the one window Spark can only plan on a
+    // single partition — Prefix.prefixSum is the two-phase scan that
+    // computes the identical per-row running value B-way parallel
+    // (range-bucket → local window → B-row offset fold → broadcast
+    // add). Pure BIGINT, so the hash gate proves the distributed scan
+    // IS the declarative window. The primitive under q235's sampler,
+    // CDF positions, and byte-offset shard layout.
+    "q234_prefix_sums" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        graft.operators.Prefix.prefixSum(d, "doc_id", "n_chars", "cum")
+          .select(col("doc_id"), col("n_chars"), col("cum"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+          SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- PPS systematic sampling ---------------------------------------------
+    // Probability-proportional-to-size sampling with NO randomness to
+    // make portable: fixed-step systematic selection over the exact
+    // size-weighted cumulative axis (the Hartley–Rao design). A row is
+    // drawn once per step boundary its weight interval covers —
+    // multiplicity = cum div step − (cum − w) div step — so heavy docs
+    // can be drawn multiple times and the expected draw count is
+    // exactly proportional to weight. All BIGINT: both engines
+    // truncate non-negative division identically. Scale: one
+    // prefixSum + a broadcast scalar; selection is a map-side filter.
+    "q235_pps_sample" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val cum = graft.operators.Prefix.prefixSum(d, "doc_id", "n_chars", "cum")
+        val tot = cum.agg(max(col("cum")).as("w_total"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("step", expr("greatest(w_total div 40, 1)"))
+          .withColumn("multiplicity",
+            expr("cum div step - (cum - n_chars) div step"))
+          .filter(col("multiplicity") > 0)
+          .select(col("doc_id"), col("n_chars"), col("multiplicity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+            SUM(n_chars) OVER (ORDER BY doc_id) AS cum FROM documents),
+        t AS (SELECT GREATEST(MAX(cum) // 40, 1) AS step FROM c)
+        SELECT doc_id, n_chars,
+          cum // step - (cum - n_chars) // step AS multiplicity
+        FROM c, t WHERE cum // step > (cum - n_chars) // step
+        ORDER BY doc_id""")),
+
+    // ---- Count-Min sketch point frequencies -----------------------------------
+    // The bounded-state frequency counter joining HLL (q139, distinct) /
+    // KLL (q160, quantiles) / Misra-Gries (q71, heavy hitters): per-key
+    // counts from 4×64 BIGINT cells whatever the key cardinality,
+    // batch-mergeable by (j,b) SUM. Width 64 < |users| forces real
+    // collisions, and the md5 hash tier lets DuckDB rebuild every cell —
+    // so the OVERESTIMATES themselves are hash-gated, not just the happy
+    // path. est ≥ exact structurally (min over counters each ⊇ the key's
+    // own mass).
+    "q236_countmin_freq" -> Q(
+      (s, dir) => {
+        import graft.operators.CountMin
+        val ev = t(s, dir, "events").select(col("user_id"))
+        val cm = CountMin.cells(ev, "user_id", depth = 4, width = 64)
+        val probes = ev.filter(col("user_id") < 20).distinct()
+        val est = CountMin.estimates(cm, probes, "user_id", depth = 4, width = 64)
+        val exact = ev.filter(col("user_id") < 20)
+          .groupBy("user_id").agg(count(lit(1)).as("exact"))
+        exact.join(est, "user_id")
+          .select(col("user_id"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("overestimate"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH d AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS d(j)),
+        cells AS (SELECT j, ${graft.operators.CountMin.sqlBucket("j", "user_id", 64)} AS b,
+            COUNT(*) AS c
+          FROM events CROSS JOIN d GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+        pj AS (SELECT user_id, j,
+            ${graft.operators.CountMin.sqlBucket("j", "user_id", 64)} AS b
+          FROM probes CROSS JOIN d),
+        est AS (SELECT user_id, MIN(COALESCE(c, 0)) AS est
+          FROM pj LEFT JOIN cells USING (j, b) GROUP BY 1),
+        exact AS (SELECT user_id, COUNT(*) AS exact
+          FROM events WHERE user_id < 20 GROUP BY 1)
+      SELECT e.user_id, e.exact, est.est, est.est - e.exact AS overestimate
+      FROM exact e JOIN est USING (user_id) ORDER BY user_id"""))
   )
 }
