@@ -85,6 +85,52 @@ object Advisor {
           JOIN (SELECT $rk AS k, COUNT(*) AS cb FROM $rt GROUP BY 1) fb
           USING (k)), 0) AS out_rows"""
 
+  /** Foreign-key candidate score — join-key DISCOVERY, the metadata
+    * pass a 100 TB lake runs before anyone writes a join: does
+    * `child.childCol` plausibly reference `parent.parentCol`?
+    *
+    * Reports the two sides' distinct-key counts, the containment
+    * |D_child ∩ D_parent| / |D_child| (an FK's is exactly 1), parent-side
+    * uniqueness (a referenced key must be unique), and the combined
+    * `is_fk` verdict. Scale: the shuffle carries one row per DISTINCT
+    * key (semi join of the two distinct sets), never fact rows; at the
+    * extreme the distinct sets come from the layer's sketches instead.
+    * Integer counts + ONE IEEE division, so rows hash bit-for-bit. */
+  def fkScore(pairName: String, child: DataFrame, childCol: Column,
+              parent: DataFrame, parentCol: Column): DataFrame = {
+    val dc = child.filter(childCol.isNotNull).select(childCol.as("k")).distinct()
+    val dp = parent.filter(parentCol.isNotNull)
+      .groupBy(parentCol.as("k")).agg(count(lit(1)).as("cnt"))
+    val contained = dc.join(dp, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("n_contained"))
+    dc.agg(count(lit(1)).as("n_child_keys"))
+      .crossJoin(contained)
+      .crossJoin(dp.agg(count(lit(1)).as("n_parent_keys"),
+        sum(col("cnt")).as("n_parent_rows")))
+      .select(lit(pairName).as("pair"),
+        col("n_child_keys"), col("n_contained"),
+        col("n_parent_keys"), col("n_parent_rows"),
+        (col("n_contained").cast("double")
+          / col("n_child_keys").cast("double")).as("containment"),
+        (col("n_contained") === col("n_child_keys")
+          && col("n_parent_keys") === col("n_parent_rows")).as("is_fk"))
+  }
+
+  /** Oracle-SQL twin of [[fkScore]]. */
+  def fkScoreSql(pairName: String, ct: String, ck: String,
+                 pt: String, pk: String): String =
+    s"""SELECT '$pairName' AS pair, n_child_keys, n_contained,
+        n_parent_keys, n_parent_rows,
+        CAST(n_contained AS DOUBLE) / CAST(n_child_keys AS DOUBLE) AS containment,
+        (n_contained = n_child_keys AND n_parent_keys = n_parent_rows) AS is_fk
+      FROM (SELECT COUNT(*) AS n_child_keys FROM
+              (SELECT DISTINCT $ck FROM $ct WHERE $ck IS NOT NULL)),
+           (SELECT COUNT(*) AS n_contained FROM
+              (SELECT DISTINCT $ck AS k FROM $ct WHERE $ck IS NOT NULL) dc
+              WHERE EXISTS (SELECT 1 FROM $pt WHERE $pk = dc.k)),
+           (SELECT COUNT(DISTINCT $pk) AS n_parent_keys, COUNT(*) AS n_parent_rows
+              FROM $pt WHERE $pk IS NOT NULL)"""
+
   /** Oracle-SQL twin of [[advise]] over DuckDB tables (same literals,
     * same rule chain) — `lt`/`rt` are table names, `lk`/`rk` key columns. */
   def adviseSql(joinName: String, lt: String, lk: String,

@@ -1930,6 +1930,41 @@ object Analytics {
         exact AS (SELECT user_id, COUNT(*) AS exact
           FROM events WHERE user_id < 20 GROUP BY 1)
       SELECT e.user_id, e.exact, est.est, est.est - e.exact AS overestimate
-      FROM exact e JOIN est USING (user_id) ORDER BY user_id"""))
+      FROM exact e JOIN est USING (user_id) ORDER BY user_id""")),
+
+    // ---- foreign-key discovery ------------------------------------------------
+    // Schema discovery over the lake: which column pairs are FK→PK
+    // edges? Advisor.fkScore computes distinct-set containment +
+    // parent-key uniqueness per candidate — the Aurum-style metadata
+    // pass that feeds q200's strategy advisor with join GRAPH knowledge.
+    // Seven candidates: five true TPC-H edges plus two decoys (reversed
+    // direction / coincidental small-domain overlap) proving the score
+    // discriminates, not just confirms. Shuffles carry distinct keys
+    // only; verdicts are pure integer comparisons.
+    "q237_fk_discovery" -> Q(
+      (s, dir) => {
+        import graft.operators.Advisor.fkScore
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        val su = t(s, dir, "supplier"); val p = t(s, dir, "part")
+        Seq(
+          fkScore("li.orderkey->o", li, col("l_orderkey"), o, col("o_orderkey")),
+          fkScore("li.partkey->p", li, col("l_partkey"), p, col("p_partkey")),
+          fkScore("o.custkey->c", o, col("o_custkey"), c, col("c_custkey")),
+          fkScore("c.nationkey->n", c, col("c_nationkey"), n, col("n_nationkey")),
+          fkScore("s.nationkey->n", su, col("s_nationkey"), n, col("n_nationkey")),
+          fkScore("o.orderkey->c", o, col("o_orderkey"), c, col("c_custkey")),
+          fkScore("n.nationkey->c", n, col("n_nationkey"), c, col("c_custkey"))
+        ).reduce(_ unionAll _).orderBy("pair")
+      },
+      Some(Seq(
+        graft.operators.Advisor.fkScoreSql("li.orderkey->o", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        graft.operators.Advisor.fkScoreSql("li.partkey->p", "lineitem", "l_partkey", "part", "p_partkey"),
+        graft.operators.Advisor.fkScoreSql("o.custkey->c", "orders", "o_custkey", "customer", "c_custkey"),
+        graft.operators.Advisor.fkScoreSql("c.nationkey->n", "customer", "c_nationkey", "nation", "n_nationkey"),
+        graft.operators.Advisor.fkScoreSql("s.nationkey->n", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        graft.operators.Advisor.fkScoreSql("o.orderkey->c", "orders", "o_orderkey", "customer", "c_custkey"),
+        graft.operators.Advisor.fkScoreSql("n.nationkey->c", "nation", "n_nationkey", "customer", "c_custkey")
+      ).map(q => s"($q)").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair")))
   )
 }

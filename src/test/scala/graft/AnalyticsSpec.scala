@@ -78,6 +78,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(v3 == "sort_merge")
   }
 
+  test("Advisor.fkScore: true FK edge, reversed decoy, and non-unique parent") {
+    val parent = Seq(1, 2, 3, 4).toDF("pk")
+    val child = Seq(1, 1, 2, 3).toDF("ck")
+    // true FK: every child key in parent, parent keys unique
+    val r1 = Advisor.fkScore("ok", child, col("ck"), parent, col("pk")).head()
+    assert(r1.getAs[Long]("n_child_keys") == 3L)
+    assert(r1.getAs[Long]("n_contained") == 3L)
+    assert(r1.getAs[Double]("containment") == 1.0)
+    assert(r1.getAs[Boolean]("is_fk"))
+    // reversed direction: parent has key 4 that child lacks → containment < 1
+    val r2 = Advisor.fkScore("rev", parent, col("pk"), child, col("ck")).head()
+    assert(r2.getAs[Double]("containment") == 0.75)
+    assert(!r2.getAs[Boolean]("is_fk"))
+    // duplicate parent keys: containment 1 but parent not unique → not FK
+    val dupParent = Seq(1, 1, 2, 3).toDF("pk")
+    val r3 = Advisor.fkScore("dup", child, col("ck"), dupParent, col("pk")).head()
+    assert(r3.getAs[Double]("containment") == 1.0)
+    assert(!r3.getAs[Boolean]("is_fk"))
+    // nulls on either side are ignored, not counted as keys
+    val nullChild = Seq[Option[Int]](Some(1), None, Some(2)).toDF("ck")
+    val r4 = Advisor.fkScore("nulls", nullChild, col("ck"), parent, col("pk")).head()
+    assert(r4.getAs[Long]("n_child_keys") == 2L)
+    assert(r4.getAs[Boolean]("is_fk"))
+  }
+
   test("q199 fence positions: ((n-1)*k) div 8 + 1 is monotone and in range") {
     for (n <- Seq(1L, 2L, 7L, 8L, 9L, 1000L)) {
       val pos = (1 to 7).map(k => (n - 1) * k / 8 + 1)
