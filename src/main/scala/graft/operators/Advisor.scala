@@ -131,6 +131,61 @@ object Advisor {
            (SELECT COUNT(DISTINCT $pk) AS n_parent_keys, COUNT(*) AS n_parent_rows
               FROM $pt WHERE $pk IS NOT NULL)"""
 
+  /** Zone-map pruning forecast — the data-skipping planning pass a
+    * lake table's layout is judged by (Parquet row-group stats, Delta
+    * file stats, Iceberg manifests all implement this contract): per
+    * zone (file/row-group surrogate) keep `min/max(value)`, then for a
+    * `[lo, hi]` predicate classify every zone WITHOUT reading it:
+    *
+    *   - `zmax < lo` or `zmin > hi` → pruned (zone never opened)
+    *   - `zmin >= lo` and `zmax <= hi` → full (no per-row filter needed)
+    *   - otherwise → partial (opened and filtered)
+    *
+    * One row out: zone/row totals, the three class counts, rows skipped,
+    * and the skip fraction. Scale: the zone map is |zones| rows built in
+    * one map-side-combinable aggregate (at 100 TB it is read from file
+    * metadata instead of scanned); classification is arithmetic over the
+    * map, never the fact. Integer counts + ONE division, so rows hash
+    * bit-for-bit. The q110/q143 layout queries WRITE clustered data;
+    * this measures what a predicate SAVES on a given clustering. */
+  def zonePrune(label: String, df: DataFrame, zone: Column, value: Column,
+                lo: Column, hi: Column): DataFrame = {
+    val zones = df.groupBy(zone.as("z"))
+      .agg(count(lit(1)).as("n"), min(value).as("zmin"), max(value).as("zmax"))
+    zones.agg(
+        count(lit(1)).as("n_zones"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("zmax") < lo || col("zmin") > hi, 1L).otherwise(0L))
+          .as("zones_pruned"),
+        sum(when(col("zmin") >= lo && col("zmax") <= hi, 1L).otherwise(0L))
+          .as("zones_full"),
+        sum(when(col("zmax") < lo || col("zmin") > hi, col("n")).otherwise(0L))
+          .as("rows_skipped"))
+      .select(lit(label).as("band"), col("n_zones"), col("n_rows"),
+        col("zones_pruned"), col("zones_full"),
+        (col("n_zones") - col("zones_pruned") - col("zones_full")).as("zones_partial"),
+        col("rows_skipped"),
+        (col("rows_skipped").cast("double") / col("n_rows").cast("double"))
+          .as("skip_fraction"))
+  }
+
+  /** Oracle-SQL twin of [[zonePrune]] — `zoneExpr`/`valueExpr`/`loExpr`/
+    * `hiExpr` are SQL fragments over table `tbl`. */
+  def zonePruneSql(label: String, tbl: String, zoneExpr: String,
+                   valueExpr: String, loExpr: String, hiExpr: String): String =
+    s"""SELECT '$label' AS band, COUNT(*) AS n_zones, SUM(n) AS n_rows,
+        SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END) AS zones_pruned,
+        SUM(CASE WHEN zmin >= $loExpr AND zmax <= $hiExpr THEN 1 ELSE 0 END) AS zones_full,
+        COUNT(*) - SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN zmin >= $loExpr AND zmax <= $hiExpr THEN 1 ELSE 0 END)
+          AS zones_partial,
+        SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN n ELSE 0 END) AS rows_skipped,
+        CAST(SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN n ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(n) AS DOUBLE) AS skip_fraction
+      FROM (SELECT $zoneExpr AS z, COUNT(*) AS n,
+              MIN($valueExpr) AS zmin, MAX($valueExpr) AS zmax
+            FROM $tbl GROUP BY 1)"""
+
   /** Oracle-SQL twin of [[advise]] over DuckDB tables (same literals,
     * same rule chain) — `lt`/`rt` are table names, `lk`/`rk` key columns. */
   def adviseSql(joinName: String, lt: String, lk: String,

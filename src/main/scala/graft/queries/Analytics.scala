@@ -1966,5 +1966,243 @@ object Analytics {
         graft.operators.Advisor.fkScoreSql("o.orderkey->c", "orders", "o_orderkey", "customer", "c_custkey"),
         graft.operators.Advisor.fkScoreSql("n.nationkey->c", "nation", "n_nationkey", "customer", "c_custkey")
       ).map(q => s"($q)").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY pair")))
+  ) ++ defs2
+
+  /** Batch 2 of the closing pass — regression, layout forecasting,
+    * feature-store snapshot, boilerplate accounting. (`def`, not `val`:
+    * referenced from `defs`'s initializer above, so a val would still
+    * be null during object init.) */
+  private def defs2: Seq[(String, Q)] = Seq(
+
+    // ---- multivariate OLS via normal equations --------------------------------
+    // Closed-form least squares price ~ quantity + discount per return
+    // flag — the regression every feature pipeline fits without a
+    // solver: nine BIGINT power sums (map-side combinable; at 100 TB
+    // the only full-data pass) then Cramer's rule on the 3x3 normal
+    // matrix as ONE fixed IEEE tree per group. Integer encodings make
+    // the sums exact (price in cents, discount in percent points,
+    // integral quantity); the double products/divisions afterward are
+    // correctly-rounded IEEE ops both engines execute identically.
+    // Magnitudes: max |sum| ~ 1e14 at sf0.1 (documented headroom to
+    // int64 9.2e18; a 1000x deployment moves the sums to DECIMAL(38,0)).
+    "q238_ols_normal_eq" -> Q(
+      (s, dir) => {
+        val sums = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_quantity").cast("long").as("x1"),
+            (Det.rate(col("l_discount")) * 100).cast("long").as("x2"),
+            (Det.money(col("l_extendedprice")) * 100).cast("long").as("y"))
+          .groupBy("flag").agg(
+            count(lit(1)).as("n"),
+            sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+            sum(col("y")).as("sy"),
+            sum(col("x1") * col("x1")).as("sx11"),
+            sum(col("x1") * col("x2")).as("sx12"),
+            sum(col("x2") * col("x2")).as("sx22"),
+            sum(col("x1") * col("y")).as("sx1y"),
+            sum(col("x2") * col("y")).as("sx2y"))
+        def d(c: String) = col(c).cast("double")
+        val det = d("n") * (d("sx11") * d("sx22") - d("sx12") * d("sx12")) -
+          d("sx1") * (d("sx1") * d("sx22") - d("sx12") * d("sx2")) +
+          d("sx2") * (d("sx1") * d("sx12") - d("sx11") * d("sx2"))
+        val det0 = d("sy") * (d("sx11") * d("sx22") - d("sx12") * d("sx12")) -
+          d("sx1") * (d("sx1y") * d("sx22") - d("sx12") * d("sx2y")) +
+          d("sx2") * (d("sx1y") * d("sx12") - d("sx11") * d("sx2y"))
+        val det1 = d("n") * (d("sx1y") * d("sx22") - d("sx12") * d("sx2y")) -
+          d("sy") * (d("sx1") * d("sx22") - d("sx12") * d("sx2")) +
+          d("sx2") * (d("sx1") * d("sx2y") - d("sx1y") * d("sx2"))
+        val det2 = d("n") * (d("sx11") * d("sx2y") - d("sx1y") * d("sx12")) -
+          d("sx1") * (d("sx1") * d("sx2y") - d("sx1y") * d("sx2")) +
+          d("sy") * (d("sx1") * d("sx12") - d("sx11") * d("sx2"))
+        sums.select(col("flag"), col("n"),
+            (det0 / det).as("intercept_cents"),
+            (det1 / det).as("qty_coef_cents"),
+            (det2 / det).as("disc_coef_cents"))
+          .orderBy("flag")
+      },
+      Some(s"""WITH enc AS (SELECT l_returnflag AS flag,
+            CAST(l_quantity AS BIGINT) AS x1,
+            CAST(${Det.sqlRate("l_discount")} * 100 AS BIGINT) AS x2,
+            CAST(${Det.sqlMoney("l_extendedprice")} * 100 AS BIGINT) AS y
+          FROM lineitem),
+        s AS (SELECT flag, COUNT(*) AS n,
+            CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+            CAST(SUM(y) AS DOUBLE) AS sy,
+            CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+            CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+            CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+            CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+            CAST(SUM(x2 * y) AS DOUBLE) AS sx2y
+          FROM enc GROUP BY 1)
+        SELECT flag, n,
+          (sy * (sx11 * sx22 - sx12 * sx12) -
+           sx1 * (sx1y * sx22 - sx12 * sx2y) +
+           sx2 * (sx1y * sx12 - sx11 * sx2y)) /
+          (CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) -
+           sx1 * (sx1 * sx22 - sx12 * sx2) +
+           sx2 * (sx1 * sx12 - sx11 * sx2)) AS intercept_cents,
+          (CAST(n AS DOUBLE) * (sx1y * sx22 - sx12 * sx2y) -
+           sy * (sx1 * sx22 - sx12 * sx2) +
+           sx2 * (sx1 * sx2y - sx1y * sx2)) /
+          (CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) -
+           sx1 * (sx1 * sx22 - sx12 * sx2) +
+           sx2 * (sx1 * sx12 - sx11 * sx2)) AS qty_coef_cents,
+          (CAST(n AS DOUBLE) * (sx11 * sx2y - sx1y * sx12) -
+           sx1 * (sx1 * sx2y - sx1y * sx2) +
+           sy * (sx1 * sx12 - sx11 * sx2)) /
+          (CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) -
+           sx1 * (sx1 * sx22 - sx12 * sx2) +
+           sx2 * (sx1 * sx12 - sx11 * sx2)) AS disc_coef_cents
+        FROM s ORDER BY flag""")),
+
+    // ---- zone-map pruning forecast --------------------------------------------
+    // What a [lo, hi] predicate SAVES on a given physical clustering,
+    // from zone min/max stats alone (Advisor.zonePrune — the Parquet
+    // row-group / Iceberg manifest skipping contract). Zones are 4096-
+    // orderkey chunks, i.e. ingest order: pruning is near-total for
+    // predicates on the clustered key and near-zero for the
+    // uncorrelated shipdate — the measured argument for q110/q143's
+    // z-order layouts. The fact is touched once (one map-side
+    // aggregate); classification runs over |zones| rows.
+    "q239_zonemap_prune" -> Q(
+      (s, dir) => {
+        import graft.operators.Advisor.zonePrune
+        val li = t(s, dir, "lineitem")
+        val zone = expr("l_orderkey div 4096")
+        Seq(
+          zonePrune("orderkey_narrow", li, zone, col("l_orderkey"),
+            lit(1000L), lit(5000L)),
+          zonePrune("orderkey_all", li, zone, col("l_orderkey"),
+            lit(0L), lit(1000000000L)),
+          zonePrune("shipdate_month", li, zone, col("l_shipdate"),
+            to_timestamp(lit("1995-06-01 00:00:00")),
+            to_timestamp(lit("1995-06-30 23:59:59"))),
+          zonePrune("shipdate_year", li, zone, col("l_shipdate"),
+            to_timestamp(lit("1995-01-01 00:00:00")),
+            to_timestamp(lit("1995-12-31 23:59:59")))
+        ).reduce(_ unionAll _).orderBy("band")
+      },
+      Some(Seq(
+        Advisor.zonePruneSql("orderkey_narrow", "lineitem",
+          "l_orderkey // 4096", "l_orderkey", "1000", "5000"),
+        Advisor.zonePruneSql("orderkey_all", "lineitem",
+          "l_orderkey // 4096", "l_orderkey", "0", "1000000000"),
+        Advisor.zonePruneSql("shipdate_month", "lineitem",
+          "l_orderkey // 4096", "l_shipdate",
+          "TIMESTAMP '1995-06-01 00:00:00'", "TIMESTAMP '1995-06-30 23:59:59'"),
+        Advisor.zonePruneSql("shipdate_year", "lineitem",
+          "l_orderkey // 4096", "l_shipdate",
+          "TIMESTAMP '1995-01-01 00:00:00'", "TIMESTAMP '1995-12-31 23:59:59'")
+      ).map(q => s"($q)").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY band"))),
+
+    // ---- feature-store latest snapshot ----------------------------------------
+    // The online-store materialization: one row per user, one column
+    // per event type holding the LATEST observed value (ts desc,
+    // event_id desc tiebreak — total order, so the pick is
+    // deterministic). q97 keeps the single latest event; this keeps
+    // the latest PER FEATURE and pivots to the wide training row via
+    // conditional aggregation over the fixed type domain (never a
+    // dynamic pivot's extra pass). Values are carried, not computed —
+    // bit-exact by construction. Output is |users| rows: bounded by
+    // the entity domain, not event volume.
+    "q240_feature_snapshot" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        latest.groupBy("user_id")
+          .agg(max(when(col("event_type") === types.head, col("value")))
+              .as(s"latest_${types.head}"),
+            types.tail.map(tp =>
+              max(when(col("event_type") === tp, col("value"))).as(s"latest_$tp")): _*)
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        SELECT user_id,
+          MAX(CASE WHEN event_type = 'click' THEN value END) AS latest_click,
+          MAX(CASE WHEN event_type = 'error' THEN value END) AS latest_error,
+          MAX(CASE WHEN event_type = 'purchase' THEN value END) AS latest_purchase,
+          MAX(CASE WHEN event_type = 'signup' THEN value END) AS latest_signup,
+          MAX(CASE WHEN event_type = 'view' THEN value END) AS latest_view
+        FROM r WHERE rn = 1 GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- boilerplate n-gram accounting ----------------------------------------
+    // The C4/RefinedWeb template-removal pass re-expressed over word
+    // trigrams: within each source, a trigram repeated across >= 2
+    // documents is template text; the per-source report counts the
+    // boilerplate vocabulary and the exact token positions it covers
+    // (overlapping occurrences union'd via DISTINCT (doc, pos), never
+    // double-counted). Scale: gram traffic is |positions| rows of
+    // small strings; the covered-position explode is 3x the MATCHED
+    // occurrences only. One division for the fraction.
+    "q241_boilerplate_grams" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+        val grams = toks.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), col("source"),
+            posexplode(expr(
+              "transform(sequence(1, size(toks) - 2), " +
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+          .withColumnRenamed("col", "gram")
+        val boiler = grams.groupBy("source", "gram")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+        val covered = grams.join(boiler.select("source", "gram"), Seq("source", "gram"))
+          .select(col("source"), col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 2)).as("j"))
+          .distinct()
+          .groupBy("source").agg(count(lit(1)).as("covered_tokens"))
+        val tot = toks.groupBy("source").agg(
+          count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))
+        val gstats = grams.groupBy("source")
+          .agg(countDistinct(col("gram")).as("n_grams"))
+        val bstats = boiler.groupBy("source")
+          .agg(count(lit(1)).as("n_boiler_grams"))
+        tot.join(gstats, Seq("source"), "left_outer")
+          .join(bstats, Seq("source"), "left_outer")
+          .join(covered, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+              col("total_tokens").cast("double")).as("boiler_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+            regexp_extract_all(text, '\w+') AS toks FROM documents),
+        g AS (SELECT doc_id, source,
+            unnest([{'pos': i - 1,
+                     'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}
+                    for i in range(1, len(toks) - 1)]) AS u
+          FROM w WHERE len(toks) >= 3),
+        gg AS (SELECT doc_id, source, u.pos AS pos, u.gram AS gram FROM g),
+        b AS (SELECT source, gram FROM gg GROUP BY 1, 2
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (SELECT source, COUNT(*) AS covered_tokens FROM
+                 (SELECT DISTINCT gg.source, gg.doc_id, gg.pos + k.k AS j
+                  FROM gg JOIN b USING (source, gram)
+                  CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+                GROUP BY 1),
+        tot AS (SELECT source, COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens
+                FROM w GROUP BY 1),
+        gs AS (SELECT source, COUNT(DISTINCT gram) AS n_grams FROM gg GROUP BY 1),
+        bs AS (SELECT source, COUNT(*) AS n_boiler_grams FROM b GROUP BY 1)
+        SELECT source, n_docs, total_tokens,
+          COALESCE(n_grams, 0) AS n_grams,
+          COALESCE(n_boiler_grams, 0) AS n_boiler_grams,
+          COALESCE(covered_tokens, 0) AS covered_tokens,
+          CAST(COALESCE(covered_tokens, 0) AS DOUBLE)
+            / CAST(total_tokens AS DOUBLE) AS boiler_frac
+        FROM tot LEFT JOIN gs USING (source) LEFT JOIN bs USING (source)
+          LEFT JOIN cov USING (source)
+        ORDER BY source"""))
   )
 }

@@ -103,6 +103,91 @@ class AnalyticsSpec extends SparkSpec {
     assert(r4.getAs[Boolean]("is_fk"))
   }
 
+  test("Advisor.zonePrune classifies pruned/full/partial zones exactly") {
+    // 3 zones of 2 rows: values (1,2) (5,6) (9,10); predicate [4, 7]
+    //   zone0 max 2 < 4  → pruned;  zone1 in [4,7] → full;  zone2 min 9 > 7 → pruned
+    val df = Seq((0, 1), (0, 2), (1, 5), (1, 6), (2, 9), (2, 10)).toDF("z", "v")
+    val r = Advisor.zonePrune("t", df, col("z"), col("v"), lit(4), lit(7)).head()
+    assert(r.getAs[Long]("n_zones") == 3L)
+    assert(r.getAs[Long]("zones_pruned") == 2L)
+    assert(r.getAs[Long]("zones_full") == 1L)
+    assert(r.getAs[Long]("zones_partial") == 0L)
+    assert(r.getAs[Long]("rows_skipped") == 4L)
+    assert(r.getAs[Double]("skip_fraction") == 4.0 / 6.0)
+    // straddling predicate [2, 5]: zone0 partial, zone1 partial, zone2 pruned
+    val r2 = Advisor.zonePrune("t", df, col("z"), col("v"), lit(2), lit(5)).head()
+    assert(r2.getAs[Long]("zones_pruned") == 1L)
+    assert(r2.getAs[Long]("zones_full") == 0L)
+    assert(r2.getAs[Long]("zones_partial") == 2L)
+  }
+
+  test("q238 normal equations recover an exact plane y = 5 + 2*x1 - 3*x2") {
+    // the Cramer tree the query compiles, on integer-exact inputs whose
+    // residual is zero — the recovered coefficients must be bit-exact
+    val rows = for (a <- 0 to 4; b <- 0 to 4)
+      yield (a.toLong, b.toLong, 5L + 2 * a - 3 * b)
+    val df = rows.toDF("x1", "x2", "y")
+    val s = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x1").cast("double").as("sx1"), sum($"x2").cast("double").as("sx2"),
+      sum($"y").cast("double").as("sy"),
+      sum($"x1" * $"x1").cast("double").as("sx11"),
+      sum($"x1" * $"x2").cast("double").as("sx12"),
+      sum($"x2" * $"x2").cast("double").as("sx22"),
+      sum($"x1" * $"y").cast("double").as("sx1y"),
+      sum($"x2" * $"y").cast("double").as("sx2y")).head()
+    def g(i: Int) = s.getDouble(i)
+    val (n, sx1, sx2, sy, sx11, sx12, sx22, sx1y, sx2y) =
+      (g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7), g(8))
+    val det = n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) +
+      sx2 * (sx1 * sx12 - sx11 * sx2)
+    val det0 = sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) +
+      sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val det1 = n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) +
+      sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) +
+      sy * (sx1 * sx12 - sx11 * sx2)
+    assert(det0 / det == 5.0 && det1 / det == 2.0 && det2 / det == -3.0)
+  }
+
+  test("q241 boilerplate covered positions union overlapping gram spans") {
+    // two docs share the 4-token run "a b c d" → trigrams "a b c" and
+    // "b c d" are both boilerplate; their spans overlap on positions
+    // 1-2, so covered per doc = 5 (union of [0,2] and [1,3] is 4
+    // tokens... plus doc-specific tail positions are NOT covered)
+    val docs = Seq(
+      (1L, "s", "a b c d x"), // positions 0..4; covered 0..3
+      (2L, "s", "a b c d y")) // covered 0..3
+      .toDF("doc_id", "source", "text")
+    val toks = docs.select($"doc_id", $"source",
+      graft.functions.TextAnalysis.tokens($"text").as("toks"))
+    val grams = toks.filter(size($"toks") >= 3)
+      .select($"doc_id", $"source", posexplode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+      .withColumnRenamed("col", "gram")
+    val boiler = grams.groupBy("source", "gram")
+      .agg(countDistinct($"doc_id").as("df")).filter($"df" >= 2)
+    assert(boiler.select("gram").as[String].collect().toSet == Set("a b c", "b c d"))
+    val covered = grams.join(boiler.select("source", "gram"), Seq("source", "gram"))
+      .select($"source", $"doc_id", explode(sequence($"pos", $"pos" + 2)).as("j"))
+      .distinct()
+    // per doc: positions {0,1,2} ∪ {1,2,3} = {0,1,2,3} → 4 each, 8 total
+    assert(covered.count() == 8L)
+  }
+
+  test("q240 snapshot tiebreak: equal ts resolves by highest event_id") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 9.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    val top = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(top.select("value").as[Double].head() == 9.5)
+  }
+
   test("q199 fence positions: ((n-1)*k) div 8 + 1 is monotone and in range") {
     for (n <- Seq(1L, 2L, 7L, 8L, 9L, 1000L)) {
       val pos = (1 to 7).map(k => (n - 1) * k / 8 + 1)
