@@ -2203,6 +2203,132 @@ object Analytics {
             / CAST(total_tokens AS DOUBLE) AS boiler_frac
         FROM tot LEFT JOIN gs USING (source) LEFT JOIN bs USING (source)
           LEFT JOIN cov USING (source)
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- SCD2 fold of a change stream -----------------------------------------
+    // catalog.Scd2 on the oracle surface: treat each user's event
+    // stream as attribute changes (attr = event_type), fold to type-2
+    // intervals — no-op suppression collapses re-delivered values,
+    // valid_to comes from the next surviving change, last version
+    // stays open. One deterministic change per (user, ts) (smallest
+    // event_id) satisfies the operator's unique-(key, ts) contract.
+    // DuckDB replays the identical lag-filter + lead pipeline, so the
+    // operator's WHOLE semantics hash-gate, not just its spec cases.
+    "q242_scd2_fold" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dedupW = Window.partitionBy("user_id", "ts").orderBy("event_id")
+        val changes = t(s, dir, "events")
+          .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+          .select(col("user_id").as("k"), col("event_type").as("attr"), col("ts"))
+        val emptyDim = Seq.empty[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+          .toDF("k", "attr", "valid_from", "valid_to")
+        graft.catalog.Scd2.applyChanges(emptyDim, changes, Seq("k"), Seq("attr"))
+          .select(col("k"), col("attr"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
+      },
+      Some("""WITH d AS (SELECT user_id AS k, event_type AS attr, ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+          FROM events),
+        c AS (SELECT k, attr, ts FROM d WHERE rn = 1),
+        f AS (SELECT k, attr, ts,
+            LAG(attr) OVER (PARTITION BY k ORDER BY ts) AS prev FROM c),
+        kept AS (SELECT k, attr, ts FROM f WHERE prev IS NULL OR prev <> attr),
+        out AS (SELECT k, attr, ts AS vf,
+            LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS vt FROM kept)
+        SELECT k, attr,
+          STRFTIME(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+          STRFTIME(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        FROM out""")),
+
+    // ---- sequence pattern matching (MATCH_RECOGNIZE-lite) ---------------------
+    // SQL-2016 row-pattern matching re-expressed portably: each user's
+    // event history becomes an ordered initial-letter string (total
+    // (ts, event_id) order → deterministic), and patterns are plain
+    // regexes counted over it — direct view→purchase funnels, view
+    // runs, signup-before-purchase. Both engines run greedy
+    // non-overlapping literal-regex extraction, so counts agree
+    // exactly. Scale: per-user strings are entity-bounded (q154's
+    // argument); the heavy part is one groupBy over the fact.
+    "q243_seq_patterns" -> Q(
+      (s, dir) => {
+        val chr = when(col("event_type") === "click", "c")
+          .when(col("event_type") === "error", "e")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("v")
+        t(s, dir, "events")
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), chr.as("ch")).as("ev"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(col("ev"))).as("evs"))
+          .select(col("user_id"),
+            concat_ws("", expr("transform(evs, e -> e.ch)")).as("seq"))
+          .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+            size(regexp_extract_all(col("seq"), lit("vp"), lit(0)))
+              .cast("long").as("n_view_purchase"),
+            size(regexp_extract_all(col("seq"), lit("vvv"), lit(0)))
+              .cast("long").as("n_view_runs"),
+            (size(regexp_extract_all(col("seq"), lit("s[cev]*p"), lit(0))) > 0)
+              .as("signup_then_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s AS (SELECT user_id,
+            STRING_AGG(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'v' END, ''
+              ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id)
+        SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS n_events,
+          CAST(LEN(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_view_purchase,
+          CAST(LEN(regexp_extract_all(seq, 'vvv')) AS BIGINT) AS n_view_runs,
+          LEN(regexp_extract_all(seq, 's[cev]*p')) > 0 AS signup_then_purchase
+        FROM s ORDER BY user_id""")),
+
+    // ---- incremental join delta rule on real data -----------------------------
+    // The JoinView algebra hash-gated at table scale: split orders at
+    // a date into OLD ∪ DELTA, and verify on orders ⋈ lineitem that
+    //   |full| = |old⋈li_old| + |Δo⋈li_old| + |o_old⋈Δli| + |Δo⋈Δli|
+    // — the exact identity an incremental refresh banks on. The
+    // lineitem side splits by its order's arrival epoch (a semi-join
+    // tag), so the four terms partition the join EXACTLY; the output
+    // row carries all five counts plus the reconciliation verdict.
+    "q244_join_delta_rule" -> Q(
+      (s, dir) => {
+        val split = to_timestamp(lit("1997-01-01 00:00:00"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), (col("o_orderdate") < split).as("o_old"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_shipdate") < split).as("l_old"))
+        val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        j.agg(
+            count(lit(1)).as("full_rows"),
+            sum(when(col("o_old") && col("l_old"), 1L).otherwise(0L)).as("old_old"),
+            sum(when(!col("o_old") && col("l_old"), 1L).otherwise(0L)).as("da_b_old"),
+            sum(when(col("o_old") && !col("l_old"), 1L).otherwise(0L)).as("a_old_db"),
+            sum(when(!col("o_old") && !col("l_old"), 1L).otherwise(0L)).as("da_db"))
+          .select(lit("orders_x_lineitem").as("view"),
+            col("full_rows"), col("old_old"), col("da_b_old"),
+            col("a_old_db"), col("da_db"),
+            (col("old_old") + col("da_b_old") + col("a_old_db") + col("da_db")
+              === col("full_rows")).as("reconciles"))
+      },
+      Some("""SELECT 'orders_x_lineitem' AS view,
+          COUNT(*) AS full_rows,
+          SUM(CASE WHEN o_old AND l_old THEN 1 ELSE 0 END) AS old_old,
+          SUM(CASE WHEN NOT o_old AND l_old THEN 1 ELSE 0 END) AS da_b_old,
+          SUM(CASE WHEN o_old AND NOT l_old THEN 1 ELSE 0 END) AS a_old_db,
+          SUM(CASE WHEN NOT o_old AND NOT l_old THEN 1 ELSE 0 END) AS da_db,
+          (SUM(CASE WHEN o_old AND l_old THEN 1 ELSE 0 END) +
+           SUM(CASE WHEN NOT o_old AND l_old THEN 1 ELSE 0 END) +
+           SUM(CASE WHEN o_old AND NOT l_old THEN 1 ELSE 0 END) +
+           SUM(CASE WHEN NOT o_old AND NOT l_old THEN 1 ELSE 0 END))
+            = COUNT(*) AS reconciles
+        FROM (SELECT l_orderkey,
+                l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AS l_old
+              FROM lineitem) li
+          JOIN (SELECT o_orderkey,
+                o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AS o_old
+              FROM orders) o ON l_orderkey = o_orderkey"""))
   )
 }
