@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.Hashing
+import graft.operators.{Agreement, Anonymize, Preference, Spatial}
+import graft.queries.Relational.Q
+
+/** Data-governance and human-feedback operators on the oracle surface:
+  * privacy-release audits (k-anonymity / l-diversity), labeling QC
+  * (Cohen's kappa), RLHF preference-strength estimation (Bradley-Terry),
+  * and grid-blocked spatial joins.
+  *
+  * The shared discipline: every statistic reduces the fact table with
+  * ONE map-side combinable aggregate, carries its state in BIGINT, and
+  * spends at most one fixed IEEE expression tree at the end — so every
+  * query here hash-matches DuckDB bit-for-bit at all scales.
+  */
+object Governance {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** One k-anonymity census row at a generalization level. */
+  private def censusSql(level: String, qiRel: String, k: Long): String =
+    s"""SELECT '$level' AS level, CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT) AS rows_violating,
+       SUM(CASE WHEN sz < $k THEN sz ELSE 0 END) = 0 AS k_anonymous
+       FROM (SELECT COUNT(*) AS sz FROM ($qiRel) GROUP BY q1, q2)"""
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- k-anonymity census with a generalization ladder ----------------
+    // The release audit: are customers re-identifiable by joining public
+    // data on (nation, market segment)? Level 0 checks the raw QI; level
+    // 1 generalizes nation → region (the standard k-anonymity remedy)
+    // and shows the violation count collapsing. One groupBy per level
+    // over bounded QI domains; everything downstream is constant-size.
+    "q245_k_anonymity" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val l0 = Anonymize.kAnonymityCensus(
+          cust.select(col("c_nationkey").as("q1"), col("c_mktsegment").as("q2")),
+          Seq("q1", "q2"), k = 5L)
+          .select(lit("0_nation_segment").as("level"), col("n_rows"), col("n_classes"),
+            col("min_class_size"), col("rows_violating"), col("k_anonymous"))
+        val l1 = Anonymize.kAnonymityCensus(
+          cust.join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(col("n_regionkey").cast("int").as("q1"),
+              col("c_mktsegment").as("q2")),
+          Seq("q1", "q2"), k = 5L)
+          .select(lit("1_region_segment").as("level"), col("n_rows"), col("n_classes"),
+            col("min_class_size"), col("rows_violating"), col("k_anonymous"))
+        l0.unionAll(l1).orderBy("level")
+      },
+      Some(Seq(
+        censusSql("0_nation_segment",
+          "SELECT c_nationkey AS q1, c_mktsegment AS q2 FROM customer", 5L),
+        censusSql("1_region_segment",
+          """SELECT n_regionkey AS q1, c_mktsegment AS q2
+             FROM customer JOIN nation ON c_nationkey = n_nationkey""", 5L))
+        .mkString("", " UNION ALL ", " ORDER BY level"))),
+
+    // ---- l-diversity census ---------------------------------------------
+    // Attribute-disclosure audit on top of the same QI classes: a class
+    // whose members all share one balance bracket DISCLOSES the bracket
+    // even if the class is large. Sensitive attribute = 1000-unit
+    // account-balance bracket (exact: one correctly-rounded IEEE divide
+    // by 1000, then floor — both engines bit-equal). Output: EVERY class
+    // with its size, observed diversity, and the l ≥ 3 verdict (a
+    // violations-only result would be empty at larger scales — a full
+    // census keeps the hash gate strong at every sf).
+    "q246_l_diversity" -> Q(
+      (s, dir) => Anonymize.lDiversityCensus(
+        t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000d).cast("long"), l = 3L)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS class_size,
+          CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+            AS l_distinct,
+          COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3 AS l_diverse
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+        ORDER BY c_nationkey, c_mktsegment""")),
+
+    // ---- inter-annotator agreement (Cohen's kappa) ----------------------
+    // Labeling QC: two deterministic document-quality "annotators" —
+    // A: length ≥ 300 chars; B: ≥ 55 space-separated gaps — scored per
+    // language. The 2×2 confusion matrix is one BIGINT aggregate; κ is
+    // one IEEE division over exact integer numerator/denominator, so the
+    // chance-corrected agreement hash-matches bit-for-bit.
+    "q247_annotator_kappa" -> Q(
+      (s, dir) => Agreement.cohensKappa(
+        t(s, dir, "documents"),
+        "lang",
+        a = col("n_chars") >= 300L,
+        b = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))) >= 55)
+        .orderBy("lang"),
+      Some(Agreement.cohensKappaSql(
+        """SELECT lang, n_chars >= 300 AS a,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 55 AS b
+           FROM documents""", "lang") + " ORDER BY lang")),
+
+    // ---- Bradley-Terry preference strengths -----------------------------
+    // RLHF-style preference aggregation over real behavior: each
+    // (user, day) where two event types both occur with DIFFERENT counts
+    // is a duel won by the more frequent type; the win matrix (≤ |types|²
+    // rows, aggregated map-side before anything iterative) feeds 3 exact-
+    // integer MM updates (operators.Preference — the q118 pattern: the
+    // DuckDB chain is GENERATED from the same constants, so an iterative
+    // fixed point hash-matches bit-for-bit).
+    "q248_bradley_terry" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("user_id", "day", "event_type").agg(count(lit(1)).as("c"))
+        val x = c.select(col("user_id"), col("day"),
+          col("event_type").as("ta"), col("c").as("ca"))
+        val y = c.select(col("user_id"), col("day"),
+          col("event_type").as("tb"), col("c").as("cb"))
+        val duels = x.join(y, Seq("user_id", "day"))
+          .filter(col("ta") < col("tb") && col("ca") =!= col("cb"))
+          .select(
+            when(col("ca") > col("cb"), col("ta")).otherwise(col("tb")).as("winner"),
+            when(col("ca") > col("cb"), col("tb")).otherwise(col("ta")).as("loser"))
+          .groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+        Preference.ratings(duels, iters = 3)
+      },
+      Some(Preference.oracleSql(
+        """SELECT winner, loser, COUNT(*) AS w FROM (
+             SELECT CASE WHEN x.c > y.c THEN x.event_type ELSE y.event_type END AS winner,
+                    CASE WHEN x.c > y.c THEN y.event_type ELSE x.event_type END AS loser
+             FROM (SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+                   FROM events GROUP BY 1, 2, 3) x
+             JOIN (SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+                   FROM events GROUP BY 1, 2, 3) y
+               ON x.user_id = y.user_id AND x.day = y.day
+              AND x.event_type < y.event_type
+             WHERE x.c <> y.c)
+           GROUP BY winner, loser""", iters = 3))),
+
+    // ---- grid-blocked spatial distance join -----------------------------
+    // All customer pairs within R = 0.2° on a deterministic md5-derived
+    // micro-degree plane (both engines derive identical coordinates from
+    // the h28 family). operators.Spatial: cell side = R, 3×3 probe
+    // neighborhood, equi-join on the cell key, exact BIGINT distance
+    // check — each qualifying pair joins EXACTLY once, never a cross
+    // join (plan-gated). The oracle replays the same blocking (a brute
+    // O(n²) oracle would not finish at sf0.1). Output: one summary row
+    // pinning the pair SET (count, distance mass, xor fingerprint).
+    "q249_spatial_pairs" -> Q(
+      (s, dir) => {
+        val pts = t(s, dir, "customer").select(col("c_custkey").as("id"),
+          pmod(Hashing.h28(concat(lit("px"), col("c_custkey").cast("string"))),
+            lit(10000000L)).as("x"),
+          pmod(Hashing.h28(concat(lit("py"), col("c_custkey").cast("string"))),
+            lit(10000000L)).as("y"))
+        val pairs = Spatial.distanceJoin(pts, r = 200000L)
+        val pairAgg = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("dist2")), lit(0L)).as("sum_dist2"),
+          coalesce(expr("bit_xor(id_a * 1000003 + id_b)"), lit(0L)).as("pair_xor"))
+        pts.agg(count(lit(1)).as("n_points")).crossJoin(pairAgg)
+      },
+      Some(s"""WITH pts AS (SELECT c_custkey AS id,
+            ${Hashing.sqlH28("'px' || CAST(c_custkey AS VARCHAR)")} % 10000000 AS x,
+            ${Hashing.sqlH28("'py' || CAST(c_custkey AS VARCHAR)")} % 10000000 AS y
+          FROM customer),
+        p AS (SELECT id, x, y, x // 200000 AS cx, y // 200000 AS cy FROM pts),
+        probes AS (SELECT id AS id_a, x AS xa, y AS ya,
+            cx + o1.dx AS cx, cy + o2.dy AS cy
+          FROM p CROSS JOIN (VALUES (-1), (0), (1)) o1(dx)
+                 CROSS JOIN (VALUES (-1), (0), (1)) o2(dy)),
+        pairs AS (SELECT id_a, r.id AS id_b,
+            (xa - r.x) * (xa - r.x) + (ya - r.y) * (ya - r.y) AS dist2
+          FROM probes JOIN p r ON probes.cx = r.cx AND probes.cy = r.cy
+            AND probes.id_a < r.id
+          WHERE (xa - r.x) * (xa - r.x) + (ya - r.y) * (ya - r.y)
+              <= ${200000L * 200000L})
+        SELECT (SELECT COUNT(*) FROM pts) AS n_points,
+          COUNT(*) AS n_pairs,
+          CAST(COALESCE(SUM(dist2), 0) AS BIGINT) AS sum_dist2,
+          CAST(COALESCE(BIT_XOR(id_a * 1000003 + id_b), 0) AS BIGINT) AS pair_xor
+        FROM pairs"""))
+  )
+}

@@ -595,6 +595,21 @@ class PlanShapeSpec extends SparkSpec {
       s"top-10 paths must not plan a corpus-wide rank window:\n$plan")
   }
 
+  test("q249 spatial join: grid blocking plans an equi-join, never a cross product") {
+    val df = SparkEntry.queries("q249_spatial_pairs")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the pair generation must ride the (cx, cy) cell key — a cartesian
+    // (or BNLJ on the pair predicate) would be the n² plan grid blocking
+    // exists to avoid. The only legal nested-loop is the final single-row
+    // summary crossJoin.
+    val body = plan.linesIterator.filterNot(_.contains("rows=1")).mkString("\n")
+    assert(!body.contains("CartesianProduct"),
+      s"spatial candidate join degenerated to a cross product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected a keyed equi-join on the cell key:\n$plan")
+  }
+
   test("q199 histogram: fences come from ONE aggregate pass (a single window)") {
     val df = SparkEntry.queries("q199_equidepth_hist")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
