@@ -36,9 +36,66 @@ object Preference {
 
   /** Strengths after `iters` MM updates over `duels(winner, loser, w)`
     * (pre-aggregated win counts). Output:
-    * (item, wins, games, rating_units) ordered by item. */
+    * (item, wins, games, rating_units) ordered by item.
+    *
+    * Two execution tiers sharing the identical arithmetic (so they are
+    * bit-interchangeable): when the aggregated win matrix fits
+    * `driverMax` rows it is COLLECTED and the fixed point runs as a
+    * driver loop — the [[graft.operators.Ivf]] precedent (the matrix is
+    * ≤|items|² kilobytes, the model itself); a larger item domain falls
+    * back to [[ratingsDistributed]]'s keyed-join iterations. The
+    * distributed duel AGGREGATION that feeds either tier is where the
+    * data volume lives, and it is one map-side-combinable groupBy. */
   def ratings(duels: DataFrame, iters: Int = 3,
-              unit: Long = 1000000L, prec: Long = 100000L): DataFrame = {
+              unit: Long = 1000000L, prec: Long = 100000L,
+              driverMax: Int = 65536): DataFrame = {
+    require(iters >= 1 && unit > 0 && prec > 0)
+    val spark = duels.sparkSession
+    val agg = duels.groupBy("winner", "loser")
+      .agg(sum(col("w").cast("long")).as("w"))
+    val head = agg.limit(driverMax + 1).collect()
+    if (head.length > driverMax) return ratingsDistributed(duels, iters, unit, prec)
+
+    val w = head.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val items = (w.map(_._1) ++ w.map(_._2)).distinct.sortBy(_.toString)
+    val wins = w.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._3).sum }
+    val games = scala.collection.mutable.Map.empty[(Any, Any), Long]
+      .withDefaultValue(0L)
+    w.foreach { case (i, j, n) => games((i, j)) += n; games((j, i)) += n }
+    val byItem = items.map(i => i ->
+      games.collect { case ((a, j), n) if a == i => (j, n) }.toSeq).toMap
+
+    var p = items.map(i => i -> unit).toMap
+    for (_ <- 1 to iters) {
+      p = items.map { i =>
+        val s = byItem(i).map { case (j, nij) =>
+          nij * unit * prec / (p(i) + p(j))
+        }.sum
+        i -> (if (s == 0L) p(i)
+              else math.max(wins.getOrElse(i, 0L) * unit * prec / s, 1L))
+      }.toMap
+    }
+    val itemField = agg.schema("winner").copy(name = "item")
+    val schema = org.apache.spark.sql.types.StructType(Seq(itemField,
+      org.apache.spark.sql.types.StructField("wins",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("games",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rating_units",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = items.map { i =>
+      org.apache.spark.sql.Row(i, wins.getOrElse(i, 0L),
+        byItem(i).map(_._2).sum, p(i))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy("item")
+  }
+
+  /** The keyed-join tier of [[ratings]] — identical floor-division
+    * arithmetic, executed as K tiny shuffles over the item-pair domain.
+    * For item domains too large to collect (user-level ratings). */
+  def ratingsDistributed(duels: DataFrame, iters: Int = 3,
+                         unit: Long = 1000000L, prec: Long = 100000L): DataFrame = {
     require(iters >= 1 && unit > 0 && prec > 0)
     val d = duels.select(col("winner"), col("loser"), col("w").cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -73,6 +73,16 @@ class GovernanceSpec extends SparkSpec {
     assert(r("b") == 500000L)
   }
 
+  test("driver-tier and distributed-tier Bradley-Terry are bit-identical") {
+    val duels = Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "c", 5L),
+      ("c", "b", 5L), ("a", "c", 2L)).toDF("winner", "loser", "w")
+    val fast = Preference.ratings(duels, iters = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val dist = Preference.ratingsDistributed(duels, iters = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(fast == dist)
+  }
+
   test("zero-win items floor at 1 unit and never divide by zero") {
     val duels = Seq(("a", "b", 2L)).toDF("winner", "loser", "w")
     val r = Preference.ratings(duels, iters = 4)
