@@ -25,10 +25,65 @@ object PageRank {
 
   /** Ranks after `iters` iterations with damping dampNum/dampDen.
     * Input: an edge DataFrame; nodes are inferred as src ∪ dst.
-    * Returns (node, rank_units: BIGINT). */
+    * Returns (node, rank_units: BIGINT).
+    *
+    * Two execution tiers with IDENTICAL integer arithmetic (spec-pinned
+    * bit-equal): the edge MULTISET first aggregates to a weighted
+    * (src, dst, n) matrix — one map-side-combinable pass over however
+    * many edges there are; when that matrix fits `driverMax` rows
+    * (bounded node domains: event types, categories) the K-iteration
+    * fixed point runs as a driver loop over kilobytes instead of 2K
+    * scheduled shuffles. Parallel edges contribute n·(rank div od)
+    * exactly as n separate edge rows would. Larger graphs take the
+    * distributed keyed-join path below. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
-            unit: Long = 1000000000000L): DataFrame = {
+            unit: Long = 1000000000000L, driverMax: Int = 65536): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
+    val spark = edges.sparkSession
+    val eAgg = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val head = eAgg.limit(driverMax + 1).collect()
+    if (head.length <= driverMax) {
+      val w = head.map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val nodes = (w.map(_._1) ++ w.map(_._2)).distinct.sortBy(_.toString)
+      if (nodes.isEmpty) {
+        val nodeField = eAgg.schema("src").copy(name = "node")
+        return spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(nodeField,
+            org.apache.spark.sql.types.StructField("rank_units",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+      val od = w.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+      val inEdges = w.groupBy(_._2).withDefaultValue(Array.empty[(Any, Any, Long)])
+      val n = nodes.length.toLong
+      val base = (unit * (dampDen - dampNum) / dampDen) / n
+      var rank = nodes.map(_ -> unit / n).toMap
+      for (_ <- 1 to iters) {
+        rank = nodes.map { d =>
+          val s = inEdges(d).iterator.map { case (sN, _, cnt) =>
+            cnt * (rank(sN) / od(sN))
+          }.sum
+          d -> (base + dampNum * s / dampDen)
+        }.toMap
+      }
+      val nodeField = eAgg.schema("src").copy(name = "node")
+      val schema = org.apache.spark.sql.types.StructType(Seq(nodeField,
+        org.apache.spark.sql.types.StructField("rank_units",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = nodes.map(nd => org.apache.spark.sql.Row(nd, rank(nd)))
+      return spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("node")
+    }
+    ranksDistributed(edges, srcCol, dstCol, iters, dampNum, dampDen, unit)
+  }
+
+  /** The keyed-join tier of [[ranks]]: K iterations of edge ⋈ ranks +
+    * dst-keyed aggregation, for graphs whose edge matrix exceeds the
+    * driver budget. */
+  def ranksDistributed(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
+                       unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -37,6 +37,16 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("driver tier and distributed tier are bit-identical") {
+    val edges = (Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+      ("B", "A"), ("A", "B")).toDF("s", "d")) // incl. a parallel edge
+    val fast = PageRank.ranks(edges, "s", "d", iters = 4)
+      .as[(String, Long)].collect().toSeq
+    val dist = PageRank.ranksDistributed(edges, "s", "d", iters = 4)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fast == dist)
+  }
+
   test("total mass never grows (floors and dangling C only leak)") {
     val total = PageRank.ranks(tri, "s", "d", iters = 4)
       .as[(String, Long)].collect().map(_._2).sum
