@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Corpus, Eval, Governance, LlmOps, Pipeline, Relational}
+import graft.queries.{Analytics, Corpus, Eval, Experiment, Governance, LlmOps, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def allDefs: Seq[(String, Relational.Q)] =
     Relational.defs ++ LlmOps.defs ++ Analytics.defs ++ Governance.defs ++
-      Corpus.defs ++ Eval.defs ++ Pipeline.defs
+      Corpus.defs ++ Eval.defs ++ Pipeline.defs ++ Experiment.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.functions.Hashing
+import graft.queries.Relational.Q
+
+/** Experimentation-platform analytics: off-policy evaluation by replay,
+  * difference-in-differences, CUPED variance reduction, and sample-ratio
+  * mismatch detection. Assignments and candidate policies are md5-derived
+  * (both engines assign identically), metrics keep their mass in exact
+  * integers/decimals, and every emitted statistic is a fixed IEEE tree
+  * over exact operands — the full A/B readout hash-matches bit-for-bit.
+  */
+object Experiment {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic per-user treatment flag (md5 coin). */
+  private def treated(user: org.apache.spark.sql.Column) =
+    pmod(Hashing.h28(concat(lit("t"), user.cast("string"))), lit(2L)) === 0L
+
+  private val SqlTreated =
+    s"${Hashing.sqlH28("'t' || CAST(user_id AS VARCHAR)")} % 2 = 0"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ---- off-policy evaluation by replay --------------------------------
+    // The bandit-logging primitive (Li et al. 2011): a CANDIDATE policy
+    // assigns each user one action (md5 draw over the action set); the
+    // logged stream is replayed and only events whose logged action
+    // equals the policy's choice count toward the policy's estimated
+    // reward. Per arm: exposure, match count/share, and the exact-
+    // decimal mean reward on matched events vs the arm's logged mean —
+    // one map-side-combinable aggregate over the fact.
+    "q260_policy_replay" -> Q(
+      (s, dir) => {
+        val arms = array(Seq("click", "error", "purchase", "signup", "view")
+          .map(lit): _*)
+        val ev = t(s, dir, "events")
+          .withColumn("arm", element_at(arms,
+            (pmod(Hashing.h28(concat(lit("arm"), col("user_id").cast("string"))),
+              lit(5L)) + 1L).cast("int")))
+        ev.groupBy("arm")
+          .agg(count(lit(1)).as("n_logged"),
+            sum(when(col("event_type") === col("arm"), 1L).otherwise(0L))
+              .as("n_matched"),
+            Det.moneySumExact(col("value")).as("sum_all"),
+            sum(when(col("event_type") === col("arm"), Det.money(col("value")))
+              .otherwise(lit(0).cast(Det.Money))).as("sum_matched"))
+          .select(col("arm"), col("n_logged"), col("n_matched"),
+            (col("n_matched").cast("double") / col("n_logged").cast("double"))
+              .as("match_share"),
+            when(col("n_matched") > 0L,
+              col("sum_matched").cast("double") / col("n_matched").cast("double"))
+              .as("policy_reward"),
+            (col("sum_all").cast("double") / col("n_logged").cast("double"))
+              .as("logged_reward"))
+          .orderBy("arm")
+      },
+      Some(s"""WITH ev AS (SELECT event_type, value,
+            (['click','error','purchase','signup','view'])[CAST(
+              ${Hashing.sqlH28("'arm' || CAST(user_id AS VARCHAR)")} % 5 + 1
+              AS INT)] AS arm
+          FROM events)
+        SELECT arm, COUNT(*) AS n_logged,
+          CAST(SUM(CASE WHEN event_type = arm THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          CAST(SUM(CASE WHEN event_type = arm THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS match_share,
+          CASE WHEN SUM(CASE WHEN event_type = arm THEN 1 ELSE 0 END) > 0 THEN
+            CAST(SUM(CASE WHEN event_type = arm
+              THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+              AS DOUBLE)
+            / CAST(SUM(CASE WHEN event_type = arm THEN 1 ELSE 0 END) AS DOUBLE)
+          END AS policy_reward,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS logged_reward
+        FROM ev GROUP BY arm ORDER BY arm""")),
+
+    // ---- difference-in-differences --------------------------------------
+    // The causal readout when assignment is per-user and a mid-month
+    // change lands at a known date: the treatment effect is the change
+    // in the treated group's mean MINUS the change in control's —
+    // differencing out both the group baseline and the common time
+    // trend. Four cell means from ONE aggregate (exact decimal sums),
+    // then a fixed IEEE combination.
+    "q261_diff_in_diff" -> Q(
+      (s, dir) => {
+        val cut = to_date(lit("2024-01-16"))
+        val cells = t(s, dir, "events")
+          .select(treated(col("user_id")).as("tr"),
+            (to_date(col("ts")) >= cut).as("post"),
+            Det.money(col("value")).as("v"))
+          .groupBy("tr", "post")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val m = cells.select(
+          concat(when(col("tr"), "t").otherwise("c"),
+            when(col("post"), "_post").otherwise("_pre")).as("cell"),
+          col("n"), (col("sv").cast("double") / col("n").cast("double")).as("mean"))
+        val wide = m.groupBy()
+          .pivot("cell", Seq("c_pre", "c_post", "t_pre", "t_post"))
+          .agg(first(col("mean")))
+        val ns = m.groupBy().pivot("cell", Seq("c_pre", "c_post", "t_pre", "t_post"))
+          .agg(first(col("n")))
+          .select(col("c_pre").as("n_c_pre"), col("c_post").as("n_c_post"),
+            col("t_pre").as("n_t_pre"), col("t_post").as("n_t_post"))
+        wide.crossJoin(ns)
+          .withColumn("did",
+            (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+      },
+      Some(s"""WITH cells AS (SELECT
+            CASE WHEN $SqlTreated THEN 't' ELSE 'c' END ||
+            CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN '_post' ELSE '_pre' END AS cell,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS mean
+          FROM events GROUP BY 1)
+        SELECT
+          MAX(CASE WHEN cell = 'c_pre' THEN mean END) AS c_pre,
+          MAX(CASE WHEN cell = 'c_post' THEN mean END) AS c_post,
+          MAX(CASE WHEN cell = 't_pre' THEN mean END) AS t_pre,
+          MAX(CASE WHEN cell = 't_post' THEN mean END) AS t_post,
+          MAX(CASE WHEN cell = 'c_pre' THEN n END) AS n_c_pre,
+          MAX(CASE WHEN cell = 'c_post' THEN n END) AS n_c_post,
+          MAX(CASE WHEN cell = 't_pre' THEN n END) AS n_t_pre,
+          MAX(CASE WHEN cell = 't_post' THEN n END) AS n_t_post,
+          (MAX(CASE WHEN cell = 't_post' THEN mean END)
+            - MAX(CASE WHEN cell = 't_pre' THEN mean END))
+          - (MAX(CASE WHEN cell = 'c_post' THEN mean END)
+            - MAX(CASE WHEN cell = 'c_pre' THEN mean END)) AS did
+        FROM cells""")),
+
+    // ---- CUPED variance reduction ---------------------------------------
+    // The experimentation-platform sensitivity booster (Deng et al.
+    // 2013): regress each user's post-period metric on their PRE-period
+    // metric and remove the explained variance; θ = cov(X,Y)/var(X),
+    // achieved reduction = ρ². Per-user X/Y are whole-currency integer
+    // sums (exact), the five power sums are BIGINT (overflow budget:
+    // per-user sums < 2^27, squares summed over users < 2^57), and
+    // θ/ρ² are fixed IEEE trees over the exact sums. Raw vx/vy/cxy ride
+    // along as exact BIGINTs, so the gate pins the sums — not just the
+    // rounded ratios.
+    "q262_cuped" -> Q(
+      (s, dir) => {
+        val cut = to_date(lit("2024-01-16"))
+        val per = t(s, dir, "events")
+          .select(col("user_id"),
+            (to_date(col("ts")) >= cut).as("post"),
+            floor(col("value")).cast("long").as("v"))
+          .groupBy("user_id")
+          .agg(sum(when(!col("post"), col("v")).otherwise(0L)).as("x"),
+            sum(when(col("post"), col("v")).otherwise(0L)).as("y"))
+        per.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+          .withColumn("theta", col("cxy").cast("double") / col("vx").cast("double"))
+          .withColumn("rho2",
+            (col("cxy").cast("double") / col("vx").cast("double"))
+              * (col("cxy").cast("double") / col("vy").cast("double")))
+      },
+      Some(s"""WITH per AS (SELECT user_id,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
+                ELSE CAST(FLOOR(value) AS BIGINT) END) AS x,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                THEN CAST(FLOOR(value) AS BIGINT) ELSE 0 END) AS y
+          FROM events GROUP BY user_id),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM per)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST(n * sxy - sx * sy AS BIGINT) AS cxy,
+          CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+          CAST(n * syy - sy * sy AS BIGINT) AS vy,
+          CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            AS theta,
+          (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+            * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+            AS rho2
+        FROM s""")),
+
+    // ---- sample-ratio mismatch ------------------------------------------
+    // The assignment-health alarm: under a 50/50 md5 coin the per-type
+    // EXPOSED-USER counts must split evenly; χ² = (n_t − n_c)²/n per
+    // type (the 2-cell Pearson statistic in one division) with the
+    // standard χ²₁ > 9 (p ≈ 0.0027) alarm threshold as an exact integer
+    // comparison: 9·n < (n_t − n_c)². Distinct-user counts are
+    // per-type exact; the type domain is bounded.
+    "q263_srm_check" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            treated(col("user_id")).as("tr"))
+          .distinct()
+          .groupBy("event_type")
+          .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+            sum(when(!col("tr"), 1L).otherwise(0L)).as("n_c"))
+          .withColumn("n", col("n_t") + col("n_c"))
+          .withColumn("chi2",
+            ((col("n_t") - col("n_c")) * (col("n_t") - col("n_c"))).cast("double")
+              / col("n").cast("double"))
+          .withColumn("srm_alarm",
+            (col("n_t") - col("n_c")) * (col("n_t") - col("n_c")) > col("n") * 9L)
+          .orderBy("event_type")
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT event_type, user_id,
+            $SqlTreated AS tr FROM events),
+        c AS (SELECT event_type,
+            SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS n_t,
+            SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS n_c
+          FROM u GROUP BY event_type)
+        SELECT event_type, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+          CAST(n_t + n_c AS BIGINT) AS n,
+          CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
+            / CAST(n_t + n_c AS DOUBLE) AS chi2,
+          (n_t - n_c) * (n_t - n_c) > (n_t + n_c) * 9 AS srm_alarm
+        FROM c ORDER BY event_type"""))
+  )
+}
