@@ -186,6 +186,77 @@ object Governance {
           COUNT(*) AS n_pairs,
           CAST(COALESCE(SUM(dist2), 0) AS BIGINT) AS sum_dist2,
           CAST(COALESCE(BIT_XOR(id_a * 1000003 + id_b), 0) AS BIGINT) AS pair_xor
-        FROM pairs"""))
+        FROM pairs""")),
+
+    // ---- TextRank keyword extraction ------------------------------------
+    // Mihalcea & Tarau 2004 as pure operator COMPOSITION: the word
+    // co-occurrence graph (adjacent-token edges, symmetrized) feeds the
+    // exact-integer PageRank, and the top-10 ranked tokens are the
+    // corpus keywords. The vocabulary-bounded node domain takes
+    // PageRank's driver tier; the oracle wraps the GENERATED q118
+    // iteration chain over the same edge CTE — an end-to-end iterative
+    // graph computation hash-matching from tokenizer to ranking.
+    "q264_textrank_keywords" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .as("g"))
+          .select(split(col("g"), " ").getItem(0).as("a"),
+            split(col("g"), " ").getItem(1).as("b"))
+        val edges = grams.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(grams.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.PageRank.ranks(edges, "src", "dst", iters = 5)
+          .orderBy(col("rank_units").desc, col("node")).limit(10)
+      },
+      Some {
+        val edgesCte =
+          """SELECT split_part(g, ' ', 1) AS src, split_part(g, ' ', 2) AS dst
+             FROM (SELECT UNNEST([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS g
+               FROM (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents))
+             UNION ALL
+             SELECT split_part(g, ' ', 2), split_part(g, ' ', 1)
+             FROM (SELECT UNNEST([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS g
+               FROM (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents))"""
+        s"""SELECT node, rank_units FROM (
+           ${graft.operators.PageRank.oracleSql(edgesCte, iters = 5)}
+           ) ORDER BY rank_units DESC, node LIMIT 10"""
+      }),
+
+    // ---- geometric-noise count release ----------------------------------
+    // Differential-privacy mechanism PLUMBING, made cross-engine
+    // testable: each released count is perturbed by two-sided geometric
+    // noise built from md5 hex — the magnitude is the leading-'f' run
+    // length of the group's salted digest (P(len ≥ k) = 16^-k, i.e.
+    // geometric with p = 15/16), one draw positive, one negative. The
+    // noise here is SEEDED by the group key so the gate can hash-match
+    // the whole release path; a production release swaps the digest for
+    // a real RNG (same mechanism shape, actual privacy — with a
+    // deterministic seed there is none, which is the point of gating
+    // the plumbing separately). True count, draws, and noisy count are
+    // all emitted so the mechanism is pinned end-to-end.
+    "q265_noisy_counts" -> Q(
+      (s, dir) => {
+        def fRun(salt: String) = length(regexp_extract(
+          md5(concat(lit(salt), col("event_type"))), "^f*", 0)).cast("long")
+        t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .withColumn("mag_pos", fRun("dp+"))
+          .withColumn("mag_neg", fRun("dp-"))
+          .withColumn("noisy_n", col("n") + col("mag_pos") - col("mag_neg"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(LENGTH(regexp_extract(MD5('dp+' || event_type), '^f*')) AS BIGINT)
+            AS mag_pos,
+          CAST(LENGTH(regexp_extract(MD5('dp-' || event_type), '^f*')) AS BIGINT)
+            AS mag_neg,
+          COUNT(*)
+            + LENGTH(regexp_extract(MD5('dp+' || event_type), '^f*'))
+            - LENGTH(regexp_extract(MD5('dp-' || event_type), '^f*')) AS noisy_n
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -33,6 +33,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.crossCorpusNearDups(noDocs, noDocs, "doc_id", "text").count() == 0)
   }
 
+  test("governance operators on empty input") {
+    val noQi = Seq.empty[(String, String)].toDF("q1", "q2")
+    // an empty census row (0 classes) — not a crash, not a missing row
+    val census = graft.operators.Anonymize.kAnonymityCensus(noQi, Seq("q1", "q2"), 5L)
+    assert(census.count() == 1)
+    assert(census.select("n_classes").as[Long].collect().head == 0L)
+    assert(graft.operators.Anonymize
+      .lDiversityCensus(noQi, Seq("q1"), col("q2"), 2L).count() == 0)
+    val noDuels = Seq.empty[(String, String, Long)].toDF("winner", "loser", "w")
+    assert(graft.operators.Preference.ratings(noDuels).count() == 0)
+    assert(graft.operators.Preference.ratingsDistributed(noDuels).count() == 0)
+    val noPts = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(graft.operators.Spatial.distanceJoin(noPts, 100L).count() == 0)
+    assert(graft.operators.PageRank.ranks(
+      Seq.empty[(String, String)].toDF("s", "d"), "s", "d").count() == 0)
+  }
+
   test("bag-of-words on an empty corpus: empty vocab, empty rows") {
     val (vocab, out) = graft.ingest.Ingest.bagOfWords(
       Seq.empty[(Long, String)].toDF("key", "text"), "text")

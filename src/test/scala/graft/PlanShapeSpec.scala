@@ -610,6 +610,52 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a keyed equi-join on the cell key:\n$plan")
   }
 
+  test("q252 Zipf head: top-50 is TakeOrderedAndProject, rank window over 50 rows only") {
+    val df = SparkEntry.queries("q252_zipf_head")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-50 must never be a global rank window:\n$plan")
+  }
+
+  test("q251 Heaps fences: broadcast joins, no sort or rank window anywhere") {
+    val df = SparkEntry.queries("q251_heaps_law")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(_.trim.startsWith("Window")),
+      s"id-range fences must not need a rank window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 5-row fence table must broadcast into the censuses:\n$plan")
+  }
+
+  test("q254/q257: every window is partitioned or value-domain bounded") {
+    // q254's cumulative risk window runs over the duration-day domain
+    // (calendar-bounded); q257's running max is per-user. Neither may
+    // grow a window over raw fact rows.
+    val km = SparkEntry.queries("q254_kaplan_meier")(spark, dir)
+      .queryExecution.optimizedPlan
+    val kmWindows = km.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(kmWindows.nonEmpty)
+    // the only unpartitioned window sits above the per-duration aggregate
+    kmWindows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"q254 unpartitioned window not above an aggregate:\n${w.treeString}")
+    }
+    val dp = SparkEntry.queries("q257_disorder_profile")(spark, dir)
+      .queryExecution.optimizedPlan
+    dp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      .foreach { w => assert(w.partitionSpec.nonEmpty,
+        s"q257 running max must be per-user partitioned:\n${w.treeString}") }
+  }
+
+  test("q259 imputation: the 5-row median table broadcasts into the repair join") {
+    val df = SparkEntry.queries("q259_impute_median")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median lookup must broadcast, not shuffle the fact:\n$plan")
+  }
+
   test("q199 histogram: fences come from ONE aggregate pass (a single window)") {
     val df = SparkEntry.queries("q199_equidepth_hist")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
