@@ -236,6 +236,16 @@ object Tables {
   def saveJson(df: DataFrame, dir: String, name: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(s"$dir/$name.json")
 
+  /** ORC sink/source — the other columnar interchange format (Hive
+    * ecosystems standardize on it). Same pushdown/pruning properties as
+    * parquet (PPD via min/max stripes, column projection); the engine
+    * stays parquet-native internally, this is border I/O. */
+  def saveOrc(df: DataFrame, dir: String, name: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(s"$dir/$name.orc")
+
+  def loadOrc(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.orc(s"$dir/$name.orc")
+
   /** Register every table as a temp view (for the SQL surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

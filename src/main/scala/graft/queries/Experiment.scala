@@ -222,6 +222,106 @@ object Experiment {
           CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE)
             / CAST(n_t + n_c AS DOUBLE) AS chi2,
           (n_t - n_c) * (n_t - n_c) > (n_t + n_c) * 9 AS srm_alarm
-        FROM c ORDER BY event_type"""))
+        FROM c ORDER BY event_type""")),
+
+    // ---- two-proportion test (conversion lift) --------------------------
+    // The readout q261 needs a verdict for: did treatment change the
+    // user-level HEAVY-BUYER rate (≥ 14 purchases — the fixture's
+    // per-user purchase rate is scale-invariant, so the threshold splits
+    // the population at every sf; "≥ 1 purchase" is degenerate, everyone
+    // converts)? Pearson χ² on the 2×2 in the n(ad−bc)²/row-col-margin
+    // form — exact BIGINT numerator and denominator, ONE division
+    // (guarded: a zero margin yields NULL, not an error), and the
+    // α = 0.05 verdict (χ²₁ > 3.84) as an EXACT integer
+    // cross-multiplication (100·n·(ad−bc)² > 384·margins), no float
+    // threshold. Overflow budget: safe to ~50k units per cell
+    // (margins⁴·384 < 2^63); larger populations promote the margin
+    // product to DECIMAL.
+    "q266_proportion_test" -> Q(
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14L).cast("long").as("conv"))
+          .select(treated(col("user_id")).as("tr"), col("conv"))
+        users.agg(
+            sum(when(col("tr") && col("conv") === 1L, 1L).otherwise(0L)).as("a"),
+            sum(when(col("tr") && col("conv") === 0L, 1L).otherwise(0L)).as("b"),
+            sum(when(!col("tr") && col("conv") === 1L, 1L).otherwise(0L)).as("c"),
+            sum(when(!col("tr") && col("conv") === 0L, 1L).otherwise(0L)).as("d"))
+          .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+          .withColumn("num",
+            col("n") * (col("a") * col("d") - col("b") * col("c"))
+              * (col("a") * col("d") - col("b") * col("c")))
+          .withColumn("den",
+            (col("a") + col("b")) * (col("c") + col("d"))
+              * (col("a") + col("c")) * (col("b") + col("d")))
+          .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+            when(col("den") > 0L,
+              col("num").cast("double") / col("den").cast("double")).as("chi2"),
+            (col("num") * 100L > col("den") * 384L).as("significant"))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+            CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY user_id),
+        cells AS (SELECT
+            SUM(CASE WHEN $SqlTreated AND conv = 1 THEN 1 ELSE 0 END) AS a,
+            SUM(CASE WHEN $SqlTreated AND conv = 0 THEN 1 ELSE 0 END) AS b,
+            SUM(CASE WHEN NOT ($SqlTreated) AND conv = 1 THEN 1 ELSE 0 END) AS c,
+            SUM(CASE WHEN NOT ($SqlTreated) AND conv = 0 THEN 1 ELSE 0 END) AS d
+          FROM u)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+          CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+          CAST(a + b + c + d AS BIGINT) AS n,
+          CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0 THEN
+            CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+              / CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE) END AS chi2,
+          (a + b + c + d) * (a*d - b*c) * (a*d - b*c) * 100
+            > (a+b) * (c+d) * (a+c) * (b+d) * 384 AS significant
+        FROM cells""")),
+
+    // ---- power analysis / minimum detectable effect ---------------------
+    // The DESIGN side of the suite: given each event type's observed
+    // variance, what effect size can a 50/50 split detect at α = 0.05,
+    // power 0.8? MDE = (z_{0.975} + z_{0.8})·sqrt(2σ²/n_arm) — the z
+    // constants are PARSED decimal strings (the BenfordProbs ruling:
+    // build-time normal quantiles differ across libms), σ² is a fixed
+    // IEEE tree over exact decimal-sourced sums, and sqrt is correctly
+    // rounded — the whole design number hash-matches.
+    "q267_power_mde" -> Q(
+      (s, dir) => {
+        val z = lit("1.959963984540054").cast("double") +
+          lit("0.8416212335729143").cast("double")
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            Det.moneySumExact(col("value")).as("sv"),
+            sum(Det.money(col("value")) * Det.money(col("value"))).as("svv"))
+          .withColumn("variance",
+            (col("n").cast("double") * col("svv").cast("double")
+              - col("sv").cast("double") * col("sv").cast("double"))
+              / (col("n").cast("double") * (col("n") - 1L).cast("double")))
+          .withColumn("n_arm", expr("n div 2"))
+          .withColumn("mde", z * sqrt(lit(2d) * col("variance")
+            / col("n_arm").cast("double")))
+          .select("event_type", "n", "variance", "n_arm", "mde")
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (SELECT event_type, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+            SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS svv
+          FROM events GROUP BY event_type)
+        SELECT event_type, n,
+          (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS variance,
+          CAST(n // 2 AS BIGINT) AS n_arm,
+          (CAST('1.959963984540054' AS DOUBLE) + CAST('0.8416212335729143' AS DOUBLE))
+            * SQRT(2 * ((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+              / CAST(n // 2 AS DOUBLE)) AS mde
+        FROM a ORDER BY event_type"""))
   )
 }

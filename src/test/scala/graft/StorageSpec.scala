@@ -99,6 +99,26 @@ class StorageSpec extends SparkSpec {
     assert(jsonBack == csvBack)
   }
 
+  test("orc sink round-trips with schema intact and pushdown on read") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5), (3L, "c", 4.5)).toDF("id", "s", "v")
+    Tables.saveOrc(df, dir, "t")
+    val back = Tables.loadOrc(spark, dir, "t")
+    // nullability widens through file round-trips; names and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 2.5), (2L, "b", 3.5), (3L, "c", 4.5)))
+    // projection + predicate reach the ORC scan like the parquet twin
+    val plan = back.filter($"id" > 1L).select("s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]") ||
+      plan.contains("GreaterThan(id,1)"), s"filter not pushed to ORC scan:\n$plan")
+    // the scan needs id (filter) + s (projection) but must drop v
+    assert(plan.contains("ReadSchema: struct<id:bigint,s:string>"),
+      s"projection not pruned at the ORC scan:\n$plan")
+  }
+
   test("compact folds small files into few, preserves rows, refuses partitioned roots") {
     val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t.parquet"
     // 20 single-row appends — the streaming-sink small-file pathology
