@@ -226,6 +226,64 @@ object PropertySpec extends Properties("graft") {
         got(s"g$g") == ((expect, vs.size.toLong))
       }
     }
+
+  // grid blocking must find EXACTLY the brute-force pair set for any point
+  // cloud and radius — completeness (3×3 neighborhood suffices at cell
+  // side = r) and uniqueness (one offset per pair) in one property
+  property("spatial distanceJoin == brute force on random point clouds") =
+    forAll(Gen.choose(1L, 500L),
+           Gen.listOf(Gen.zip(Gen.choose(0L, 2000L), Gen.choose(0L, 2000L)))) {
+      (r: Long, pts: List[(Long, Long)]) =>
+      val withIds: Seq[(Long, Long, Long)] = pts.distinct.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = spark.createDataFrame(withIds).toDF("id", "x", "y")
+      val got = graft.operators.Spatial.distanceJoin(df, r)
+        .collect().map(w => (w.getLong(0), w.getLong(1), w.getLong(2))).toSet
+      val want = (for {
+        a <- withIds; b <- withIds if a._1 < b._1
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1, d2)).toSet
+      got == want
+    }
+
+  // the two Bradley-Terry execution tiers must be bit-interchangeable on
+  // any duel multiset (same floor-division fixed point)
+  property("Bradley-Terry driver tier == distributed tier") =
+    forAll(Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+      Gen.oneOf("a", "b", "c", "d"), Gen.choose(1L, 9L)))) {
+      raw: List[(String, String, Long)] =>
+      val duels = raw.filter { case (w, l, _) => w != l }
+      duels.isEmpty || {
+        val df = spark.createDataFrame(duels).toDF("winner", "loser", "w")
+        def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(w => (w.getString(0), w.getLong(1), w.getLong(2), w.getLong(3)))
+          .toSeq
+        rows(graft.operators.Preference.ratings(df, iters = 2)) ==
+          rows(graft.operators.Preference.ratingsDistributed(df, iters = 2))
+      }
+    }
+
+  // census identities: Σ class sizes = n_rows; rows_violating counts rows,
+  // never classes; k=1 can never be violated
+  property("k-anonymity census identities") =
+    forAll(Gen.listOf(Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("1", "2")))) {
+      rows: List[(String, String)] =>
+      rows.isEmpty || {
+        val df = spark.createDataFrame(rows).toDF("q1", "q2")
+        def census(k: Long) = {
+          val w = graft.operators.Anonymize
+            .kAnonymityCensus(df, Seq("q1", "q2"), k).collect().head
+          (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3), w.getBoolean(4))
+        }
+        val (nRows, nClasses, minSz, viol, anon) = census(2L)
+        val k1 = census(1L)
+        nRows == rows.length.toLong && nClasses >= 1 && minSz >= 1 &&
+          viol >= 0 && viol <= nRows && anon == (viol == 0L) &&
+          k1._4 == 0L && k1._5
+      }
+    }
+
 }
 
 /** WAV decode equivalence: the direct RIFF fast path must be
