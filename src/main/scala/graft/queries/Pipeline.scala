@@ -153,6 +153,94 @@ object Pipeline {
           CAST(SUM(COALESCE(k_obs, median_k)) AS BIGINT) AS sum_k_imputed,
           CAST(SUM(k) AS BIGINT) AS sum_k_true
         FROM m JOIN med ON m.event_type = med.event_type
-        GROUP BY m.event_type ORDER BY m.event_type"""))
+        GROUP BY m.event_type ORDER BY m.event_type""")),
+
+    // ---- join-order advisor ---------------------------------------------
+    // The System-R seed, served from statistics: for the 3-table chain
+    // customer ⋈ orders ⋈ lineitem there are two left-deep orders, and
+    // the one with the smaller FIRST intermediate wins. Both
+    // intermediates are computed EXACTLY from the key histograms
+    // (Σ f_A(k)·f_B(k), the q219 machinery — distinct-key shuffles, the
+    // join itself never runs). Output: each order with its intermediate
+    // size and the chosen verdict — what a cost-based planner decides
+    // before execution, hash-gated.
+    "q268_join_order_advisor" -> Q(
+      (s, dir) => {
+        val oc = graft.operators.Advisor.joinSize("start_orders_customer",
+          t(s, dir, "orders"), col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey"))
+        val lo = graft.operators.Advisor.joinSize("start_lineitem_orders",
+          t(s, dir, "lineitem"), col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey"))
+        val both = oc.unionAll(lo)
+        val best = both.agg(min(col("out_rows")).as("best_rows"))
+        both.crossJoin(broadcast(best))
+          .select(col("join_name").as("first_join"), col("l_rows"), col("r_rows"),
+            col("out_rows").as("intermediate_rows"),
+            (col("out_rows") === col("best_rows")).as("chosen"))
+          .orderBy("first_join")
+      },
+      Some {
+        val oc = graft.operators.Advisor.joinSizeSql("start_orders_customer",
+          "orders", "o_custkey", "customer", "c_custkey")
+        val lo = graft.operators.Advisor.joinSizeSql("start_lineitem_orders",
+          "lineitem", "l_orderkey", "orders", "o_orderkey")
+        s"""WITH cand AS (SELECT * FROM ($oc) UNION ALL SELECT * FROM ($lo)),
+          best AS (SELECT MIN(out_rows) AS best_rows FROM cand)
+        SELECT join_name AS first_join, CAST(l_rows AS BIGINT) AS l_rows,
+          CAST(r_rows AS BIGINT) AS r_rows,
+          CAST(out_rows AS BIGINT) AS intermediate_rows,
+          out_rows = best_rows AS chosen
+        FROM cand CROSS JOIN best ORDER BY first_join"""
+      }),
+
+    // ---- SLO burn rate (multi-window alert) -----------------------------
+    // The SRE alerting rule over the error stream: error share in the
+    // trailing 6 h / 24 h / 72 h windows (anchored at the stream's max
+    // event time) against a 25% error budget; the alarm is the EXACT
+    // integer comparison 4·n_err > n, not a float threshold. One
+    // aggregate computes all six conditional sums; stack() unpivots to
+    // one row per window — the fact is scanned once.
+    "q269_slo_burn" -> Q(
+      (s, dir) => {
+        val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+        def win(h: Int) = col("ts") >= col("mx") - expr(s"INTERVAL $h HOURS")
+        t(s, dir, "events").crossJoin(broadcast(mx))
+          .agg(
+            sum(when(win(6), 1L).otherwise(0L)).as("n6"),
+            sum(when(win(6) && col("event_type") === "error", 1L).otherwise(0L)).as("e6"),
+            sum(when(win(24), 1L).otherwise(0L)).as("n24"),
+            sum(when(win(24) && col("event_type") === "error", 1L).otherwise(0L)).as("e24"),
+            sum(when(win(72), 1L).otherwise(0L)).as("n72"),
+            sum(when(win(72) && col("event_type") === "error", 1L).otherwise(0L)).as("e72"))
+          .select(expr(
+            "stack(3, '06h', n6, e6, '24h', n24, e24, '72h', n72, e72)" +
+              " AS (win_label, n, n_err)"))
+          .withColumn("err_rate",
+            col("n_err").cast("double") / col("n").cast("double"))
+          .withColumn("burn", col("err_rate") / lit(0.25d))
+          .withColumn("alarm", col("n_err") * 4L > col("n"))
+          .orderBy("win_label")
+      },
+      Some("""WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+        a AS (SELECT
+            SUM(CASE WHEN ts >= mx - INTERVAL 6 HOUR THEN 1 ELSE 0 END) AS n6,
+            SUM(CASE WHEN ts >= mx - INTERVAL 6 HOUR AND event_type = 'error'
+              THEN 1 ELSE 0 END) AS e6,
+            SUM(CASE WHEN ts >= mx - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS n24,
+            SUM(CASE WHEN ts >= mx - INTERVAL 24 HOUR AND event_type = 'error'
+              THEN 1 ELSE 0 END) AS e24,
+            SUM(CASE WHEN ts >= mx - INTERVAL 72 HOUR THEN 1 ELSE 0 END) AS n72,
+            SUM(CASE WHEN ts >= mx - INTERVAL 72 HOUR AND event_type = 'error'
+              THEN 1 ELSE 0 END) AS e72
+          FROM events CROSS JOIN mx),
+        u AS (SELECT '06h' AS win_label, n6 AS n, e6 AS n_err FROM a
+          UNION ALL SELECT '24h', n24, e24 FROM a
+          UNION ALL SELECT '72h', n72, e72 FROM a)
+        SELECT win_label, CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+          CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
+          (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 AS burn,
+          n_err * 4 > n AS alarm
+        FROM u ORDER BY win_label"""))
   )
 }

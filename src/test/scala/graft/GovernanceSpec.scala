@@ -91,6 +91,36 @@ class GovernanceSpec extends SparkSpec {
     assert(r("a") >= 1L)
   }
 
+  test("Bradley-Terry over a Rollup-maintained win matrix equals batch ratings") {
+    // the incremental-RLHF composition: preference batches land as rollup
+    // partials (idempotent per-batch overwrite), ratings read the FOLDED
+    // matrix — bit-equal to rating the concatenated batches directly,
+    // and history is never re-aggregated when a new batch arrives
+    val dir = java.nio.file.Files.createTempDirectory("btroll").toString + "/wins"
+    val b1 = Seq(("a", "b", 3L), ("b", "c", 2L), ("a", "b", 1L))
+      .toDF("winner", "loser", "w")
+    val b2 = Seq(("b", "a", 2L), ("c", "b", 4L), ("a", "c", 1L))
+      .toDF("winner", "loser", "w")
+    graft.catalog.Rollup.appendBatch(spark, b1, dir, "d1",
+      Seq("winner", "loser"), Seq("w" -> sum(col("w"))))
+    graft.catalog.Rollup.appendBatch(spark, b2, dir, "d2",
+      Seq("winner", "loser"), Seq("w" -> sum(col("w"))))
+    val folded = graft.catalog.Rollup.read(spark, dir,
+      Seq("winner", "loser"), Seq("w"))
+    val inc = Preference.ratings(folded, iters = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batch = Preference.ratings(b1.unionAll(b2), iters = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(inc == batch)
+    // crash-retry of batch 2 replays idempotently: ratings unchanged
+    graft.catalog.Rollup.appendBatch(spark, b2, dir, "d2",
+      Seq("winner", "loser"), Seq("w" -> sum(col("w"))))
+    val replayed = Preference.ratings(graft.catalog.Rollup.read(spark, dir,
+      Seq("winner", "loser"), Seq("w")), iters = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(replayed == batch)
+  }
+
   test("distanceJoin equals the brute-force pair set") {
     val pts = Seq((1L, 100L, 100L), (2L, 150L, 140L), (3L, 900L, 900L),
       (4L, 905L, 910L), (5L, 100L, 260L), (6L, 5000L, 5000L))
