@@ -582,8 +582,22 @@ object Snapshots {
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshots: no committed version at $dir")
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
-    val referenced = keep.flatMap(v => readManifest(spark, dir, v).get.files.map(_._1)).toSet
+    // tagged versions are pinned: a tag is a promise the version stays
+    // readable, so retention never drops it
+    val pinned = tags(spark, dir).values.toSet
+    val (drop0, keep0) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val drop = drop0.filterNot(pinned)
+    val keep = keep0 ++ drop0.filter(pinned)
+    // live branches still reference base files through their ../../
+    // entries — those files stay, whatever main's retention says
+    val branchRefs = branches(spark, dir).flatMap { b =>
+      val bd = branchDir(dir, b)
+      versions(spark, bd).flatMap(v =>
+        readManifest(spark, bd, v).get.files.map(_._1)
+          .filter(_.startsWith("../../")).map(_.stripPrefix("../../")))
+    }.toSet
+    val referenced =
+      keep.flatMap(v => readManifest(spark, dir, v).get.files.map(_._1)).toSet ++ branchRefs
     // delete dropped manifests first: a crash mid-vacuum must not leave a
     // manifest whose files are gone
     drop.foreach { v =>
@@ -623,5 +637,131 @@ object Snapshots {
       }
     }
     deleted.toSeq
+  }
+
+  // ---- refs: tags & branches -------------------------------------------
+
+  private val RefDir = "_refs"
+  private val BranchRoot = "_branches"
+  private def branchDir(dir: String, name: String) = s"$dir/$BranchRoot/$name"
+  private def refName(name: String): String = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"snapshots: ref name '$name' must be filesystem-plain")
+    name
+  }
+
+  /** Pin `version` (default: current) under an immutable name. Tags are
+    * promises: [[vacuum]] never drops a tagged version, and re-tagging an
+    * existing name fails (delete + re-create is the explicit override). */
+  def tag(spark: SparkSession, dir: String, name: String,
+          version: Option[Int] = None): Int = {
+    val fs = fsOf(spark, dir)
+    val v = version.getOrElse(currentVersion(spark, dir))
+    require(readManifest(spark, dir, v).isDefined, s"snapshots: no version $v to tag")
+    val p = new Path(s"$dir/$RefDir/${refName(name)}.tag")
+    if (fs.exists(p))
+      throw new IllegalStateException(s"snapshots: tag '$name' already exists")
+    val out = fs.create(p, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** All tags as name → version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val fs = fsOf(spark, dir)
+    val rd = new Path(s"$dir/$RefDir")
+    if (!fs.exists(rd)) Map.empty
+    else fs.listStatus(rd).toSeq
+      .filter(_.getPath.getName.endsWith(".tag"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        st.getPath.getName.stripSuffix(".tag") -> v
+      }.toMap
+  }
+
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit =
+    fsOf(spark, dir).delete(new Path(s"$dir/$RefDir/${refName(name)}.tag"), false)
+
+  /** The table at a tagged version. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = tags(spark, dir).getOrElse(name,
+      throw new NoSuchElementException(s"snapshots: no tag '$name' at $dir"))
+    read(spark, dir, Some(v))
+  }
+
+  /** ZERO-COPY branch: a new manifest chain at `_branches/<name>` whose
+    * v1 references the base version's files in place (entries prefixed
+    * `../../`, resolved through the branch dir — no data moves). Commits
+    * on the branch (use [[branch]]'s returned dir with the ordinary
+    * append/upsert/delete/read API) pool their data under the branch and
+    * never touch main; main's [[vacuum]] counts live branch references,
+    * so base files can't be swept out from under a branch. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+                   fromVersion: Option[Int] = None): String = {
+    val bd = branchDir(dir, refName(name))
+    require(versions(spark, bd).isEmpty, s"snapshots: branch '$name' already exists")
+    val v = fromVersion.getOrElse(currentVersion(spark, dir))
+    val base = readManifest(spark, dir, v).getOrElse(
+      throw new NoSuchElementException(s"snapshots: no version $v to branch from"))
+    val entries = base.entries.map(e => e.copy(path = s"../../${e.path}"))
+    writeManifest(spark, bd, Manifest(1, base.partCol, base.schemaDdl, entries))
+    bd
+  }
+
+  /** The branch's table directory (pass to any Snapshots API). */
+  def branch(dir: String, name: String): String = branchDir(dir, refName(name))
+
+  /** Live branch names. */
+  def branches(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val br = new Path(s"$dir/$BranchRoot")
+    if (!fs.exists(br)) Seq.empty
+    else fs.listStatus(br).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Fast-forward merge: adopt the branch head as main's next version.
+    * Requires main to be UNCHANGED since the branch's base (same file
+    * set) — a diverged main needs a semantic merge this layer does not
+    * invent. Branch-local data files are RENAMED into main's pool
+    * (metadata-speed, no copy); the branch is deleted afterwards. */
+  def mergeBranch(spark: SparkSession, dir: String, name: String): Int = {
+    val fs = fsOf(spark, dir)
+    val bd = branchDir(dir, refName(name))
+    val bv = currentVersion(spark, bd)
+    val head = readManifest(spark, bd, bv).get
+    val base = readManifest(spark, bd, 1).get
+    val mainV = currentVersion(spark, dir)
+    val main = readManifest(spark, dir, mainV).get
+    val baseRefs = base.files.map(_._1).map(_.stripPrefix("../../")).toSet
+    require(main.files.map(_._1).toSet == baseRefs,
+      s"snapshots: main advanced since branch '$name' was created — " +
+        "fast-forward merge impossible; rebase or merge semantically")
+    val v = mainV + 1
+    val destRoot = new Path(s"$dir/$DataDir/${vName(v)}")
+    fs.mkdirs(destRoot)
+    val merged = head.entries.zipWithIndex.map { case (e, i) =>
+      if (e.path.startsWith("../../")) e.copy(path = e.path.stripPrefix("../../"))
+      else {
+        val src = new Path(s"$bd/${e.path}")
+        val destName = f"m$i%05d-${src.getName}"
+        val dest = new Path(destRoot, destName)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"snapshots: cannot adopt $src into main pool")
+        e.copy(path = s"$DataDir/${vName(v)}/$destName")
+      }
+    }
+    writeManifest(spark, dir, Manifest(v, head.partCol, head.schemaDdl, merged))
+    fs.delete(new Path(bd), true)
+    if (fs.listStatus(new Path(s"$dir/$BranchRoot")).isEmpty)
+      fs.delete(new Path(s"$dir/$BranchRoot"), false)
+    v
+  }
+
+  /** Discard a branch and its local data (base files are untouched). */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(new Path(branchDir(dir, refName(name))), true)
   }
 }

@@ -346,4 +346,61 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.vacuum(spark, dir, keepLast = 1)
     assert(rows(dir) == base.toSet)
   }
+
+  test("tags pin versions: readable by name, immune to vacuum retention") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    Snapshots.tag(spark, dir, "v1-release")
+    Snapshots.append(spark, dir, Seq((6L, "six", "c")).toDF("id", "v", "p"))
+    Snapshots.append(spark, dir, Seq((7L, "seven", "c")).toDF("id", "v", "p"))
+    // retention would drop v1, but the tag pins it
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.readTag(spark, dir, "v1-release")
+      .as[(Long, String, String)].collect().toSet == base.toSet)
+    assert(rows(dir).size == 7)
+    // tags are immutable; dropTag is the explicit override
+    intercept[IllegalStateException] { Snapshots.tag(spark, dir, "v1-release") }
+    Snapshots.dropTag(spark, dir, "v1-release")
+    assert(Snapshots.tags(spark, dir).isEmpty)
+  }
+
+  test("zero-copy branch: isolated commits, vacuum-safe base, fast-forward merge") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    val bd = Snapshots.createBranch(spark, dir, "exp")
+    // branch v1 reads the base files in place — no data was copied
+    assert(Snapshots.read(spark, bd).as[(Long, String, String)]
+      .collect().toSet == base.toSet)
+    // commits on the branch are invisible to main
+    Snapshots.append(spark, bd, Seq((6L, "six", "c")).toDF("id", "v", "p"))
+    Snapshots.delete(spark, bd, Seq((1L, "a")).toDF("id", "p"), Seq("id"))
+    assert(rows(dir) == base.toSet)
+    val expect = base.toSet - ((1L, "one", "a")) + ((6L, "six", "c"))
+    assert(Snapshots.read(spark, bd).as[(Long, String, String)]
+      .collect().toSet == expect)
+    // main vacuum must not sweep base files a live branch references
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.read(spark, bd).as[(Long, String, String)]
+      .collect().toSet == expect)
+    // fast-forward merge adopts the branch head onto main and removes it
+    val v = Snapshots.mergeBranch(spark, dir, "exp")
+    assert(rows(dir) == expect && Snapshots.currentVersion(spark, dir) == v)
+    assert(Snapshots.branches(spark, dir).isEmpty)
+    // pre-merge main state is still one time-travel read away
+    assert(rows(dir, Some(v - 1)) == base.toSet)
+  }
+
+  test("mergeBranch refuses a diverged main; dropBranch discards cleanly") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    Snapshots.createBranch(spark, dir, "exp")
+    Snapshots.append(spark, Snapshots.branch(dir, "exp"),
+      Seq((6L, "six", "c")).toDF("id", "v", "p"))
+    // main advances after the branch was cut
+    Snapshots.append(spark, dir, Seq((9L, "nine", "a")).toDF("id", "v", "p"))
+    intercept[IllegalArgumentException] { Snapshots.mergeBranch(spark, dir, "exp") }
+    Snapshots.dropBranch(spark, dir, "exp")
+    assert(Snapshots.branches(spark, dir).isEmpty)
+    assert(rows(dir) == base.toSet + ((9L, "nine", "a")))
+  }
 }
