@@ -3744,6 +3744,107 @@ object Relational {
             FROM isl GROUP BY 1, 2)
         SELECT user_id, COUNT(*) AS n_intervals,
           SUM(ien - ist) AS covered_us
-        FROM merged GROUP BY user_id ORDER BY user_id"""))
+        FROM merged GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- returned-revenue top customers (TPC-H Q10 analogue) -------------
+    // The classic "who returned the most" report: per customer, exact
+    // decimal revenue of RETURNED items in one quarter, with the nation
+    // dim broadcast; top-20 as TakeOrderedAndProject (revenue values are
+    // exact-decimal→double, identical in both engines; custkey breaks
+    // ties). Fact joins prune to the quarter before shuffling.
+    "q270_returned_revenue_topk" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+              .as("rev"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(Det.sumD(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue"), col("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+          ${Det.sqlSumD(s"${Det.sqlMoney("l_extendedprice")} * ${Det.sqlOneMinus("l_discount")}")}
+            AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- part-supplier census with exclusion (TPC-H Q16 analogue) --------
+    // Distinct suppliers per (brand, type, size) through the lineitem
+    // bridge, EXCLUDING a complaint list (md5-seeded ~10% of suppliers —
+    // both engines exclude identically); the classic NOT-IN-subquery +
+    // grouped COUNT(DISTINCT) shape. Supplier exclusion is a broadcast
+    // anti join below the distinct aggregation; the bridge shuffle
+    // carries (partkey, suppkey) pairs, never full fact rows.
+    "q271_part_supplier_census" -> Q(
+      (s, dir) => {
+        val bad = t(s, dir, "supplier")
+          .filter(pmod(graft.functions.Hashing.h28(
+            concat(lit("bad"), col("s_suppkey").cast("string"))), lit(10L)) === 0L)
+          .select(col("s_suppkey").as("bad_key"))
+        val bridge = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+        bridge.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") =!= "Brand#13")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size")).limit(30)
+      },
+      Some(s"""SELECT p_brand, p_type, p_size,
+          CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+          JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+            WHERE ${graft.functions.Hashing.sqlH28("'bad' || CAST(s_suppkey AS VARCHAR)")} % 10 = 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30""")),
+
+    // ---- late-shipment priority check (TPC-H Q4 analogue) ----------------
+    // Per order priority, how many orders in one quarter had AT LEAST ONE
+    // line shipped more than 30 days after ordering — the EXISTS
+    // correlated-subquery shape, planned as a LEFT SEMI join (each order
+    // counted once no matter how many late lines). The date-window filter
+    // prunes the orders scan before the semi join.
+    "q272_priority_order_check" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
