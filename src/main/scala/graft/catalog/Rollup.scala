@@ -58,6 +58,26 @@ object Rollup {
     }
   }
 
+  /** Batch ids currently materialized as partitions (excluding `_base`). */
+  def presentIds(spark: SparkSession, path: String): Set[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id="))
+      .filterNot(_ == "_base").toSet
+  }
+
+  /** Backfill plan: of `expected` batch ids (a calendar the caller
+    * derives), the ones NEITHER materialized as a partition NOR folded
+    * into the base by compact — i.e. genuinely missing, in expected
+    * order. The scheduling primitive for gap repair after an outage. */
+  def missingBatches(spark: SparkSession, path: String,
+                     expected: Seq[String]): Seq[String] = {
+    val have = presentIds(spark, path) ++ foldedIds(spark, path)
+    expected.filterNot(have)
+  }
+
   private def writeLedger(spark: SparkSession, dir: Path, ids: Set[String]): Unit = {
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(new Path(dir, Ledger), true)

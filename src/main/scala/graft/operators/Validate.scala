@@ -75,4 +75,46 @@ object Validate {
       .select(lit(name).as("check_name"), col("n_rows"), col("n_bad"),
         (col("n_bad") === 0L).as("pass"))
   }
+
+  /** Schema + content drift between two snapshots of "the same" table —
+    * the contract check a pipeline runs before swapping a refreshed
+    * extract in. Structural drift (columns added / removed / retyped) is
+    * metadata-only; content drift is the per-common-column null-rate
+    * delta, computed with ONE conditional-sum aggregate per side and
+    * compared against `nullRateTol` in EXACT integer cross-multiplication
+    * (|n_b·nulls_a·den − n_a·nulls_b·den| vs tolNum·n_a·n_b — no float
+    * threshold). Output: one row per finding; empty = no drift. */
+  def schemaDrift(a: DataFrame, b: DataFrame,
+                  nullTolNum: Long = 1, nullTolDen: Long = 100): DataFrame = {
+    import a.sparkSession.implicits._
+    val at = a.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val bt = b.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val structural =
+      (bt.keySet -- at.keySet).toSeq.sorted.map(c => (c, "added", "", bt(c))) ++
+      (at.keySet -- bt.keySet).toSeq.sorted.map(c => (c, "removed", at(c), "")) ++
+      at.keySet.intersect(bt.keySet).toSeq.sorted
+        .filter(c => at(c) != bt(c)).map(c => (c, "retyped", at(c), bt(c)))
+    val common = at.keySet.intersect(bt.keySet).toSeq.sorted
+      .filter(c => at(c) == bt(c))
+    def nullCounts(df: DataFrame) = {
+      val aggs = count(lit(1)).as("_n") +:
+        common.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      (r.getLong(0), common.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap)
+    }
+    val (na, nullsA) = nullCounts(a)
+    val (nb, nullsB) = nullCounts(b)
+    val content =
+      if (na == 0 || nb == 0) Seq.empty
+      else common.flatMap { c =>
+        // |nulls_a/n_a − nulls_b/n_b| > tol, cross-multiplied exactly
+        val lhs = math.abs(nullsA(c) * nb - nullsB(c) * na) * nullTolDen
+        val rhs = nullTolNum * na * nb
+        if (lhs > rhs)
+          Some((c, "null_rate_drift",
+            s"${nullsA(c)}/$na", s"${nullsB(c)}/$nb"))
+        else None
+      }
+    (structural ++ content).toDF("column", "drift", "before", "after")
+  }
 }

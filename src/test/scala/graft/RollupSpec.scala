@@ -199,4 +199,18 @@ class RollupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("reserved"))
   }
+
+  test("missingBatches plans the backfill: gaps only, folded ids count as present") {
+    val path = freshPath()
+    val cal = Seq("d1", "d2", "d3", "d4")
+    assert(Rollup.missingBatches(spark, path, cal) == cal) // nothing yet
+    Rollup.appendBatch(spark, events, path, "d1", groupCols, counters)
+    Rollup.appendBatch(spark, events, path, "d3", groupCols, counters)
+    assert(Rollup.missingBatches(spark, path, cal) == Seq("d2", "d4"))
+    // compact folds d1/d3 into _base — they must still count as present
+    Rollup.compact(spark, path, groupCols, counters.map(_._1))
+    assert(Rollup.missingBatches(spark, path, cal) == Seq("d2", "d4"))
+    Rollup.appendBatch(spark, events, path, "d2", groupCols, counters)
+    assert(Rollup.missingBatches(spark, path, cal) == Seq("d4"))
+  }
 }

@@ -50,4 +50,27 @@ class ValidateSpec extends SparkSpec {
       .collect()
     assert(rep.forall(_.getBoolean(3)))
   }
+
+  test("schemaDrift reports added/removed/retyped columns and null-rate drift") {
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0), (4L, "w", 4.0))
+      .toDF("id", "tag", "v")
+    val b = Seq((1L, 5, Some("n")), (2L, 6, None), (3L, 7, None), (4L, 8, None))
+      .toDF("id", "v", "extra") // v retyped double→int, tag removed, extra added
+    val drift = Validate.schemaDrift(a, b, nullTolNum = 1, nullTolDen = 2)
+      .as[(String, String, String, String)].collect().toSet
+    assert(drift.contains(("extra", "added", "", "STRING")))
+    assert(drift.contains(("tag", "removed", "STRING", "")))
+    assert(drift.exists { case (c, d, _, _) => c == "v" && d == "retyped" })
+    // extra: 3/4 null in b vs absent in a — not a common column, no rate row;
+    // id: 0 nulls both sides — within the 50% tolerance
+    assert(!drift.exists(_._2 == "null_rate_drift"))
+    // tighten tolerance on a genuinely drifting column
+    val a2 = Seq(Some(1L), Some(2L), Some(3L), Some(4L)).toDF("k")
+    val b2 = Seq(Some(1L), None, None, None).toDF("k")
+    val d2 = Validate.schemaDrift(a2, b2, nullTolNum = 1, nullTolDen = 10)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(d2 == Seq(("k", "null_rate_drift", "0/4", "3/4")))
+    // identical tables: empty report
+    assert(Validate.schemaDrift(a, a).count() == 0)
+  }
 }
