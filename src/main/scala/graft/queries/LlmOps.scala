@@ -2654,7 +2654,61 @@ object LlmOps {
           SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS n_70,
           SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS n_80,
           SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_90
-        FROM p"""))
+        FROM p""")),
+
+    // ---- LSH candidate quality harness -----------------------------------
+    // The engine evaluating its own recall guarantee (the q129/q256
+    // pattern applied to dedup): on the brute-checkable subset, the
+    // banded-LSH candidate set is scored against the EXACT Jaccard ≥ 0.5
+    // pair set — precision (how much verification work the bands save)
+    // and recall (what the banding misses) as counts plus guarded
+    // single-division rates. Both engines rebuild candidates from the
+    // identical md5 minhash family AND the exact pairs from the identical
+    // shingle sets, so even the quality numbers of a probabilistic
+    // structure hash-match bit-for-bit.
+    "q273_lsh_quality" -> Q(
+      (s, dir) => {
+        val subset = docs(s, dir).filter(col("doc_id") < 320)
+        val sh = Dedup.shingled(subset, "doc_id", "text", 2)
+        val cand = Dedup.candidatePairs(
+          Dedup.bands(Dedup.signatures(sh, 32), b = 8, r = 4))
+        val exact = Dedup.verifyJaccard(
+          sh.select(col("id").as("a"))
+            .join(sh.select(col("id").as("b")), col("a") < col("b")), sh)
+          .filter(col("jac") >= 0.5).select("a", "b")
+        val hit = cand.join(exact, Seq("a", "b"), "left_semi")
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .select(col("n_cand"), col("n_exact"), col("n_hit"),
+            when(col("n_cand") > 0L,
+              col("n_hit").cast("double") / col("n_cand").cast("double"))
+              .as("precision"),
+            when(col("n_exact") > 0L,
+              col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks
+            FROM documents WHERE doc_id < 320),
+        g AS (SELECT doc_id,
+            list_distinct([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS grams
+          FROM w WHERE len(toks) >= 2),
+        $SqlMinhashCand,
+        p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, $SqlJac AS jac
+              FROM g ga JOIN g gb ON ga.doc_id < gb.doc_id),
+        exact AS (SELECT a, b FROM p WHERE jac >= 0.5),
+        hit AS (SELECT a, b FROM cand INTERSECT SELECT a, b FROM exact),
+        c AS (SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+                     (SELECT COUNT(*) FROM exact) AS n_exact,
+                     (SELECT COUNT(*) FROM hit) AS n_hit)
+        SELECT CAST(n_cand AS BIGINT) AS n_cand,
+          CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_cand > 0 THEN
+            CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+          CASE WHEN n_exact > 0 THEN
+            CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+        FROM c"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
