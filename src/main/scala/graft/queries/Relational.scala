@@ -3845,6 +3845,42 @@ object Relational {
           AND EXISTS (SELECT 1 FROM lineitem
             WHERE l_orderkey = o_orderkey
               AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- weighted shortest paths (Bellman-Ford rounds) -------------------
+    // The weighted completion of the graph suite (operators.Sssp): the
+    // q132 user co-occurrence graph gains a rarity weight (frequent
+    // co-occurrence = cheap edge, w = max(1, 1000 div co_count)), and 4
+    // relaxation rounds from the smallest user id produce the exact
+    // integer distance table — pinned by one summary row (reach, mass,
+    // max, (node, dist) xor). The DuckDB chain is GENERATED from the
+    // same round count; each round is one edge-list join + min fold.
+    "q274_sssp" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("hr"))
+          .distinct()
+        val e2 = ev.withColumnRenamed("user_id", "user_b")
+        val edges = ev.join(e2, Seq("event_type", "hr"))
+          .filter(col("user_id") < col("user_b"))
+          .groupBy(col("user_id").as("a"), col("user_b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("a"), col("b"),
+            greatest(expr("1000 div cnt"), lit(1L)).as("w"))
+        val seeds = t(s, dir, "events").agg(min(col("user_id")).as("u"))
+        graft.operators.Sssp.summary(edges, seeds, rounds = 4)
+      },
+      Some(graft.operators.Sssp.oracleSql(
+        """SELECT a, b, GREATEST(1000 // cnt, 1) AS w FROM (
+             SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS cnt
+             FROM (SELECT DISTINCT user_id, event_type,
+                     date_trunc('minute', ts) AS hr FROM events) x
+             JOIN (SELECT DISTINCT user_id, event_type,
+                     date_trunc('minute', ts) AS hr FROM events) y
+               ON x.event_type = y.event_type AND x.hr = y.hr
+              AND x.user_id < y.user_id
+             GROUP BY 1, 2)""",
+        "SELECT MIN(user_id) AS u FROM events", rounds = 4)))
   )
 }
