@@ -322,6 +322,74 @@ object Experiment {
                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
               / CAST(n // 2 AS DOUBLE)) AS mde
-        FROM a ORDER BY event_type"""))
+        FROM a ORDER BY event_type""")),
+
+    // ---- uplift by model decile (Qini-style curve) ----------------------
+    // Targeting-model evaluation: per md5-score decile, treated vs
+    // control heavy-buyer rates and their gap (uplift), plus the
+    // cumulative Qini-style numerator Σ(conv_t − conv_c·n_t/n_c) over
+    // deciles ranked best-first. One (decile, arm) aggregate over users;
+    // the cumulative window runs over 10 rows. Rates are single
+    // divisions over exact counts; the qini term keeps its (conv_c·n_t)
+    // product exact and spends one division per decile.
+    "q275_uplift_deciles" -> Q(
+      (s, dir) => {
+        val users = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14L).cast("long").as("conv"))
+          .select(col("user_id"), col("conv"), treated(col("user_id")).as("tr"),
+            pmod(Hashing.h28(concat(lit("scr"), col("user_id").cast("string"))),
+              lit(10L)).as("decile"))
+        val cells = users.groupBy("decile")
+          .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("tr"), col("conv")).otherwise(0L)).as("conv_t"),
+            sum(when(!col("tr"), 1L).otherwise(0L)).as("n_c"),
+            sum(when(!col("tr"), col("conv")).otherwise(0L)).as("conv_c"))
+          .withColumn("uplift",
+            when(col("n_t") > 0L && col("n_c") > 0L,
+              col("conv_t").cast("double") / col("n_t").cast("double")
+                - col("conv_c").cast("double") / col("n_c").cast("double")))
+          .withColumn("qini_term",
+            when(col("n_c") > 0L,
+              col("conv_t").cast("double")
+                - (col("conv_c") * col("n_t")).cast("double")
+                  / col("n_c").cast("double")).otherwise(lit(0d)))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("uplift").desc, col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        cells.withColumn("qini_cum", sum(col("qini_term")).over(w))
+          .drop("qini_term")
+          .orderBy("decile")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+            CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY user_id),
+        s AS (SELECT conv, $SqlTreated AS tr,
+            ${Hashing.sqlH28("'scr' || CAST(user_id AS VARCHAR)")} % 10 AS decile
+          FROM u),
+        cells AS (SELECT decile,
+            SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS n_t,
+            SUM(CASE WHEN tr THEN conv ELSE 0 END) AS conv_t,
+            SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS n_c,
+            SUM(CASE WHEN tr THEN 0 ELSE conv END) AS conv_c
+          FROM s GROUP BY decile),
+        scored AS (SELECT decile, n_t, conv_t, n_c, conv_c,
+            CASE WHEN n_t > 0 AND n_c > 0 THEN
+              CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS uplift,
+            CASE WHEN n_c > 0 THEN
+              CAST(conv_t AS DOUBLE)
+                - CAST(conv_c * n_t AS DOUBLE) / CAST(n_c AS DOUBLE)
+            ELSE 0 END AS qini_term
+          FROM cells)
+        SELECT CAST(decile AS BIGINT) AS decile,
+          CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
+          CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
+          uplift,
+          SUM(qini_term) OVER (ORDER BY uplift DESC, decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qini_cum
+        FROM scored ORDER BY decile"""))
   )
 }
