@@ -2214,6 +2214,90 @@ object Analytics {
     // event_id) satisfies the operator's unique-(key, ts) contract.
     // DuckDB replays the identical lag-filter + lead pipeline, so the
     // operator's WHOLE semantics hash-gate, not just its spec cases.
+    // ---- STL-lite seasonal decomposition ---------------------------------
+    // trend/seasonal/residual over the daily click series, kept EXACT by
+    // working in 7ths: trend×7 = the centered 7-day window sum (integer),
+    // detrended×7 = 7y − sum7 (integer), seasonal×7 = per-day-of-week
+    // mean of detrended×7 (one division), residual×7 = detrended×7 −
+    // seasonal×7 (one subtraction of deterministic doubles). The only
+    // float steps are one division per dow cell and one subtraction per
+    // day — no float accumulation anywhere. Windows ride the bounded
+    // day spine; dow is the portable integer (epoch_day + 4) mod 7.
+    "q276_stl_lite" -> Q(
+      (s, dir) => {
+        val daily = dailySpine(s, dir).filter(col("event_type") === "click")
+        val w7 = Window.orderBy("x").rowsBetween(-3, 3)
+        val wn = Window.orderBy("x").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val t7 = daily
+          .withColumn("k", count(lit(1)).over(w7))
+          .withColumn("sum7", sum(col("y")).over(w7))
+          .filter(col("k") === 7L) // edges lack a full window
+          .withColumn("det7", col("y") * 7L - col("sum7"))
+          .withColumn("dow", pmod(col("x") + 4L, lit(7L)))
+        val seas = t7.groupBy("dow")
+          .agg(sum(col("det7")).as("sd"), count(lit(1)).as("nd"))
+          .withColumn("seasonal7",
+            col("sd").cast("double") / col("nd").cast("double"))
+          .select("dow", "seasonal7")
+        t7.join(broadcast(seas), Seq("dow"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("y"), (col("sum7").cast("double") / 7d).as("trend"),
+            col("det7"), col("seasonal7"),
+            (col("det7").cast("double") - col("seasonal7")).as("residual7"))
+          .orderBy("day")
+      },
+      Some(s"""WITH $spineSql,
+        d AS (SELECT day, x, y FROM sp WHERE event_type = 'click'),
+        t AS (SELECT day, x, y,
+            COUNT(*) OVER w AS k, SUM(y) OVER w AS sum7
+          FROM d WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        f AS (SELECT day, x, y, sum7, y * 7 - sum7 AS det7,
+            (x + 4) % 7 AS dow FROM t WHERE k = 7),
+        seas AS (SELECT dow,
+            CAST(SUM(det7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS seasonal7
+          FROM f GROUP BY dow)
+        SELECT STRFTIME(f.day, '%Y-%m-%d') AS day, f.y,
+          CAST(f.sum7 AS DOUBLE) / 7 AS trend,
+          CAST(f.det7 AS BIGINT) AS det7, seas.seasonal7,
+          CAST(f.det7 AS DOUBLE) - seas.seasonal7 AS residual7
+        FROM f JOIN seas ON f.dow = seas.dow ORDER BY day""")),
+
+    // ---- overdispersion check (Poisson dispersion index) -----------------
+    // Are daily counts Poisson-like or bursty? Dispersion index = sample
+    // variance / mean per event type over the gap-filled day spine — two
+    // exact integer sums, a fixed IEEE tree, and the OVERDISPERSED
+    // verdict as an exact integer cross-multiplication
+    // (n·Σy² − (Σy)² > (n−1)·Σy ⟺ s² > ȳ), no float threshold.
+    "q277_dispersion" -> Q(
+      (s, dir) => {
+        dailySpine(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n"), col("sy"), col("syy"),
+            ((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+              / (col("n") * (col("n") - 1L)).cast("double")).as("variance"),
+            (col("sy").cast("double") / col("n").cast("double")).as("mean"),
+            ((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+              / ((col("n") - 1L) * col("sy")).cast("double")).as("dispersion"),
+            (col("n") * col("syy") - col("sy") * col("sy")
+              > (col("n") - 1L) * col("sy")).as("overdispersed"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $spineSql,
+        a AS (SELECT event_type, COUNT(*) AS n, SUM(y) AS sy,
+            SUM(y * y) AS syy FROM sp GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n, CAST(sy AS BIGINT) AS sy,
+          CAST(syy AS BIGINT) AS syy,
+          CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+            AS variance,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          CAST(n * syy - sy * sy AS DOUBLE) / CAST((n - 1) * sy AS DOUBLE)
+            AS dispersion,
+          n * syy - sy * sy > (n - 1) * sy AS overdispersed
+        FROM a ORDER BY event_type""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
