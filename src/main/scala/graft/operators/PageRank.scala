@@ -38,11 +38,24 @@ object PageRank {
     * distributed keyed-join path below. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
+            unit: Long = 1000000000000L, driverMax: Int = 65536): DataFrame =
+    ranksFromMatrix(
+      edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(count(lit(1)).as("n")),
+      iters, dampNum, dampDen, unit, driverMax)
+
+  /** [[ranks]] from a pre-aggregated weighted edge matrix `(src, dst, n)`
+    * — the entry point for INCREMENTALLY MAINTAINED graphs: a
+    * [[graft.catalog.Rollup]] keeping per-batch (src, dst) counts folds
+    * to exactly this matrix, so ranks refresh from rollup partials
+    * without ever re-scanning the event history (spec-gated equal to
+    * batch ranks in PageRankSpec). */
+  def ranksFromMatrix(matrix: DataFrame,
+            iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
             unit: Long = 1000000000000L, driverMax: Int = 65536): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
-    val spark = edges.sparkSession
-    val eAgg = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .agg(count(lit(1)).as("n"))
+    val spark = matrix.sparkSession
+    val eAgg = matrix.select(col("src"), col("dst"), col("n").cast("long").as("n"))
     val head = eAgg.limit(driverMax + 1).collect()
     if (head.length <= driverMax) {
       val w = head.map(r => (r.get(0), r.get(1), r.getLong(2)))
@@ -75,23 +88,33 @@ object PageRank {
       return spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("node")
     }
-    ranksDistributed(edges, srcCol, dstCol, iters, dampNum, dampDen, unit)
+    matrixDistributed(eAgg, iters, dampNum, dampDen, unit)
   }
 
-  /** The keyed-join tier of [[ranks]]: K iterations of edge ⋈ ranks +
+  /** The keyed-join tier of [[ranks]]: K iterations of matrix ⋈ ranks +
     * dst-keyed aggregation, for graphs whose edge matrix exceeds the
     * driver budget. */
   def ranksDistributed(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
-                       unit: Long = 1000000000000L): DataFrame = {
+                       unit: Long = 1000000000000L): DataFrame =
+    matrixDistributed(
+      edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .agg(count(lit(1)).as("n")),
+      iters, dampNum, dampDen, unit)
+
+  private def matrixDistributed(matrix: DataFrame, iters: Int,
+                                dampNum: Long, dampDen: Long,
+                                unit: Long): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = matrix.select(col("src"), col("dst"), col("n").cast("long").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // weighted out-degree counts every parallel edge, as the raw edge
+    // list would
+    val outdeg = e.groupBy("src").agg(sum(col("n")).as("od"))
 
     // the two scalar constants of the recurrence, computed ONCE:
     // base = ((unit * (dampDen - dampNum)) div dampDen) div n
@@ -104,12 +127,14 @@ object PageRank {
     // `div` (not `/`): Long `/` is DOUBLE division in Spark SQL, and a
     // near-integer quotient could round across the floor; `div` is the
     // exact integer operator, matching DuckDB's `//` on positive longs.
+    // Parallel edges contribute n·(rank div od) — identical to n
+    // separate edge rows each contributing rank div od.
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("rank div od").as("contrib"))
+        .select(col("dst").as("node"), expr("n * (rank div od)").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("s"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")

@@ -47,6 +47,27 @@ class PageRankSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("ranks over a Rollup-maintained edge matrix equal batch ranks") {
+    // incremental graph analytics: edge batches land as rollup partials,
+    // ranks read the folded (src, dst, n) matrix — bit-equal to ranking
+    // the concatenated batches, and history is never re-scanned
+    val dir = java.nio.file.Files.createTempDirectory("prroll").toString + "/edges"
+    val b1 = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+    val b2 = Seq(("C", "A"), ("A", "B")).toDF("s", "d")
+    import org.apache.spark.sql.functions._
+    graft.catalog.Rollup.appendBatch(spark, b1, dir, "e1",
+      Seq("s", "d"), Seq("n" -> count(lit(1))))
+    graft.catalog.Rollup.appendBatch(spark, b2, dir, "e2",
+      Seq("s", "d"), Seq("n" -> count(lit(1))))
+    val matrix = graft.catalog.Rollup.read(spark, dir, Seq("s", "d"), Seq("n"))
+      .select(col("s").as("src"), col("d").as("dst"), col("n"))
+    val inc = PageRank.ranksFromMatrix(matrix, iters = 4)
+      .as[(String, Long)].collect().toSeq
+    val batch = PageRank.ranks(b1.unionAll(b2), "s", "d", iters = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(inc == batch)
+  }
+
   test("total mass never grows (floors and dangling C only leak)") {
     val total = PageRank.ranks(tri, "s", "d", iters = 4)
       .as[(String, Long)].collect().map(_._2).sum
