@@ -29,11 +29,12 @@ object Fuzzy {
       transform(sequence(lit(1), length(word)), i =>
         concat(word.substr(lit(1), i - 1), word.substr(i + 1, length(word)))))
 
-  /** All pairs at Levenshtein distance EXACTLY 1 within `df`, keyed
-    * (idCol < idCol) so each pair appears once: (id_a, s_a, id_b, s_b).
-    * Equal strings (distance 0) are excluded by the dist=1 filter even
-    * when ids differ. */
-  def selfJoinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  /** The BLOCK-JOIN candidate pairs (id_a < id_b, distinct) — every pair
+    * sharing a deletion variant, BEFORE the exact distance filter. The
+    * blocking-quality harness (q278) scores exactly this set: its size
+    * over n²/2 is the reduction ratio, its ED-1 coverage the pair
+    * completeness (1.0 by the deletion-neighborhood lemma). */
+  def candidatesEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val v = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
       .withColumn("_v", explode(deletionVariants(col("_s"))))
     v.as("l").join(v.as("r"),
@@ -41,6 +42,13 @@ object Fuzzy {
       .select(col("l._id").as("id_a"), col("l._s").as("s_a"),
         col("r._id").as("id_b"), col("r._s").as("s_b"))
       .distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) === 1)
   }
+
+  /** All pairs at Levenshtein distance EXACTLY 1 within `df`, keyed
+    * (idCol < idCol) so each pair appears once: (id_a, s_a, id_b, s_b).
+    * Equal strings (distance 0) are excluded by the dist=1 filter even
+    * when ids differ. */
+  def selfJoinEd1(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    candidatesEd1(df, idCol, strCol)
+      .filter(levenshtein(col("s_a"), col("s_b")) === 1)
 }

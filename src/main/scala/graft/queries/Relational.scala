@@ -3881,6 +3881,64 @@ object Relational {
                ON x.event_type = y.event_type AND x.hr = y.hr
               AND x.user_id < y.user_id
              GROUP BY 1, 2)""",
-        "SELECT MIN(user_id) AS u FROM events", rounds = 4)))
+        "SELECT MIN(user_id) AS u FROM events", rounds = 4))),
+
+    // ---- blocking-quality harness (record linkage) -----------------------
+    // The entity-resolution eval metrics (Christen 2012) over Fuzzy's
+    // deletion-neighborhood blocking, on the brute-checkable subset:
+    // reduction ratio (how much of the n²/2 comparison space the blocks
+    // skip) and pair completeness (what fraction of true ED-1 pairs the
+    // blocks retain — 1.0 by the deletion lemma, and the gate PROVES it
+    // numerically against the brute cross join both engines run on the
+    // subset). Counts exact, two guarded divisions.
+    "q278_blocking_quality" -> Q(
+      (s, dir) => {
+        val v = t(s, dir, "customer").filter(col("c_custkey") <= 300)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+        val cand = graft.operators.Fuzzy.candidatesEd1(v, "id", "nm")
+        val truePairs = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+          .filter(levenshtein(col("a.nm"), col("b.nm")) === 1)
+        val hit = cand.filter(levenshtein(col("s_a"), col("s_b")) === 1)
+        val n = v.agg(count(lit(1)).as("n_recs"))
+        n.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .select(col("n_recs"),
+            (col("n_recs") * (col("n_recs") - 1L) / 2).cast("long").as("n_all_pairs"),
+            col("n_cand"), col("n_true"), col("n_hit"))
+          .withColumn("reduction_ratio",
+            when(col("n_all_pairs") > 0L,
+              lit(1d) - col("n_cand").cast("double") / col("n_all_pairs").cast("double")))
+          .withColumn("pair_completeness",
+            when(col("n_true") > 0L,
+              col("n_hit").cast("double") / col("n_true").cast("double")))
+      },
+      Some("""WITH v AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+            WHERE c_custkey <= 300),
+        ex AS (SELECT id, nm,
+            UNNEST(list_distinct(list_prepend(nm,
+              [nm[1:i-1] || nm[i+1:] for i in range(1, len(nm) + 1)]))) AS var
+          FROM v),
+        cand AS (SELECT DISTINCT a.id AS id_a, a.nm AS s_a,
+            b.id AS id_b, b.nm AS s_b
+          FROM ex a JOIN ex b ON a.var = b.var AND a.id < b.id),
+        tp AS (SELECT a.id FROM v a JOIN v b
+          ON a.id < b.id AND levenshtein(a.nm, b.nm) = 1),
+        ht AS (SELECT id_a FROM cand WHERE levenshtein(s_a, s_b) = 1),
+        c AS (SELECT (SELECT COUNT(*) FROM v) AS n_recs,
+                (SELECT COUNT(*) FROM cand) AS n_cand,
+                (SELECT COUNT(*) FROM tp) AS n_true,
+                (SELECT COUNT(*) FROM ht) AS n_hit)
+        SELECT CAST(n_recs AS BIGINT) AS n_recs,
+          CAST(n_recs * (n_recs - 1) // 2 AS BIGINT) AS n_all_pairs,
+          CAST(n_cand AS BIGINT) AS n_cand,
+          CAST(n_true AS BIGINT) AS n_true,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_recs * (n_recs - 1) // 2 > 0 THEN
+            1 - CAST(n_cand AS DOUBLE)
+              / CAST(n_recs * (n_recs - 1) // 2 AS DOUBLE) END AS reduction_ratio,
+          CASE WHEN n_true > 0 THEN
+            CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS pair_completeness
+        FROM c"""))
   )
 }
