@@ -2298,6 +2298,86 @@ object Analytics {
           n * syy - sy * sy > (n - 1) * sy AS overdispersed
         FROM a ORDER BY event_type""")),
 
+    // ---- DAU/WAU/MAU stickiness -----------------------------------------
+    // The product-analytics headline: distinct actives on the anchor day
+    // (stream max), in its trailing 7 and 28 days, and the stickiness
+    // ratios DAU/WAU, DAU/MAU. One (user, day) dedup reduction, three
+    // conditional distinct counts against the broadcast anchor, two
+    // single divisions. Exact at any scale — the windows are fixed
+    // trailing spans, not sliding per-day (q225 handles that shape).
+    "q279_stickiness" -> Q(
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val anchor = ud.agg(max(col("day")).as("anchor"))
+        ud.crossJoin(broadcast(anchor))
+          .agg(
+            countDistinct(when(col("day") === col("anchor"), col("user_id")))
+              .as("dau"),
+            countDistinct(when(datediff(col("anchor"), col("day")) < 7,
+              col("user_id"))).as("wau"),
+            countDistinct(when(datediff(col("anchor"), col("day")) < 28,
+              col("user_id"))).as("mau"))
+          .select(col("dau"), col("wau"), col("mau"),
+            (col("dau").cast("double") / col("wau").cast("double")).as("dau_wau"),
+            (col("dau").cast("double") / col("mau").cast("double")).as("dau_mau"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+        a AS (SELECT MAX(day) AS anchor FROM ud)
+        SELECT
+          CAST(COUNT(DISTINCT CASE WHEN day = anchor THEN user_id END) AS BIGINT)
+            AS dau,
+          CAST(COUNT(DISTINCT CASE WHEN DATEDIFF('day', day, anchor) < 7
+            THEN user_id END) AS BIGINT) AS wau,
+          CAST(COUNT(DISTINCT CASE WHEN DATEDIFF('day', day, anchor) < 28
+            THEN user_id END) AS BIGINT) AS mau,
+          CAST(COUNT(DISTINCT CASE WHEN day = anchor THEN user_id END) AS DOUBLE)
+            / CAST(COUNT(DISTINCT CASE WHEN DATEDIFF('day', day, anchor) < 7
+              THEN user_id END) AS DOUBLE) AS dau_wau,
+          CAST(COUNT(DISTINCT CASE WHEN day = anchor THEN user_id END) AS DOUBLE)
+            / CAST(COUNT(DISTINCT CASE WHEN DATEDIFF('day', day, anchor) < 28
+              THEN user_id END) AS DOUBLE) AS dau_mau
+        FROM ud CROSS JOIN a""")),
+
+    // ---- new vs returning actives per day --------------------------------
+    // The acquisition-vs-retention daily split: each user's FIRST day
+    // (one keyed aggregate — the q196 first-seen trick) classifies every
+    // active (user, day) as new or returning; per day: actives, new,
+    // returning, returning share. Linear — no expanding windows, no
+    // per-day distinct over history.
+    "q280_new_vs_returning" -> Q(
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        ud.join(first, Seq("user_id"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("n_new"))
+          .withColumn("n_returning", col("n_active") - col("n_new"))
+          .withColumn("returning_share",
+            col("n_returning").cast("double") / col("n_active").cast("double"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_active"), col("n_new"), col("n_returning"),
+            col("returning_share"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+        f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+        SELECT STRFTIME(ud.day, '%Y-%m-%d') AS day,
+          COUNT(*) AS n_active,
+          CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning,
+          CAST(COUNT(*) - SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS returning_share
+        FROM ud JOIN f ON ud.user_id = f.user_id
+        GROUP BY ud.day ORDER BY day""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
