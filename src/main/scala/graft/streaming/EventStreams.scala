@@ -183,4 +183,32 @@ object EventStreams {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Stream-static AS-OF enrichment: every streamed event picks up the
+    * LATEST dim attributes at-or-before its event time — the streaming
+    * feature-lookup that makes training data point-in-time correct
+    * (q240/q220's leakage rule, applied live). Structured Streaming has
+    * no native as-of join, so each micro-batch runs the single-shuffle
+    * [[graft.operators.AsOfJoin.asOf]] against the static (SCD2-style)
+    * dim inside foreachBatch; output lands in `batch_id=epoch<id>`
+    * partitions with dynamic overwrite, so a crash-replayed epoch lands
+    * on top of itself — the [[maintainRollup]] exactly-once construction.
+    * Scale: per batch, one keyed shuffle of batch ∪ dim; the dim is a
+    * DataFrame, so a 100 TB deployment points it at a snapshot/broadcast
+    * table without touching this code. */
+  def enrichAsOf(events: DataFrame, eventKey: String, eventTime: String,
+                 dim: DataFrame, dimKey: String, dimTime: String,
+                 carry: Seq[String], path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.AsOfJoin
+          .asOf(batch.toDF(), eventKey, eventTime, dim, dimKey, dimTime, carry)
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(s"epoch$batchId"))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("batch_id").parquet(path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

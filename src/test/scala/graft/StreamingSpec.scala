@@ -188,4 +188,36 @@ class StreamingSpec extends SparkSpec {
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     assert(out == Set((200L, 101L)))
   }
+
+  test("enrichAsOf: streamed events pick up point-in-time dim attributes") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("enrich").toString
+    // SCD2-style dim: user 1 is bronze from t(0), gold from t(30)
+    val dim = Seq((1L, t(0), "bronze"), (1L, t(30), "gold"),
+      (2L, t(5), "silver")).toDF("user_id", "valid_from", "tier")
+    val mem = MemoryStream[EvId]
+    val q = EventStreams.enrichAsOf(mem.toDF(), "user_id", "ts",
+      dim, "user_id", "valid_from", Seq("tier"),
+      s"$base/out", s"$base/ckpt")
+    mem.addData(
+      EvId(t(10), "click", 1, 100L, 1.0),  // bronze era
+      EvId(t(40), "click", 1, 101L, 1.0),  // gold era
+      EvId(t(1), "click", 2, 102L, 1.0))   // before user 2's first version
+    q.processAllAvailable()
+    mem.addData(EvId(t(50), "purchase", 2, 103L, 2.0)) // second epoch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(100L -> Some("bronze"), 101L -> Some("gold"),
+      102L -> None, 103L -> Some("silver")))
+    // the batch twin computes the identical enrichment
+    val batchTwin = graft.operators.AsOfJoin.asOf(
+      Seq(EvId(t(10), "click", 1, 100L, 1.0), EvId(t(40), "click", 1, 101L, 1.0),
+        EvId(t(1), "click", 2, 102L, 1.0), EvId(t(50), "purchase", 2, 103L, 2.0))
+        .toDF(),
+      "user_id", "ts", dim, "user_id", "valid_from", Seq("tier"))
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(batchTwin == got)
+  }
 }
