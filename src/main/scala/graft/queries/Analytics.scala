@@ -2378,6 +2378,87 @@ object Analytics {
         FROM ud JOIN f ON ud.user_id = f.user_id
         GROUP BY ud.day ORDER BY day""")),
 
+    // ---- maximum drawdown ------------------------------------------------
+    // The risk metric over the daily purchase-revenue series: drawdown_t
+    // = running-peak − value_t (exact cents), and the maximum drawdown
+    // with its EARLIEST day (exact integer argmax tie-break). Two
+    // windows over the calendar-bounded day spine; revenue is the exact
+    // cents sum per day, so every drawdown is a BIGINT.
+    "q281_max_drawdown" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum((Det.money(col("value")) * 100).cast("long")).as("cents"))
+        val wRun = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val dd = daily
+          .withColumn("peak", max(col("cents")).over(wRun))
+          .withColumn("drawdown", col("peak") - col("cents"))
+        val worst = dd.orderBy(col("drawdown").desc, col("day")).limit(1)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("worst_day"),
+            col("drawdown").as("max_drawdown"))
+        dd.agg(count(lit(1)).as("n_days"),
+            max(col("peak")).as("peak_cents"),
+            sum(col("drawdown")).as("total_drawdown_cents"))
+          .crossJoin(broadcast(worst))
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(SUM(${Det.sqlMoney("value")} * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        dd AS (SELECT day, cents,
+            MAX(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS peak
+          FROM daily),
+        d2 AS (SELECT day, peak, peak - cents AS drawdown FROM dd),
+        worst AS (SELECT STRFTIME(day, '%Y-%m-%d') AS worst_day,
+            drawdown AS max_drawdown
+          FROM d2 ORDER BY drawdown DESC, day LIMIT 1)
+        SELECT COUNT(*) AS n_days, CAST(MAX(peak) AS BIGINT) AS peak_cents,
+          CAST(SUM(drawdown) AS BIGINT) AS total_drawdown_cents,
+          worst_day, CAST(max_drawdown AS BIGINT) AS max_drawdown
+        FROM d2 CROSS JOIN worst
+        GROUP BY worst_day, max_drawdown""")),
+
+    // ---- floor-at-zero running balance -----------------------------------
+    // The inventory/credit recurrence s_t = max(0, s_{t-1} + δ_t) looks
+    // sequential, but has the closed form s_t = P_t − min(0, min_{j≤t}
+    // P_j) over prefix sums P — two running windows replace the
+    // row-at-a-time scan (the drained mass min(0, ·) is exactly what the
+    // floor absorbed). Deltas: purchases add cents, errors drain a fixed
+    // 500-cent penalty; all BIGINT, windows over the day spine.
+    "q282_capped_balance" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase",
+            (Det.money(col("value")) * 100).cast("long"))
+            .otherwise(lit(-500L))).as("delta"))
+        val wRun = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("prefix", sum(col("delta")).over(wRun))
+          .withColumn("floor_drain",
+            least(min(col("prefix")).over(wRun), lit(0L)))
+          .withColumn("balance", col("prefix") - col("floor_drain"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("delta"), col("prefix"), col("balance"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN ${Det.sqlMoney("value")} * 100 ELSE -500 END) AS BIGINT) AS delta
+          FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1),
+        p AS (SELECT day, delta,
+            SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS prefix
+          FROM daily)
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, delta, prefix,
+          prefix - LEAST(MIN(prefix) OVER (ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS balance
+        FROM p ORDER BY day""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
