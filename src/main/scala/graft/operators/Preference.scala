@@ -59,11 +59,11 @@ object Preference {
     val w = head.map(r => (r.get(0), r.get(1), r.getLong(2)))
     val items = (w.map(_._1) ++ w.map(_._2)).distinct.sortBy(_.toString)
     val wins = w.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._3).sum }
-    val games = scala.collection.mutable.Map.empty[(Any, Any), Long]
-      .withDefaultValue(0L)
-    w.foreach { case (i, j, n) => games((i, j)) += n; games((j, i)) += n }
-    val byItem = items.map(i => i ->
-      games.collect { case ((a, j), n) if a == i => (j, n) }.toSeq).toMap
+    val sym = w.flatMap { case (i, j, n) => Seq((i, j, n), (j, i, n)) }
+    val byItem: Map[Any, Seq[(Any, Long)]] = sym.groupBy(_._1)
+      .map { case (i, xs) =>
+        i -> xs.groupBy(_._2).map { case (j, ys) => (j, ys.map(_._3).sum) }.toSeq
+      }.withDefaultValue(Seq.empty)
 
     var p = items.map(i => i -> unit).toMap
     for (_ <- 1 to iters) {
