@@ -2708,7 +2708,76 @@ object LlmOps {
             CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
           CASE WHEN n_exact > 0 THEN
             CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
-        FROM c"""))
+        FROM c""")),
+
+    // ---- source contamination communities --------------------------------
+    // Operator composition across families: the q76 fingerprint-overlap
+    // graph between SOURCES (boilerplate-capped, threshold ≥ 12 shared
+    // fingerprints) feeds label-propagation communities — "which corpora
+    // share enough content to be one provenance cluster", the
+    // source-level view of contamination the doc-level dedup can't give.
+    // Sources become numeric LPA nodes via the shared h28 family (both
+    // engines hash identically); the oracle chains the q76 edge SQL into
+    // the GENERATED LPA round chain. Everything integer.
+    "q283_source_communities" -> Q(
+      (s, dir) => {
+        val e = docs(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.fingerprints(col("text"))).as("fp"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ok = e.groupBy("fp").agg(count(lit(1)).as("nsrc"))
+          .filter(col("nsrc") <= MaxFpSources).select("fp")
+        val capped = e.join(ok, "fp")
+        val edges = capped.select(col("fp"), col("source").as("sa"))
+          .join(capped.select(col("fp"), col("source").as("sb")), "fp")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 12L)
+          .select(H.h28(col("sa")).as("a"), H.h28(col("sb")).as("b"))
+        graft.operators.Communities.labels(edges, "a", "b", iters = 4)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            expr("bit_xor(node)").as("xor_members"))
+          .orderBy("label")
+      },
+      Some {
+        val edgesCte =
+          s"""SELECT ${H.sqlH28("a.source")} AS src, ${H.sqlH28("b.source")} AS dst
+             FROM (SELECT f.source, f.fp FROM
+                 (SELECT DISTINCT source, fp FROM (
+                   SELECT source, unnest(list_distinct(list_filter(
+                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+                     h -> h % 16 = 0))) AS fp
+                   FROM documents)) f
+               JOIN (SELECT fp FROM (SELECT DISTINCT source, fp FROM (
+                   SELECT source, unnest(list_distinct(list_filter(
+                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+                     h -> h % 16 = 0))) AS fp
+                   FROM documents))
+                 GROUP BY fp HAVING COUNT(*) <= $MaxFpSources) ok
+               USING (fp)) a
+             JOIN (SELECT f.source, f.fp FROM
+                 (SELECT DISTINCT source, fp FROM (
+                   SELECT source, unnest(list_distinct(list_filter(
+                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+                     h -> h % 16 = 0))) AS fp
+                   FROM documents)) f
+               JOIN (SELECT fp FROM (SELECT DISTINCT source, fp FROM (
+                   SELECT source, unnest(list_distinct(list_filter(
+                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+                     h -> h % 16 = 0))) AS fp
+                   FROM documents))
+                 GROUP BY fp HAVING COUNT(*) <= $MaxFpSources) ok
+               USING (fp)) b
+               ON a.fp = b.fp AND a.source < b.source
+             GROUP BY a.source, b.source
+             HAVING COUNT(*) >= 12"""
+        val lbl = graft.operators.Communities.oracleSql(edgesCte, iters = 4)
+        s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(bit_xor(node) AS BIGINT) AS xor_members
+           FROM ($lbl) GROUP BY label ORDER BY label"""
+      })
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
