@@ -2459,6 +2459,79 @@ object Analytics {
             UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS balance
         FROM p ORDER BY day""")),
 
+    // ---- absorbing-Markov conversion probability -------------------------
+    // Beyond q154's raw transition rates: the probability of REACHING
+    // 'purchase' within 4 steps from each state, under the empirical
+    // chain with purchase absorbing — the funnel question transition
+    // counts alone don't answer. Exact-integer fixed point in micro-units
+    // (the q118/q248 pattern): reach_i(s) = unit for the absorbing
+    // state, else (Σ_t n_st·reach_{i-1}(t)) div n_s — positive-operand
+    // floor division, zero for dead-end states. The transition matrix is
+    // |types|² (one lag pass, map-combinable), so the iterations run
+    // driver-side over kilobytes; the DuckDB chain is GENERATED from the
+    // same constants.
+    "q284_absorption" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = t(s, dir, "events")
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+          .agg(count(lit(1)).as("n"))
+        val cells = tr.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+        val outTot = cells.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+        val bySrc = cells.groupBy(_._1).withDefaultValue(Array.empty)
+        val unit = 1000000L
+        var reach = states.map(st =>
+          st -> (if (st == "purchase") unit else 0L)).toMap
+        for (_ <- 1 to 4) {
+          reach = states.map { st =>
+            st -> (if (st == "purchase") unit
+            else outTot.get(st) match {
+              case Some(ns) =>
+                bySrc(st).map { case (_, d, n) => n * reach(d) }.sum / ns
+              case None => 0L
+            })
+          }.toMap
+        }
+        val spark = s
+        import spark.implicits._
+        states.map(st => (st, outTot.getOrElse(st, 0L), reach(st))).toSeq
+          .toDF("state", "n_out", "reach_units").orderBy("state")
+      },
+      Some {
+        val pre =
+          """WITH tr AS (SELECT src, dst, COUNT(*) AS n FROM (
+               SELECT event_type AS src,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS dst
+               FROM events) WHERE dst IS NOT NULL GROUP BY src, dst),
+             tot AS (SELECT src, SUM(n) AS n_s FROM tr GROUP BY src),
+             st AS (SELECT DISTINCT src AS state FROM tr
+                    UNION SELECT DISTINCT dst FROM tr),
+             r0 AS (SELECT state,
+                 CAST(CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END
+                   AS BIGINT) AS reach FROM st)"""
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS (SELECT st.state,
+               CAST(CASE WHEN st.state = 'purchase' THEN 1000000
+                 WHEN t.n_s IS NULL THEN 0
+                 ELSE COALESCE(c.s, 0) // t.n_s END AS BIGINT) AS reach
+             FROM st LEFT JOIN tot t ON t.src = st.state
+             LEFT JOIN (SELECT tr.src, SUM(tr.n * r.reach) AS s
+               FROM tr JOIN r${i - 1} r ON r.state = tr.dst
+               GROUP BY tr.src) c ON c.src = st.state)"""
+        }.mkString(",\n", ",\n", "")
+        s"""$pre$rounds
+           SELECT st.state, CAST(COALESCE(t.n_s, 0) AS BIGINT) AS n_out,
+             r.reach AS reach_units
+           FROM st LEFT JOIN tot t ON t.src = st.state
+           JOIN r4 r ON r.state = st.state
+           ORDER BY st.state"""
+      }),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
