@@ -99,6 +99,107 @@ object Eval {
             AS survival
         FROM k CROSS JOIN arr ORDER BY t_day""")),
 
+    // ---- log-rank test (two survival curves) ----------------------------
+    // The inferential companion to q254: does TREATMENT (the md5 coin)
+    // change time-to-first-purchase? The log-rank statistic compares
+    // observed treated conversions to their expectation under the null
+    // at every conversion time: O is an integer sum; each E = d·n_t/n
+    // and V = d·n_t·n_c·(n−d) / (n²·(n−1)) is ONE division over exact
+    // BIGINT operands (overflow ≤ 2^41 at this population); ΣE and ΣV
+    // fold a deterministically sorted time list (the q208 pattern), and
+    // z² = (ΣO−ΣE)²/ΣV is a fixed tree. Everything before the folds is
+    // one groupBy over per-user rows plus duration-domain windows.
+    "q285_km_logrank" -> Q(
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(to_date(min(col("ts"))).as("d0"),
+            to_date(max(col("ts"))).as("d1"),
+            to_date(min(when(col("event_type") === "purchase", col("ts"))))
+              .as("p0"))
+          .select(
+            datediff(coalesce(col("p0"), col("d1")), col("d0")).cast("long")
+              .as("dur"),
+            col("p0").isNotNull.cast("long").as("conv"),
+            (pmod(graft.functions.Hashing.h28(
+              concat(lit("t"), col("user_id").cast("string"))), lit(2L)) === 0L)
+              .as("tr"))
+        val byDur = du.groupBy("dur").agg(
+          sum(when(col("tr"), 1L).otherwise(0L)).as("m_t"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("m_c"),
+          sum(when(col("tr"), col("conv")).otherwise(0L)).as("d_t"),
+          sum(when(!col("tr"), col("conv")).otherwise(0L)).as("d_c"))
+        val wFrom = Window.orderBy("dur")
+          .rowsBetween(0, Window.unboundedFollowing)
+        val terms = byDur
+          .withColumn("n_t", sum(col("m_t")).over(wFrom))
+          .withColumn("n_c", sum(col("m_c")).over(wFrom))
+          .filter(col("d_t") + col("d_c") > 0L)
+          .withColumn("dtot", col("d_t") + col("d_c"))
+          .withColumn("ntot", col("n_t") + col("n_c"))
+          .withColumn("e", (col("dtot") * col("n_t")).cast("double")
+            / col("ntot").cast("double"))
+          .withColumn("v", when(col("ntot") > 1L,
+            (col("dtot") * col("n_t") * col("n_c") * (col("ntot") - col("dtot")))
+              .cast("double")
+              / (col("ntot") * col("ntot") * (col("ntot") - 1L)).cast("double"))
+            .otherwise(lit(0d)))
+        val folded = terms.agg(
+          count(lit(1)).as("n_times"),
+          sum(col("d_t")).as("sum_o"),
+          expr("aggregate(sort_array(collect_list(struct(dur, e)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.e)").as("sum_e"),
+          expr("aggregate(sort_array(collect_list(struct(dur, v)))," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x.v)").as("sum_v"))
+        folded.select(col("n_times"), col("sum_o"), col("sum_e"), col("sum_v"),
+          when(col("sum_v") > 0d,
+            (col("sum_o").cast("double") - col("sum_e"))
+              * (col("sum_o").cast("double") - col("sum_e")) / col("sum_v"))
+            .as("logrank_z2"))
+      },
+      Some(s"""WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
+            CAST(MAX(ts) AS DATE) AS d1,
+            CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE) AS p0
+          FROM events GROUP BY user_id),
+        du AS (SELECT CAST(DATEDIFF('day', d0, COALESCE(p0, d1)) AS BIGINT) AS dur,
+            CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS conv,
+            ${graft.functions.Hashing.sqlH28("'t' || CAST(user_id AS VARCHAR)")} % 2 = 0
+              AS tr
+          FROM u),
+        bd AS (SELECT dur,
+            SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS m_t,
+            SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS m_c,
+            SUM(CASE WHEN tr THEN conv ELSE 0 END) AS d_t,
+            SUM(CASE WHEN tr THEN 0 ELSE conv END) AS d_c
+          FROM du GROUP BY dur),
+        r AS (SELECT dur, d_t, d_c,
+            SUM(m_t) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS n_t,
+            SUM(m_c) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS n_c
+          FROM bd),
+        k AS (SELECT dur, d_t,
+            CAST((d_t + d_c) * n_t AS DOUBLE) / CAST(n_t + n_c AS DOUBLE) AS e,
+            CASE WHEN n_t + n_c > 1 THEN
+              CAST((d_t + d_c) * n_t * n_c * (n_t + n_c - d_t - d_c) AS DOUBLE)
+                / CAST((n_t + n_c) * (n_t + n_c) * (n_t + n_c - 1) AS DOUBLE)
+            ELSE 0 END AS v
+          FROM r WHERE d_t + d_c > 0),
+        f AS (SELECT COUNT(*) AS n_times, SUM(d_t) AS sum_o,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [x.e for x in list(struct_pack(dur := dur, e := e, v := v)
+                ORDER BY dur)]), (acc, x) -> acc + x) AS sum_e,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [x.v for x in list(struct_pack(dur := dur, e := e, v := v)
+                ORDER BY dur)]), (acc, x) -> acc + x) AS sum_v
+          FROM k)
+        SELECT CAST(n_times AS BIGINT) AS n_times, CAST(sum_o AS BIGINT) AS sum_o,
+          sum_e, sum_v,
+          CASE WHEN sum_v > 0 THEN
+            (CAST(sum_o AS DOUBLE) - sum_e) * (CAST(sum_o AS DOUBLE) - sum_e)
+              / sum_v END AS logrank_z2
+        FROM f""")),
+
     // ---- classifier calibration (reliability diagram) -------------------
     // The ML-ops release gate for any scoring model: bucket predictions
     // into deciles, compare mean predicted probability against observed
