@@ -324,6 +324,96 @@ object Experiment {
               / CAST(n // 2 AS DOUBLE)) AS mde
         FROM a ORDER BY event_type""")),
 
+    // ---- group-sequential interim monitoring ----------------------------
+    // The "peeking correctly" readout: the treated-vs-control value mean
+    // is tested at three interim looks (day 10/20/30 cut dates) against
+    // O'Brien-Fleming boundaries — the spending schedule that makes
+    // early stopping legitimate. Per look: exact decimal sums/sums-of-
+    // squares (ONE pass, conditional aggregates), Welch-style z from a
+    // fixed IEEE tree with correctly-rounded sqrt, and the boundary as a
+    // PARSED decimal string (the BenfordProbs libm ruling). The reject
+    // verdict compares two deterministic doubles.
+    "q286_group_sequential" -> Q(
+      (s, dir) => {
+        val looks = Seq(
+          ("1_day10", "2024-01-11", "3.471086"),
+          ("2_day20", "2024-01-21", "2.454262"),
+          ("3_day30", "2024-01-31", "2.004089"))
+        val ev = t(s, dir, "events")
+          .select(treated(col("user_id")).as("tr"),
+            to_date(col("ts")).as("day"), Det.money(col("value")).as("v"))
+        val rows = looks.map { case (look, cut, bound) =>
+          val c = ev.filter(col("day") < to_date(lit(cut)))
+          c.agg(
+              sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+              sum(when(col("tr"), col("v")).otherwise(lit(0).cast(Det.Money)))
+                .as("sv_t"),
+              sum(when(col("tr"), col("v") * col("v"))
+                .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(24, 4))))
+                .as("svv_t"),
+              sum(when(!col("tr"), 1L).otherwise(0L)).as("n_c"),
+              sum(when(!col("tr"), col("v")).otherwise(lit(0).cast(Det.Money)))
+                .as("sv_c"),
+              sum(when(!col("tr"), col("v") * col("v"))
+                .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(24, 4))))
+                .as("svv_c"))
+            .select(lit(look).as("look"), col("n_t"), col("n_c"),
+              (col("sv_t").cast("double") / col("n_t").cast("double")
+                - col("sv_c").cast("double") / col("n_c").cast("double"))
+                .as("mean_diff"),
+              ((col("n_t").cast("double") * col("svv_t").cast("double")
+                - col("sv_t").cast("double") * col("sv_t").cast("double"))
+                / (col("n_t").cast("double") * (col("n_t") - 1L).cast("double"))
+                / col("n_t").cast("double")
+                + (col("n_c").cast("double") * col("svv_c").cast("double")
+                  - col("sv_c").cast("double") * col("sv_c").cast("double"))
+                  / (col("n_c").cast("double") * (col("n_c") - 1L).cast("double"))
+                  / col("n_c").cast("double")).as("se2"),
+              lit(bound).cast("double").as("boundary"))
+            .withColumn("z", col("mean_diff") / sqrt(col("se2")))
+            .withColumn("reject", abs(col("z")) > col("boundary"))
+        }
+        rows.reduce(_.unionAll(_)).orderBy("look")
+      },
+      Some {
+        def one(look: String, cut: String, bound: String) =
+          s"""SELECT '$look' AS look,
+             SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS n_c,
+             CAST(SUM(CASE WHEN tr THEN v ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CASE WHEN tr THEN CAST(0 AS DECIMAL(12,2)) ELSE v END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS DOUBLE) AS mean_diff,
+             (CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN v * v ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN tr THEN v ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN v ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE))
+               / (CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) - 1 AS DOUBLE))
+               / CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE)
+             + (CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN CAST(0 AS DECIMAL(24,4)) ELSE v * v END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN tr THEN CAST(0 AS DECIMAL(12,2)) ELSE v END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN CAST(0 AS DECIMAL(12,2)) ELSE v END) AS DOUBLE))
+               / (CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS DOUBLE)
+                 * CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) - 1 AS DOUBLE))
+               / CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS DOUBLE) AS se2,
+             CAST('$bound' AS DOUBLE) AS boundary
+           FROM (SELECT $SqlTreated AS tr, CAST(ts AS DATE) AS day,
+               CAST(value AS DECIMAL(12,2)) AS v FROM events)
+           WHERE day < DATE '$cut'"""
+        val looks = Seq(("1_day10", "2024-01-11", "3.471086"),
+          ("2_day20", "2024-01-21", "2.454262"),
+          ("3_day30", "2024-01-31", "2.004089"))
+        val closed = looks.map { case (l, c, b) => s"(${one(l, c, b)})" }
+          .mkString(" UNION ALL ")
+        s"""SELECT look, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+             mean_diff, se2, boundary,
+             mean_diff / SQRT(se2) AS z,
+             ABS(mean_diff / SQRT(se2)) > boundary AS reject
+           FROM ($closed) ORDER BY look"""
+      }),
+
     // ---- uplift by model decile (Qini-style curve) ----------------------
     // Targeting-model evaluation: per md5-score decile, treated vs
     // control heavy-buyer rates and their gap (uplift), plus the
