@@ -2532,6 +2532,64 @@ object Analytics {
            ORDER BY st.state"""
       }),
 
+    // ---- adstock-response regression -------------------------------------
+    // The marketing-mix seed: does (geometrically decayed) click pressure
+    // predict purchases? Adstock with λ=1/2 over 16 lags is the q195
+    // dyadic construct — an EXACT INTEGER x (Σ lag_j·2^(15−j)) — so the
+    // regression of daily purchases on adstocked clicks runs entirely on
+    // BIGINT power sums (Σx ≤ 2^16·Σclicks stays far under 2^63) with
+    // the q192 one-tree slope/intercept/r² ending. Two series from one
+    // day-spine reduction; no float accumulates anywhere.
+    "q287_adstock_regression" -> Q(
+      (s, dir) => {
+        val sp = dailySpine(s, dir)
+        val two = sp.groupBy("day").agg(
+          sum(when(col("event_type") === "click", col("y")).otherwise(0L)).as("clk"),
+          sum(when(col("event_type") === "purchase", col("y")).otherwise(0L)).as("pur"))
+        val w = Window.orderBy("day")
+        val adstock = (0 until 16).map { j =>
+          coalesce(lag(col("clk"), j).over(w), lit(0L)) * lit(1L << (15 - j))
+        }.reduce(_ + _)
+        val series = two
+          .withColumn("k", row_number().over(w))
+          .withColumn("adraw", adstock)
+          // rescale by 2^6 (floor): keeps the n·Σx² power sum orders of
+          // magnitude under 2^63 at any realistic daily volume while
+          // preserving 10 bits of decay precision
+          .withColumn("x", expr("adraw div 64"))
+          .filter(col("k") >= 16)
+          .select(lit("adstock_purchases").as("g"), col("x"), col("pur").as("y"))
+        trendStats(series, "g")
+      },
+      Some {
+        val terms = (0 until 16).map { j =>
+          s"COALESCE(LAG(clk, $j) OVER (ORDER BY day), 0) * ${1L << (15 - j)}"
+        }.mkString(" + ")
+        s"""WITH $spineSql,
+          two AS (SELECT day,
+              SUM(CASE WHEN event_type = 'click' THEN y ELSE 0 END) AS clk,
+              SUM(CASE WHEN event_type = 'purchase' THEN y ELSE 0 END) AS pur
+            FROM sp GROUP BY day),
+          ad AS (SELECT day, pur,
+              ROW_NUMBER() OVER (ORDER BY day) AS k,
+              ($terms) // 64 AS x
+            FROM two),
+          f AS (SELECT 'adstock_purchases' AS g, x, pur AS y FROM ad WHERE k >= 16),
+          s AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM f GROUP BY g)
+          SELECT g, CAST(n AS BIGINT) AS n,
+            CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+            (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) AS intercept,
+            CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+          FROM s"""
+      }),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
