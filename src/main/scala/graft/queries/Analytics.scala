@@ -2590,6 +2590,32 @@ object Analytics {
           FROM s"""
       }),
 
+    // ---- ntile quartile census (the last uncovered window function) ------
+    // Equal-count bucket assignment per nation: ntile(4) over the
+    // deterministic (balance, custkey) total order — ANSI semantics
+    // (earlier buckets absorb remainders) identical in both engines —
+    // censused to (nation, quartile) row counts and exact balance
+    // extremes (min/max copy elements, no arithmetic). Windows are
+    // nation-partitioned; the census is one bounded-domain groupBy.
+    "q288_ntile_quartiles" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("c_nationkey", "quartile")
+          .agg(count(lit(1)).as("n"),
+            min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+          .orderBy("c_nationkey", "quartile")
+      },
+      Some("""SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile,
+          COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        FROM (SELECT c_nationkey, c_acctbal,
+            NTILE(4) OVER (PARTITION BY c_nationkey
+              ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer)
+        GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
