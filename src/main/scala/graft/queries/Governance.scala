@@ -188,6 +188,44 @@ object Governance {
           CAST(COALESCE(BIT_XOR(id_a * 1000003 + id_b), 0) AS BIGINT) AS pair_xor
         FROM pairs""")),
 
+    // ---- consistent pseudonymization ------------------------------------
+    // Dynamic-masking / pseudonymization with REFERENTIAL CONSISTENCY:
+    // the released report carries an md5-derived token instead of the
+    // customer key, the name masked to its first two characters, and the
+    // balance generalized to a 1000-unit bracket — but because the token
+    // is a deterministic function of the key, the per-customer order
+    // aggregate still joins exactly (the property ad-hoc masking breaks).
+    // The gate hashes the pseudonymous report itself: identical tokens,
+    // masks, and join results in both engines. Top-20 by order count for
+    // a bounded result.
+    "q289_pseudonymized_report" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey"),
+          concat(lit("c-"), substring(md5(concat(lit("p"),
+            col("c_custkey").cast("string"))), 1, 12)).as("pseudonym"),
+          concat(substring(col("c_name"), 1, 2), lit("***")).as("masked_name"),
+          (floor(col("c_acctbal") / 1000d) * 1000).cast("long").as("balance_bracket"))
+        val ords = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            Det.moneySumExact(col("o_totalprice")).as("spend"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"))
+          .select(col("pseudonym"), col("masked_name"), col("balance_bracket"),
+            col("n_orders"), col("spend").cast("double").as("total_spend"))
+          .orderBy(col("n_orders").desc, col("pseudonym")).limit(20)
+      },
+      Some("""SELECT 'c-' || SUBSTR(MD5('p' || CAST(c_custkey AS VARCHAR)), 1, 12)
+            AS pseudonym,
+          SUBSTR(c_name, 1, 2) || '***' AS masked_name,
+          CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS balance_bracket,
+          o.n_orders,
+          CAST(o.spend AS DOUBLE) AS total_spend
+        FROM customer
+        JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+            SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+          FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+        ORDER BY n_orders DESC, pseudonym LIMIT 20""")),
+
     // ---- TextRank keyword extraction ------------------------------------
     // Mihalcea & Tarau 2004 as pure operator COMPOSITION: the word
     // co-occurrence graph (adjacent-token edges, symmetrized) feeds the
