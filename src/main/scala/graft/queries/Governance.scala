@@ -226,6 +226,44 @@ object Governance {
           FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
         ORDER BY n_orders DESC, pseudonym LIMIT 20""")),
 
+    // ---- privacy-utility tradeoff ---------------------------------------
+    // What does q246/q289's 1000-unit balance generalization COST an
+    // analyst? Per nation: the exact balance sum (cents), the sum
+    // reconstructed from brackets under the midpoint convention
+    // (bracket + 500), and the absolute reconstruction error — all exact
+    // integers, so the privacy-utility report hash-matches. The per-row
+    // error is bounded by construction (|err| ≤ 50000 cents); the census
+    // shows how it nets out per group — the number a release reviewer
+    // weighs against the k-anonymity gain.
+    "q290_privacy_utility" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer")
+          .select(col("c_nationkey"),
+            (Det.money(col("c_acctbal")) * 100).cast("long").as("cents"),
+            ((floor(col("c_acctbal") / 1000d) * 1000 + 500) * 100).cast("long")
+              .as("recon_cents"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("exact_cents"),
+            sum(col("recon_cents")).as("recon_cents"),
+            sum(abs(col("recon_cents") - col("cents"))).as("abs_err_cents"))
+          .withColumn("err_share",
+            col("abs_err_cents").cast("double")
+              / abs(col("exact_cents")).cast("double"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n,
+          CAST(SUM(${Det.sqlMoney("c_acctbal")} * 100) AS BIGINT) AS exact_cents,
+          CAST(SUM((FLOOR(c_acctbal / 1000) * 1000 + 500) * 100) AS BIGINT)
+            AS recon_cents,
+          CAST(SUM(ABS((FLOOR(c_acctbal / 1000) * 1000 + 500) * 100
+            - ${Det.sqlMoney("c_acctbal")} * 100)) AS BIGINT) AS abs_err_cents,
+          CAST(SUM(ABS((FLOOR(c_acctbal / 1000) * 1000 + 500) * 100
+            - ${Det.sqlMoney("c_acctbal")} * 100)) AS DOUBLE)
+            / CAST(ABS(SUM(${Det.sqlMoney("c_acctbal")} * 100)) AS DOUBLE)
+            AS err_share
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // ---- TextRank keyword extraction ------------------------------------
     // Mihalcea & Tarau 2004 as pure operator COMPOSITION: the word
     // co-occurrence graph (adjacent-token edges, symmetrized) feeds the
