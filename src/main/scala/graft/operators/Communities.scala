@@ -34,7 +34,54 @@ object Communities {
     * both BIGINT. Nodes are inferred as src ∪ dst, so every node has at
     * least one neighbor and a round never leaves a label undefined. */
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
-             iters: Int = 4): DataFrame = {
+             iters: Int = 4, driverMax: Int = 65536): DataFrame = {
+    require(iters >= 1)
+    // Driver tier for bounded node domains (the PageRank/Preference
+    // pattern): when the directed edge multiset fits the budget, the K
+    // synchronous rounds — vote counts, most-frequent label, min-label
+    // tie-break, IDENTICAL rules — run as a driver loop instead of K
+    // windowed shuffles. Spec-pinned bit-equal to the join tier.
+    val gAgg = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val head = gAgg.limit(driverMax + 1).collect()
+    if (head.length <= driverMax) {
+      val spark = edges.sparkSession
+      val dirEdges = head.flatMap { r =>
+        val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        Seq((a, b, n), (b, a, n))
+      }
+      // parallel directed duplicates merge; each (src,dst) votes with
+      // multiplicity = its edge count, as the join tier's groupBy does
+      val bySrc = dirEdges.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.groupBy(_._2).map { case (d, ys) => (d, ys.map(_._3).sum) }.toSeq
+      }
+      val nodes = bySrc.keys.toSeq.sorted
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { n =>
+          val votes = bySrc(n).groupBy { case (d, _) => lab(d) }
+            .map { case (l, ys) => (l, ys.map(_._2).sum) }
+          // most votes, then smallest label — the byVotes window order
+          n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      val rows = nodes.map(n => org.apache.spark.sql.Row(n, lab(n)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("node")
+    }
+    labelsDistributed(edges, srcCol, dstCol, iters)
+  }
+
+  /** The windowed-join tier of [[labels]], for graphs whose edge matrix
+    * exceeds the driver budget. */
+  def labelsDistributed(edges: DataFrame, srcCol: String, dstCol: String,
+                        iters: Int = 4): DataFrame = {
     require(iters >= 1)
     val g = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))

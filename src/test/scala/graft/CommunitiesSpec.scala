@@ -53,4 +53,15 @@ class CommunitiesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("driver tier and windowed-join tier are bit-identical") {
+    // incl. a parallel edge and a bidirectional duplicate
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 2L), (3L, 1L), (2L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    val fast = Communities.labels(g, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    val dist = Communities.labelsDistributed(g, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(fast == dist)
+  }
 }
