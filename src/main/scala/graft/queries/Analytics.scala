@@ -2616,6 +2616,60 @@ object Analytics {
           FROM customer)
         GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""")),
 
+    // ---- trend + seasonal 7-day forecast ---------------------------------
+    // The forecast q233's seasonal-naive baseline exists to be beaten:
+    // OLS trend over the daily click series (exact BIGINT power sums,
+    // q192's tree) plus a day-of-week deviation (per-dow mean minus
+    // overall mean — exact sums, fixed tree), extrapolated 7 days past
+    // the stream's end. Every ŷ is one deterministic IEEE expression
+    // over exact operands; the horizon spine is GENERATED (7 rows).
+    "q291_forecast_7d" -> Q(
+      (s, dir) => {
+        val d = dailySpine(s, dir).filter(col("event_type") === "click")
+        val stats = d.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          max(col("x")).as("xmax"))
+        val dow = d.withColumn("dw", pmod(col("x") + 4L, lit(7L)))
+          .groupBy("dw").agg(sum(col("y")).as("sdw"), count(lit(1)).as("ndw"))
+        val horizon = stats.select(explode(sequence(lit(1L), lit(7L))).as("h"),
+            col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("xmax"))
+          .withColumn("x", col("xmax") + col("h"))
+          .withColumn("dw", pmod(col("x") + 4L, lit(7L)))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val slope = num / dx
+        horizon.join(broadcast(dow), Seq("dw"))
+          .select(col("h"), col("x"), col("dw"),
+            (slope * col("x").cast("double")
+              + (col("sy").cast("double") - slope * col("sx").cast("double"))
+                / col("n").cast("double")
+              + (col("sdw").cast("double") / col("ndw").cast("double")
+                - col("sy").cast("double") / col("n").cast("double")))
+              .as("yhat"))
+          .orderBy("h")
+      },
+      Some(s"""WITH $spineSql,
+        d AS (SELECT x, y FROM sp WHERE event_type = 'click'),
+        st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx, MAX(x) AS xmax FROM d),
+        dw AS (SELECT (x + 4) % 7 AS dw, SUM(y) AS sdw, COUNT(*) AS ndw
+          FROM d GROUP BY 1),
+        hz AS (SELECT h, xmax + h AS x, (xmax + h + 4) % 7 AS dw,
+            n, sx, sy, sxy, sxx
+          FROM st CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h))
+        SELECT CAST(hz.h AS BIGINT) AS h, CAST(hz.x AS BIGINT) AS x,
+          CAST(hz.dw AS BIGINT) AS dw,
+          (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+            * CAST(hz.x AS DOUBLE)
+          + (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)
+          + (CAST(sdw AS DOUBLE) / CAST(ndw AS DOUBLE)
+            - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS yhat
+        FROM hz JOIN dw ON hz.dw = dw.dw ORDER BY h""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
