@@ -2670,6 +2670,91 @@ object Analytics {
             - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS yhat
         FROM hz JOIN dw ON hz.dw = dw.dw ORDER BY h""")),
 
+    // ---- forecast model backtest (model vs naive) ------------------------
+    // Does q291's trend+seasonal model actually beat q233's
+    // seasonal-naive on held-out data? Train on all but the final 7
+    // observed days, score both on those 7: the naive residuals
+    // |y_{t−7} − y_t| are exact integers; the model residuals fold a
+    // sorted 7-element list (the q208 discipline). One row: both MAEs
+    // and the verdict — the honest model-selection gate, hash-matched.
+    "q292_forecast_backtest2" -> Q(
+      (s, dir) => {
+        val d = dailySpine(s, dir).filter(col("event_type") === "click")
+        val cut = d.agg((max(col("x")) - 7L).as("xcut"))
+        val dc = d.crossJoin(broadcast(cut))
+        val train = dc.filter(col("x") <= col("xcut"))
+        val stats = train.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val dow = train.withColumn("dw", pmod(col("x") + 4L, lit(7L)))
+          .groupBy("dw").agg(sum(col("y")).as("sdw"), count(lit(1)).as("ndw"))
+        val lagW = Window.orderBy("x")
+        val test = dc
+          .withColumn("ylag7", lag(col("y"), 7).over(lagW))
+          .filter(col("x") > col("xcut"))
+          .withColumn("dw", pmod(col("x") + 4L, lit(7L)))
+          .join(broadcast(dow), Seq("dw"))
+          .crossJoin(broadcast(stats))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val slope = num / dx
+        val yhat = slope * col("x").cast("double") +
+          ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")) +
+          (col("sdw").cast("double") / col("ndw").cast("double") -
+            col("sy").cast("double") / col("n").cast("double"))
+        val scored = test.select(col("x"),
+          abs(col("ylag7") - col("y")).as("naive_err"),
+          abs(yhat - col("y").cast("double")).as("model_err"))
+        scored.agg(count(lit(1)).as("n_test"),
+            sum(col("naive_err")).as("naive_abs_sum"),
+            expr("aggregate(sort_array(collect_list(struct(x, model_err)))," +
+              " CAST(0 AS DOUBLE), (acc, e) -> acc + e.model_err)")
+              .as("model_abs_sum"))
+          .select(col("n_test"), col("naive_abs_sum"), col("model_abs_sum"),
+            (col("naive_abs_sum").cast("double") / col("n_test").cast("double"))
+              .as("mae_naive"),
+            (col("model_abs_sum") / col("n_test").cast("double")).as("mae_model"),
+            (col("model_abs_sum")
+              < col("naive_abs_sum").cast("double")).as("model_wins"))
+      },
+      Some(s"""WITH $spineSql,
+        d AS (SELECT x, y FROM sp WHERE event_type = 'click'),
+        c AS (SELECT MAX(x) - 7 AS xcut FROM d),
+        tr AS (SELECT x, y FROM d CROSS JOIN c WHERE x <= xcut),
+        st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM tr),
+        dw AS (SELECT (x + 4) % 7 AS dw, SUM(y) AS sdw, COUNT(*) AS ndw
+          FROM tr GROUP BY 1),
+        lagd AS (SELECT x, y, LAG(y, 7) OVER (ORDER BY x) AS ylag7 FROM d),
+        te AS (SELECT lagd.x, lagd.y, lagd.ylag7, (lagd.x + 4) % 7 AS dwv
+          FROM lagd CROSS JOIN c WHERE lagd.x > xcut),
+        scored AS (SELECT te.x,
+            ABS(te.ylag7 - te.y) AS naive_err,
+            ABS((CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(te.x AS DOUBLE)
+              + (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + (CAST(sdw AS DOUBLE) / CAST(ndw AS DOUBLE)
+                - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              - CAST(te.y AS DOUBLE)) AS model_err
+          FROM te JOIN dw ON te.dwv = dw.dw CROSS JOIN st),
+        f AS (SELECT COUNT(*) AS n_test,
+            SUM(naive_err) AS naive_abs_sum,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [e.model_err for e in list(struct_pack(x := x,
+                model_err := model_err) ORDER BY x)]),
+              (acc, e) -> acc + e) AS model_abs_sum
+          FROM scored)
+        SELECT CAST(n_test AS BIGINT) AS n_test,
+          CAST(naive_abs_sum AS BIGINT) AS naive_abs_sum, model_abs_sum,
+          CAST(naive_abs_sum AS DOUBLE) / CAST(n_test AS DOUBLE) AS mae_naive,
+          model_abs_sum / CAST(n_test AS DOUBLE) AS mae_model,
+          model_abs_sum < CAST(naive_abs_sum AS DOUBLE) AS model_wins
+        FROM f""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
