@@ -2755,6 +2755,98 @@ object Analytics {
           model_abs_sum < CAST(naive_abs_sum AS DOUBLE) AS model_wins
         FROM f""")),
 
+    // ---- largest-remainder quota allocation ------------------------------
+    // Apportionment (Hare quota / largest remainder): allocate 100
+    // sampling slots across event types proportionally to volume,
+    // integer-exactly — base = floor(100·n_i/N), the leftover slots go
+    // to the largest remainders (100·n_i mod N, type tie-break). The
+    // budget/quota primitive behind proportional samplers and capacity
+    // splits; everything BIGINT, Σ allocated = 100 by construction.
+    "q293_quota_allocation" -> Q(
+      (s, dir) => {
+        val counts = t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        val c = counts.crossJoin(broadcast(
+          counts.agg(sum(col("n")).as("nn"))))
+          .withColumn("base", expr("(100 * n) div nn"))
+          .withColumn("rem", expr("(100 * n) % nn"))
+        val leftovers = c.agg((lit(100L) - sum(col("base"))).as("k"))
+        val w = Window.orderBy(col("rem").desc, col("event_type"))
+        c.crossJoin(broadcast(leftovers))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("extra", when(col("rk") <= col("k"), 1L).otherwise(0L))
+          .select(col("event_type"), col("n"), col("base"), col("rem"),
+            (col("base") + col("extra")).as("allocated"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT SUM(n) AS nn FROM c),
+        b AS (SELECT event_type, n, (100 * n) // nn AS base, (100 * n) % nn AS rem
+          FROM c CROSS JOIN t),
+        k AS (SELECT 100 - SUM(base) AS k FROM b),
+        r AS (SELECT b.*, k.k,
+            ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+          FROM b CROSS JOIN k)
+        SELECT event_type, n, CAST(base AS BIGINT) AS base,
+          CAST(rem AS BIGINT) AS rem,
+          CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS allocated
+        FROM r ORDER BY event_type""")),
+
+    // ---- empirical-Bayes shrunk rates ------------------------------------
+    // Small-sample rate repair: each nation's heavy-buyer rate shrunk
+    // toward the Laplace prior, (x+1)/(n+2) — the estimator that stops a
+    // 1-for-1 nation from ranking above a 90-for-100 one. Raw and shrunk
+    // rates are single divisions over exact counts; the rank flip
+    // between them (exact integer cross-multiplication per pair would be
+    // n² — instead both ranks come from deterministic orderings) is the
+    // output: nations whose raw and shrunk ranks differ.
+    "q294_shrunk_rates" -> Q(
+      (s, dir) => {
+        val byNation = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_custkey", "c_nationkey")
+          .agg(count(lit(1)).as("n_ord"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_ord") >= 12L, 1L).otherwise(0L)).as("x"))
+        val wRaw = Window.orderBy(
+          (col("x") * 1000000L).cast("double") / col("n").cast("double") * -1d,
+          col("c_nationkey"))
+        val wShr = Window.orderBy(
+          ((col("x") + 1L) * 1000000L).cast("double")
+            / (col("n") + 2L).cast("double") * -1d,
+          col("c_nationkey"))
+        byNation
+          .withColumn("raw_rate", col("x").cast("double") / col("n").cast("double"))
+          .withColumn("shrunk_rate",
+            (col("x") + 1L).cast("double") / (col("n") + 2L).cast("double"))
+          .withColumn("raw_rank", row_number().over(wRaw).cast("long"))
+          .withColumn("shrunk_rank", row_number().over(wShr).cast("long"))
+          .withColumn("rank_moved", col("raw_rank") =!= col("shrunk_rank"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH pc AS (SELECT c_custkey, c_nationkey, COUNT(*) AS n_ord
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_nationkey),
+        bn AS (SELECT c_nationkey, COUNT(*) AS n,
+            SUM(CASE WHEN n_ord >= 12 THEN 1 ELSE 0 END) AS x
+          FROM pc GROUP BY c_nationkey)
+        SELECT c_nationkey, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+          CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+          CAST(x + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE) AS shrunk_rate,
+          CAST(ROW_NUMBER() OVER (ORDER BY
+            CAST(x * 1000000 AS DOUBLE) / CAST(n AS DOUBLE) * -1, c_nationkey)
+            AS BIGINT) AS raw_rank,
+          CAST(ROW_NUMBER() OVER (ORDER BY
+            CAST((x + 1) * 1000000 AS DOUBLE) / CAST(n + 2 AS DOUBLE) * -1,
+            c_nationkey) AS BIGINT) AS shrunk_rank,
+          ROW_NUMBER() OVER (ORDER BY
+            CAST(x * 1000000 AS DOUBLE) / CAST(n AS DOUBLE) * -1, c_nationkey)
+          <> ROW_NUMBER() OVER (ORDER BY
+            CAST((x + 1) * 1000000 AS DOUBLE) / CAST(n + 2 AS DOUBLE) * -1,
+            c_nationkey) AS rank_moved
+        FROM bn ORDER BY c_nationkey""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
