@@ -241,6 +241,62 @@ object Pipeline {
           CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS err_rate,
           (CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 AS burn,
           n_err * 4 > n AS alarm
-        FROM u ORDER BY win_label"""))
+        FROM u ORDER BY win_label""")),
+
+    // ---- rendezvous-hash sharding (minimal disruption) -------------------
+    // Highest-random-weight (Thaler-Ravishankar) shard assignment for
+    // customer keys: shard = argmax over shards of h28(key ⊕ shard) —
+    // coordination-free, no ring metadata, and when the cluster grows
+    // from 8 to 9 shards ONLY the keys whose new argmax is shard 8 move
+    // (≈1/9, the minimal-disruption property the query PROVES
+    // numerically). Per shard: population at 8, moved count at 9, move
+    // share — all from two map-side argmaxes over a generated 9-element
+    // shard axis. Exact integers; md5 family shared with the oracle.
+    "q295_rendezvous_sharding" -> Q(
+      (s, dir) => {
+        val scored = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            explode(expr("sequence(0L, 8L)")).as("shard"))
+          .withColumn("hw", Hashing.h28(concat(lit("rv"),
+            col("c_custkey").cast("string"), lit("_"), col("shard").cast("string"))))
+        val w8 = Window.partitionBy("c_custkey")
+          .orderBy(col("hw").desc, col("shard"))
+        val pick = scored
+          .withColumn("rk9", row_number().over(w8))
+          .withColumn("rk8", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(
+              when(col("shard") === 8L, lit(-1L)).otherwise(col("hw")).desc,
+              col("shard"))))
+        val assign = pick.groupBy("c_custkey")
+          .agg(min(when(col("rk8") === 1, col("shard"))).as("shard8"),
+            min(when(col("rk9") === 1, col("shard"))).as("shard9"))
+        assign.groupBy(col("shard8").as("shard"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .withColumn("move_share",
+            col("n_moved").cast("double") / col("n_keys").cast("double"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH sc AS (SELECT c_custkey, shard,
+            ${Hashing.sqlH28("'rv' || CAST(c_custkey AS VARCHAR) || '_' || CAST(shard AS VARCHAR)")}
+              AS hw
+          FROM customer CROSS JOIN (SELECT UNNEST(range(0, 9)) AS shard)),
+        pick AS (SELECT c_custkey, shard,
+            ROW_NUMBER() OVER (PARTITION BY c_custkey
+              ORDER BY hw DESC, shard) AS rk9,
+            ROW_NUMBER() OVER (PARTITION BY c_custkey
+              ORDER BY CASE WHEN shard = 8 THEN -1 ELSE hw END DESC, shard) AS rk8
+          FROM sc),
+        a AS (SELECT c_custkey,
+            MIN(CASE WHEN rk8 = 1 THEN shard END) AS shard8,
+            MIN(CASE WHEN rk9 = 1 THEN shard END) AS shard9
+          FROM pick GROUP BY c_custkey)
+        SELECT CAST(shard8 AS BIGINT) AS shard, COUNT(*) AS n_keys,
+          CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_moved,
+          CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS move_share
+        FROM a GROUP BY shard8 ORDER BY shard"""))
   )
 }
