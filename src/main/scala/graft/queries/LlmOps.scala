@@ -2710,6 +2710,42 @@ object LlmOps {
             CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
         FROM c""")),
 
+    // ---- source marginal-coverage value ----------------------------------
+    // The data-acquisition question: which source contributes content NO
+    // other source has? Per source: distinct fingerprints, fingerprints
+    // EXCLUSIVE to it (appearing in exactly one source), and the
+    // exclusivity share — the marginal value a licensing decision weighs
+    // (a source whose fingerprints all exist elsewhere adds nothing).
+    // One (source, fp) distinct reduction + one fp-multiplicity join;
+    // exact counts, one division.
+    "q296_source_value" -> Q(
+      (s, dir) => {
+        val f = docs(s, dir)
+          .select(col("source"),
+            explode(TextAnalysis.fingerprints(col("text"))).as("fp"))
+          .distinct()
+        val mult = f.groupBy("fp").agg(count(lit(1)).as("nsrc"))
+        f.join(mult, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("nsrc") === 1L, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("uniq_share",
+            col("n_unique").cast("double") / col("n_fp").cast("double"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (SELECT DISTINCT source, fp FROM (
+            SELECT source, unnest(list_distinct(list_filter(
+              [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+              h -> h % 16 = 0))) AS fp
+            FROM documents)),
+        m AS (SELECT fp, COUNT(*) AS nsrc FROM f GROUP BY fp)
+        SELECT source, COUNT(*) AS n_fp,
+          CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS uniq_share
+        FROM f JOIN m USING (fp)
+        GROUP BY source ORDER BY source""")),
+
     // ---- source contamination communities --------------------------------
     // Operator composition across families: the q76 fingerprint-overlap
     // graph between SOURCES (boilerplate-capped, threshold ≥ 12 shared
