@@ -414,6 +414,70 @@ object Experiment {
            FROM ($closed) ORDER BY look"""
       }),
 
+    // ---- paired sign test (pre vs post per user) ------------------------
+    // The PAIRED companion to Mann-Whitney (q206 is unpaired): did each
+    // user's daily event value rise after the mid-month split? Per user,
+    // pre/post exact-cent sums normalized per active day (cross-
+    // multiplied to avoid division: post_cents·pre_days vs
+    // pre_cents·post_days — exact BIGINT compare), then the sign test on
+    // the positive/negative counts: z = (n_pos − n/2)/sqrt(n/4) as a
+    // fixed tree, α = 0.05 via the parsed 1.96. Ties drop, as the test
+    // prescribes.
+    "q297_sign_test" -> Q(
+      (s, dir) => {
+        val cut = to_date(lit("2024-01-16"))
+        val per = t(s, dir, "events")
+          .select(col("user_id"),
+            (to_date(col("ts")) >= cut).as("post"),
+            to_date(col("ts")).as("day"),
+            (Det.money(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("user_id")
+          .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("pre_c"),
+            countDistinct(when(!col("post"), col("day"))).as("pre_d"),
+            sum(when(col("post"), col("cents")).otherwise(0L)).as("post_c"),
+            countDistinct(when(col("post"), col("day"))).as("post_d"))
+          .filter(col("pre_d") > 0L && col("post_d") > 0L)
+          .withColumn("cmp",
+            col("post_c") * col("pre_d") - col("pre_c") * col("post_d"))
+        per.agg(
+            sum(when(col("cmp") > 0L, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("cmp") < 0L, 1L).otherwise(0L)).as("n_neg"),
+            sum(when(col("cmp") === 0L, 1L).otherwise(0L)).as("n_tie"))
+          .withColumn("n", col("n_pos") + col("n_neg"))
+          .withColumn("z",
+            (col("n_pos").cast("double") - col("n").cast("double") / 2d)
+              / sqrt(col("n").cast("double") / 4d))
+          .withColumn("significant",
+            abs(col("z")) > lit("1.959963984540054").cast("double"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
+              ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS pre_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS pre_d,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS post_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS post_d
+          FROM events GROUP BY user_id),
+        s AS (SELECT post_c * pre_d - pre_c * post_d AS cmp FROM per
+          WHERE pre_d > 0 AND post_d > 0),
+        a AS (SELECT
+            SUM(CASE WHEN cmp > 0 THEN 1 ELSE 0 END) AS n_pos,
+            SUM(CASE WHEN cmp < 0 THEN 1 ELSE 0 END) AS n_neg,
+            SUM(CASE WHEN cmp = 0 THEN 1 ELSE 0 END) AS n_tie
+          FROM s)
+        SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+          CAST(n_tie AS BIGINT) AS n_tie,
+          CAST(n_pos + n_neg AS BIGINT) AS n,
+          (CAST(n_pos AS DOUBLE) - CAST(n_pos + n_neg AS DOUBLE) / 2)
+            / SQRT(CAST(n_pos + n_neg AS DOUBLE) / 4) AS z,
+          ABS((CAST(n_pos AS DOUBLE) - CAST(n_pos + n_neg AS DOUBLE) / 2)
+            / SQRT(CAST(n_pos + n_neg AS DOUBLE) / 4))
+            > CAST('1.959963984540054' AS DOUBLE) AS significant
+        FROM a""")),
+
     // ---- uplift by model decile (Qini-style curve) ----------------------
     // Targeting-model evaluation: per md5-score decile, treated vs
     // control heavy-buyer rates and their gap (uplift), plus the
