@@ -478,6 +478,83 @@ object Experiment {
             > CAST('1.959963984540054' AS DOUBLE) AS significant
         FROM a""")),
 
+    // ---- Wilcoxon signed-rank test --------------------------------------
+    // The rank-powered upgrade of q297's sign test: the same per-user
+    // pre/post cross-multiplied differences, but ranked by magnitude so
+    // large movements weigh more. Doubled midranks (the q206 trick —
+    // 2·count_less + count_equal + 1 over the distinct |diff| count
+    // table) keep tie handling exact-integer; W₂ = Σ doubled ranks of
+    // positive diffs, and z = (W₂ − n(n+1)/2)/sqrt(n(n+1)(2n+1)/6) is
+    // one fixed tree (doubling scales numerator and sd together). Zero
+    // diffs drop; no tie-variance correction (documented — |diff| ties
+    // are rare off zero in this fixture).
+    "q298_wilcoxon_signed" -> Q(
+      (s, dir) => {
+        val cut = to_date(lit("2024-01-16"))
+        val per = t(s, dir, "events")
+          .select(col("user_id"),
+            (to_date(col("ts")) >= cut).as("post"),
+            to_date(col("ts")).as("day"),
+            (Det.money(col("value")) * 100).cast("long").as("cents"))
+          .groupBy("user_id")
+          .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("pre_c"),
+            countDistinct(when(!col("post"), col("day"))).as("pre_d"),
+            sum(when(col("post"), col("cents")).otherwise(0L)).as("post_c"),
+            countDistinct(when(col("post"), col("day"))).as("post_d"))
+          .filter(col("pre_d") > 0L && col("post_d") > 0L)
+          .withColumn("cmp",
+            col("post_c") * col("pre_d") - col("pre_c") * col("post_d"))
+          .filter(col("cmp") =!= 0L)
+          .withColumn("a", abs(col("cmp")))
+        val vc = per.groupBy("a").agg(count(lit(1)).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window.orderBy("a")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val dr = vc
+          .withColumn("before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+          .withColumn("dr", col("before") * 2L + col("cnt") + 1L)
+          .select("a", "dr")
+        per.join(dr, Seq("a"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cmp") > 0L, col("dr")).otherwise(0L)).as("w2_pos"))
+          .withColumn("z",
+            (col("w2_pos").cast("double")
+              - (col("n") * (col("n") + 1L)).cast("double") / 2d)
+              / sqrt((col("n") * (col("n") + 1L) * (col("n") * 2L + 1L))
+                .cast("double") / 6d))
+          .withColumn("significant",
+            abs(col("z")) > lit("1.959963984540054").cast("double"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
+              ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS pre_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS pre_d,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS post_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS post_d
+          FROM events GROUP BY user_id),
+        s AS (SELECT post_c * pre_d - pre_c * post_d AS cmp,
+            ABS(post_c * pre_d - pre_c * post_d) AS a
+          FROM per WHERE pre_d > 0 AND post_d > 0
+            AND post_c * pre_d - pre_c * post_d <> 0),
+        vc AS (SELECT a, COUNT(*) AS cnt FROM s GROUP BY a),
+        dr AS (SELECT a,
+            COALESCE(SUM(cnt) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) * 2 + cnt + 1 AS dr
+          FROM vc),
+        agg AS (SELECT COUNT(*) AS n,
+            SUM(CASE WHEN cmp > 0 THEN dr ELSE 0 END) AS w2_pos
+          FROM s JOIN dr ON s.a = dr.a)
+        SELECT CAST(n AS BIGINT) AS n, CAST(w2_pos AS BIGINT) AS w2_pos,
+          (CAST(w2_pos AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2)
+            / SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6) AS z,
+          ABS((CAST(w2_pos AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2)
+            / SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 6))
+            > CAST('1.959963984540054' AS DOUBLE) AS significant
+        FROM agg""")),
+
     // ---- uplift by model decile (Qini-style curve) ----------------------
     // Targeting-model evaluation: per md5-score decile, treated vs
     // control heavy-buyer rates and their gap (uplift), plus the
