@@ -2847,6 +2847,102 @@ object Analytics {
             c_nationkey) AS rank_moved
         FROM bn ORDER BY c_nationkey""")),
 
+    // ---- Kendall's tau over the bounded nation domain --------------------
+    // The third correlation member (Pearson q140, Spearman q205):
+    // concordance between per-nation customer wealth (exact cent sums)
+    // and order volume. Kendall needs all pairs — quadratic in general,
+    // EXACT and cheap over the 25-nation value domain (≤300 pairs from a
+    // self-join of the 25-row aggregate). Comparisons are exact integer
+    // sign products; tau-a = (C − D)/(n(n−1)/2) is one division.
+    "q299_kendall_tau" -> Q(
+      (s, dir) => {
+        // wealth from customer rows, volume from the order join —
+        // separate aggregates, so the join never multi-counts balances
+        val wealth = t(s, dir, "customer").groupBy("c_nationkey")
+          .agg(sum((Det.money(col("c_acctbal")) * 100).cast("long")).as("wealth"))
+        val orders = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_ord"))
+        val m = wealth.join(orders, Seq("c_nationkey"))
+          .select(col("c_nationkey").as("k"), col("wealth"), col("n_ord"))
+        val pairs = m.as("a").join(m.as("b"), col("a.k") < col("b.k"))
+          .select(
+            signum((col("a.wealth") - col("b.wealth")).cast("double")).as("sw"),
+            signum((col("a.n_ord") - col("b.n_ord")).cast("double")).as("so"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sw") * col("so") > 0d, 1L).otherwise(0L)).as("concordant"),
+            sum(when(col("sw") * col("so") < 0d, 1L).otherwise(0L)).as("discordant"))
+          .withColumn("tau_a",
+            (col("concordant") - col("discordant")).cast("double")
+              / col("n_pairs").cast("double"))
+      },
+      Some(s"""WITH w AS (SELECT c_nationkey AS k,
+            CAST(SUM(${Det.sqlMoney("c_acctbal")} * 100) AS BIGINT) AS wealth
+          FROM customer GROUP BY 1),
+        o AS (SELECT c_nationkey AS k, COUNT(*) AS n_ord
+          FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1),
+        m AS (SELECT w.k, wealth, n_ord FROM w JOIN o ON w.k = o.k),
+        p AS (SELECT SIGN(a.wealth - b.wealth) AS sw,
+            SIGN(CAST(a.n_ord AS BIGINT) - CAST(b.n_ord AS BIGINT)) AS so
+          FROM m a JOIN m b ON a.k < b.k)
+        SELECT COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN sw * so > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS concordant,
+          CAST(SUM(CASE WHEN sw * so < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discordant,
+          CAST(SUM(CASE WHEN sw * so > 0 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN sw * so < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS tau_a
+        FROM p""")),
+
+    // ---- ten-table integration summary -----------------------------------
+    // Every fixture table in ONE query — the cross-schema smoke that
+    // proves all keys, joins, and exact-aggregation disciplines hold
+    // simultaneously: the star schema rolled to one row (regions,
+    // nations, customers, suppliers, parts, orders, lineitems with an
+    // exact revenue), the events stream, the document corpus, the
+    // embedding table. All counts BIGINT, revenue exact decimal→double,
+    // dims broadcast — one row an operator can diff across releases.
+    "q300_integration_summary" -> Q(
+      (s, dir) => {
+        def cnt(name: String, as: String) =
+          t(s, dir, name).agg(count(lit(1)).as(as))
+        val li = t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_lineitems"),
+          Det.sumD(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+            .as("revenue"))
+        val emb = t(s, dir, "embeddings").agg(
+          count(lit(1)).as("n_vectors"),
+          max(size(col("embedding"))).cast("long").as("dim"))
+        val docs = t(s, dir, "documents").agg(
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        cnt("region", "n_regions")
+          .crossJoin(broadcast(cnt("nation", "n_nations")))
+          .crossJoin(broadcast(cnt("customer", "n_customers")))
+          .crossJoin(broadcast(cnt("supplier", "n_suppliers")))
+          .crossJoin(broadcast(cnt("part", "n_parts")))
+          .crossJoin(broadcast(cnt("orders", "n_orders")))
+          .crossJoin(broadcast(li))
+          .crossJoin(broadcast(cnt("events", "n_events")))
+          .crossJoin(broadcast(docs))
+          .crossJoin(broadcast(emb))
+      },
+      Some(s"""SELECT
+          (SELECT COUNT(*) FROM region) AS n_regions,
+          (SELECT COUNT(*) FROM nation) AS n_nations,
+          (SELECT COUNT(*) FROM customer) AS n_customers,
+          (SELECT COUNT(*) FROM supplier) AS n_suppliers,
+          (SELECT COUNT(*) FROM part) AS n_parts,
+          (SELECT COUNT(*) FROM orders) AS n_orders,
+          (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+          (SELECT ${Det.sqlSumD(s"${Det.sqlMoney("l_extendedprice")} * ${Det.sqlOneMinus("l_discount")}")}
+            FROM lineitem) AS revenue,
+          (SELECT COUNT(*) FROM events) AS n_events,
+          (SELECT COUNT(*) FROM documents) AS n_docs,
+          (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS n_chars,
+          (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+          (SELECT CAST(MAX(len(embedding)) AS BIGINT) FROM embeddings) AS dim""")),
+
     "q242_scd2_fold" -> Q(
       (s, dir) => {
         import s.implicits._
