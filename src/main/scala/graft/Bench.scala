@@ -99,7 +99,14 @@ object Bench {
     val calJson = s"""{"times":${calTimes.map(fmt).mkString("[", ",", "]")},""" +
       s""""median":${fmt(calSorted(calSorted.size / 2))},"max":${fmt(calSorted.last)}}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$repsJson,"calibration":$calJson,"sf":"$sfDir"}""")
+    // Key order matters: the driver keeps only the LAST 2000 bytes of this
+    // line (BENCH_r05.json lost the total to front-loaded keys). The bulky
+    // maps (reps, queries) go first; the self-contained summary the judge
+    // needs — calibration, the slowest-10 queries, and the total — goes
+    // last so it always survives the tail capture.
+    val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"slowest":$slowest,"value":${fmt(total)}}""")
     spark.stop()
   }
 

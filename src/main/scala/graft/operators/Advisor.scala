@@ -80,10 +80,10 @@ object Advisor {
     s"""SELECT '$joinName' AS join_name,
         (SELECT COUNT(*) FROM $lt) AS l_rows,
         (SELECT COUNT(*) FROM $rt) AS r_rows,
-        COALESCE((SELECT SUM(ca * cb) FROM
+        CAST(COALESCE((SELECT SUM(ca * cb) FROM
           (SELECT $lk AS k, COUNT(*) AS ca FROM $lt GROUP BY 1) fa
           JOIN (SELECT $rk AS k, COUNT(*) AS cb FROM $rt GROUP BY 1) fb
-          USING (k)), 0) AS out_rows"""
+          USING (k)), 0) AS BIGINT) AS out_rows"""
 
   /** Foreign-key candidate score — join-key DISCOVERY, the metadata
     * pass a 100 TB lake runs before anyone writes a join: does
@@ -173,13 +173,14 @@ object Advisor {
     * `hiExpr` are SQL fragments over table `tbl`. */
   def zonePruneSql(label: String, tbl: String, zoneExpr: String,
                    valueExpr: String, loExpr: String, hiExpr: String): String =
-    s"""SELECT '$label' AS band, COUNT(*) AS n_zones, SUM(n) AS n_rows,
-        SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END) AS zones_pruned,
-        SUM(CASE WHEN zmin >= $loExpr AND zmax <= $hiExpr THEN 1 ELSE 0 END) AS zones_full,
-        COUNT(*) - SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END)
+    s"""SELECT '$label' AS band, COUNT(*) AS n_zones,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END) AS BIGINT) AS zones_pruned,
+        CAST(SUM(CASE WHEN zmin >= $loExpr AND zmax <= $hiExpr THEN 1 ELSE 0 END) AS BIGINT) AS zones_full,
+        CAST(COUNT(*) - SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN 1 ELSE 0 END)
                  - SUM(CASE WHEN zmin >= $loExpr AND zmax <= $hiExpr THEN 1 ELSE 0 END)
-          AS zones_partial,
-        SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN n ELSE 0 END) AS rows_skipped,
+          AS BIGINT) AS zones_partial,
+        CAST(SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN n ELSE 0 END) AS BIGINT) AS rows_skipped,
         CAST(SUM(CASE WHEN zmax < $loExpr OR zmin > $hiExpr THEN n ELSE 0 END) AS DOUBLE)
           / CAST(SUM(n) AS DOUBLE) AS skip_fraction
       FROM (SELECT $zoneExpr AS z, COUNT(*) AS n,
@@ -192,7 +193,8 @@ object Advisor {
                 rt: String, rk: String,
                 broadcastRows: Long = 1000000L, skewPct: Long = 5L): String =
     s"""SELECT '$joinName' AS join_name,
-        l_rows, l_keys, l_max_freq, r_rows, r_keys, r_max_freq,
+        CAST(l_rows AS BIGINT) AS l_rows, l_keys, l_max_freq,
+        CAST(r_rows AS BIGINT) AS r_rows, r_keys, r_max_freq,
         CASE
           WHEN LEAST(l_rows, r_rows) <= $broadcastRows THEN
             'broadcast_' || (CASE WHEN l_rows <= r_rows THEN 'left' ELSE 'right' END)

@@ -222,7 +222,7 @@ object Analytics {
           pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
               ORDER BY ABS(cusum) DESC, day) AS rn FROM cs)
         SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS cp_day,
-          cusum AS cusum_num, nn AS n_days
+          CAST(cusum AS BIGINT) AS cusum_num, nn AS n_days
         FROM pick WHERE rn = 1 ORDER BY event_type""")),
 
     // ---- dyadic EWMA ----------------------------------------------------
@@ -302,8 +302,8 @@ object Analytics {
         SELECT STRFTIME(s.day, '%Y-%m-%d') AS day,
           COALESCE(f.new_users, 0) AS new_users,
           COALESCE(a.active_users, 0) AS active_users,
-          SUM(COALESCE(f.new_users, 0)) OVER (ORDER BY s.day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+          CAST(SUM(COALESCE(f.new_users, 0)) OVER (ORDER BY s.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         FROM spine s LEFT JOIN firsts f ON s.day = f.day
         LEFT JOIN actives a ON s.day = a.day
         ORDER BY day""")),
@@ -436,8 +436,8 @@ object Analytics {
               SUM(CASE WHEN d > fence THEN 1 ELSE 0 END) AS fences_below,
               MAX(cnt) AS cnt
             FROM vc CROSS JOIN fences GROUP BY d)
-        SELECT fences_below AS bucket, MIN(d) AS lo, MAX(d) AS hi,
-          SUM(cnt) AS n, COUNT(*) AS ndv
+        SELECT CAST(fences_below AS BIGINT) AS bucket, MIN(d) AS lo, MAX(d) AS hi,
+          CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS ndv
         FROM tagged GROUP BY bucket ORDER BY bucket""")),
 
     // ---- join-strategy advisor -------------------------------------------
@@ -750,8 +750,8 @@ object Analytics {
         sums AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
             SUM(c1 * (2*cb + c1 + c2 + 1)) AS r1x2
           FROM mid)
-      SELECT n1, n2,
-        2*n1*n2 + n1*(n1 + 1) - r1x2 AS u1x2,
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(2*n1*n2 + n1*(n1 + 1) - r1x2 AS BIGINT) AS u1x2,
         CAST(2*n1*n2 + n1*(n1 + 1) - r1x2 - n1*n2 AS DOUBLE)
           / (2.0 * SQRT(CAST(n1*n2*(n1 + n2 + 1) AS DOUBLE) / 12.0)) AS z
       FROM sums ORDER BY n1""")),
@@ -804,7 +804,8 @@ object Analytics {
             ABS(cum1*n2 - cum2*n1) AS dnum,
             ROW_NUMBER() OVER (ORDER BY ABS(cum1*n2 - cum2*n1) DESC, d) AS rn
           FROM cum)
-      SELECT d AS at_value, n1, n2, dnum,
+      SELECT d AS at_value, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(dnum AS BIGINT) AS dnum,
         CAST(dnum AS DOUBLE) / CAST(n1*n2 AS DOUBLE) AS ks_d
       FROM scored WHERE rn = 1 ORDER BY at_value""")),
 
@@ -861,7 +862,7 @@ object Analytics {
             list_reduce(list_prepend(CAST(0 AS DOUBLE),
               list(term ORDER BY seg, reg)), (acc, x) -> acc + x) AS chi2
           FROM terms GROUP BY nn, r, c)
-      SELECT nn AS n, r, c, chi2,
+      SELECT CAST(nn AS BIGINT) AS n, r, c, chi2,
         SQRT(chi2 / CAST(nn * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
       FROM folded ORDER BY n""")),
 
@@ -909,7 +910,8 @@ object Analytics {
               SUM(yb*yb) OVER w AS sbb
             FROM two
             WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        SELECT STRFTIME(day, '%Y-%m-%d') AS day, sa, sb,
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+          CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
           CAST(n*sab - sa*sb AS DOUBLE)
             / (SQRT(CAST(n*saa - sa*sa AS DOUBLE))
                * SQRT(CAST(n*sbb - sb*sb AS DOUBLE))) AS corr14
@@ -1031,7 +1033,7 @@ object Analytics {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
             SUM(wt) OVER (PARTITION BY flag) AS tot
           FROM vc)
-      SELECT flag, MAX(tot) AS total_weight,
+      SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_weight,
         MIN(CASE WHEN cum * 2 >= tot THEN cents END) AS median_cents
       FROM cum GROUP BY flag ORDER BY flag""")),
 
@@ -1117,7 +1119,7 @@ object Analytics {
           FROM sess GROUP BY 1, 2)
       SELECT STRFTIME(CAST(t0 AS DATE), '%Y-%m-%d') AS day,
         COUNT(*) AS sessions,
-        SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
+        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
       FROM per GROUP BY 1 ORDER BY day""")),
@@ -1187,7 +1189,7 @@ object Analytics {
                 list(rel * (${wcase("ipos")}) ORDER BY ipos)),
                 (acc, x) -> acc + x) AS idcg
             FROM ideal GROUP BY c_nationkey)
-        SELECT c_nationkey, n_rel, dcg, idcg,
+        SELECT c_nationkey, CAST(n_rel AS BIGINT) AS n_rel, dcg, idcg,
           CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
         FROM folded ORDER BY c_nationkey"""
       }),
@@ -1315,7 +1317,8 @@ object Analytics {
           WHERE d3.y * d3.dot <= 0 GROUP BY dim),
         w3 AS MATERIALIZED (SELECT w2.dim, w2.w + COALESCE(u3.u, 0) AS w
           FROM w2 LEFT JOIN u3 ON w2.dim = u3.dim)
-      SELECT w1.dim, w1.w AS w1, w2.w AS w2, w3.w AS w3
+      SELECT w1.dim, CAST(w1.w AS BIGINT) AS w1,
+        CAST(w2.w AS BIGINT) AS w2, CAST(w3.w AS BIGINT) AS w3
       FROM w1 JOIN w2 ON w1.dim = w2.dim JOIN w3 ON w1.dim = w3.dim
       ORDER BY w1.dim""")),
 
@@ -1421,8 +1424,10 @@ object Analytics {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
           f AS (SELECT *, (4 * tv + 4) // 5 AS target FROM cum),
           x AS (SELECT * FROM f WHERE cumv >= target ORDER BY cnt DESC LIMIT 1)
-        SELECT tu AS total_users, tv AS total_events,
-          cumu - m + (target - (cumv - vol) + cnt - 1) // cnt AS users_for_80pct,
+        SELECT CAST(tu AS BIGINT) AS total_users,
+          CAST(tv AS BIGINT) AS total_events,
+          CAST(cumu - m + (target - (cumv - vol) + cnt - 1) // cnt AS BIGINT)
+            AS users_for_80pct,
           cnt AS crossing_class
         FROM x""")),
 
@@ -1493,7 +1498,8 @@ object Analytics {
                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7
             FROM sp WINDOW w AS (PARTITION BY event_type ORDER BY day))
         SELECT event_type, STRFTIME(day, '%Y-%m-%d') AS day,
-          (x + 4) % 7 AS dow, y, lag1, lag7, roll7
+          (x + 4) % 7 AS dow, y, lag1, lag7,
+          CAST(roll7 AS BIGINT) AS roll7
         FROM f WHERE idx >= 8 ORDER BY event_type, day""")),
 
     // ---- top-k with OTHER rollup --------------------------------------------
@@ -1860,7 +1866,7 @@ object Analytics {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, n_chars,
-          SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+          CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
         FROM documents ORDER BY doc_id""")),
 
     // ---- PPS systematic sampling ---------------------------------------------
@@ -1890,7 +1896,7 @@ object Analytics {
             SUM(n_chars) OVER (ORDER BY doc_id) AS cum FROM documents),
         t AS (SELECT GREATEST(MAX(cum) // 40, 1) AS step FROM c)
         SELECT doc_id, n_chars,
-          cum // step - (cum - n_chars) // step AS multiplicity
+          CAST(cum // step - (cum - n_chars) // step AS BIGINT) AS multiplicity
         FROM c, t WHERE cum // step > (cum - n_chars) // step
         ORDER BY doc_id""")),
 
@@ -2195,7 +2201,7 @@ object Analytics {
                 FROM w GROUP BY 1),
         gs AS (SELECT source, COUNT(DISTINCT gram) AS n_grams FROM gg GROUP BY 1),
         bs AS (SELECT source, COUNT(*) AS n_boiler_grams FROM b GROUP BY 1)
-        SELECT source, n_docs, total_tokens,
+        SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
           COALESCE(n_grams, 0) AS n_grams,
           COALESCE(n_boiler_grams, 0) AS n_boiler_grams,
           COALESCE(covered_tokens, 0) AS covered_tokens,
@@ -2454,9 +2460,10 @@ object Analytics {
             SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS prefix
           FROM daily)
-        SELECT STRFTIME(day, '%Y-%m-%d') AS day, delta, prefix,
-          prefix - LEAST(MIN(prefix) OVER (ORDER BY day ROWS BETWEEN
-            UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS balance
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, delta,
+          CAST(prefix AS BIGINT) AS prefix,
+          CAST(prefix - LEAST(MIN(prefix) OVER (ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS balance
         FROM p ORDER BY day""")),
 
     // ---- absorbing-Markov conversion probability -------------------------
@@ -3044,10 +3051,10 @@ object Analytics {
       },
       Some("""SELECT 'orders_x_lineitem' AS view,
           COUNT(*) AS full_rows,
-          SUM(CASE WHEN o_old AND l_old THEN 1 ELSE 0 END) AS old_old,
-          SUM(CASE WHEN NOT o_old AND l_old THEN 1 ELSE 0 END) AS da_b_old,
-          SUM(CASE WHEN o_old AND NOT l_old THEN 1 ELSE 0 END) AS a_old_db,
-          SUM(CASE WHEN NOT o_old AND NOT l_old THEN 1 ELSE 0 END) AS da_db,
+          CAST(SUM(CASE WHEN o_old AND l_old THEN 1 ELSE 0 END) AS BIGINT) AS old_old,
+          CAST(SUM(CASE WHEN NOT o_old AND l_old THEN 1 ELSE 0 END) AS BIGINT) AS da_b_old,
+          CAST(SUM(CASE WHEN o_old AND NOT l_old THEN 1 ELSE 0 END) AS BIGINT) AS a_old_db,
+          CAST(SUM(CASE WHEN NOT o_old AND NOT l_old THEN 1 ELSE 0 END) AS BIGINT) AS da_db,
           (SUM(CASE WHEN o_old AND l_old THEN 1 ELSE 0 END) +
            SUM(CASE WHEN NOT o_old AND l_old THEN 1 ELSE 0 END) +
            SUM(CASE WHEN o_old AND NOT l_old THEN 1 ELSE 0 END) +

@@ -2571,9 +2571,9 @@ object LlmOps {
           FROM comp)
         SELECT cluster, COUNT(*) AS n_docs,
           COUNT(DISTINCT split) AS n_splits,
-          SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-          SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-          SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+          CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+          CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+          CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
         FROM sp GROUP BY cluster HAVING COUNT(DISTINCT split) > 1
         ORDER BY cluster""")),
 
@@ -2649,11 +2649,11 @@ object LlmOps {
         p AS (SELECT c.a, c.b, $SqlJac AS jac
               FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b)
         SELECT COUNT(*) AS n_candidates,
-          SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS n_50,
-          SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS n_60,
-          SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS n_70,
-          SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS n_80,
-          SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS n_90
+          CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_50,
+          CAST(SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_60,
+          CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_70,
+          CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_80,
+          CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_90
         FROM p""")),
 
     // ---- LSH candidate quality harness -----------------------------------

@@ -1085,7 +1085,7 @@ object Relational {
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
-          SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+          CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
           COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -2772,8 +2772,8 @@ object Relational {
             FROM lineitem li JOIN f ON li.l_returnflag = f.l_returnflag)
         SELECT l_returnflag, MAX(n) AS n,
           MAX(q5) AS lo_fence, MAX(q95) AS hi_fence,
-          SUM(CASE WHEN l_extendedprice < q5 THEN 1 ELSE 0 END) AS n_clip_lo,
-          SUM(CASE WHEN l_extendedprice > q95 THEN 1 ELSE 0 END) AS n_clip_hi,
+          CAST(SUM(CASE WHEN l_extendedprice < q5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+          CAST(SUM(CASE WHEN l_extendedprice > q95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
           ${Det.sqlMoneyAvg("w")} AS wmean
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -2923,8 +2923,8 @@ object Relational {
       },
       Some("""SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
             CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS delay_bucket,
-          SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-          SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY delay_bucket ORDER BY delay_bucket""")),
 
@@ -3346,7 +3346,7 @@ object Relational {
           pk AS (SELECT *, MAX(running) OVER (PARTITION BY day) AS peak FROM run)
         SELECT STRFTIME(day, '%Y-%m-%d') AS day,
           CAST(MAX(peak) AS BIGINT) AS peak,
-          SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_intervals,
+          CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
           STRFTIME(MIN(CASE WHEN running = peak THEN t END),
             '%Y-%m-%d %H:%M:%S') AS peak_ts
         FROM pk GROUP BY day ORDER BY day""")),
@@ -3390,9 +3390,10 @@ object Relational {
           ag AS (SELECT event_type, SUM(m) AS n_users, SUM(c * m) AS total,
               SUM(c * (m * r0 + (m * (m + 1)) // 2)) AS s1
             FROM rk GROUP BY event_type)
-        SELECT event_type, n_users, total,
-          2 * s1 - (n_users + 1) * total AS gini_num,
-          n_users * total AS gini_den,
+        SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+          CAST(total AS BIGINT) AS total,
+          CAST(2 * s1 - (n_users + 1) * total AS BIGINT) AS gini_num,
+          CAST(n_users * total AS BIGINT) AS gini_den,
           (2 * s1 - (n_users + 1) * total) / (n_users * total) AS gini
         FROM ag ORDER BY event_type""")),
 
@@ -3480,7 +3481,8 @@ object Relational {
               PARTITION BY event_type, dw ORDER BY c DESC, day) AS rn
             FROM d2) WHERE rn = 1)
         SELECT pk.event_type, pk.dw, STRFTIME(pk.day, '%Y-%m-%d') AS peak_day,
-          c, num, den, CAST(c AS DOUBLE) * den / num AS lift
+          c, CAST(num AS BIGINT) AS num, den,
+          CAST(c AS DOUBLE) * den / num AS lift
         FROM pk JOIN base ON pk.event_type = base.event_type AND pk.dw = base.dw
         ORDER BY pk.event_type, pk.dw""")),
 
@@ -3511,7 +3513,7 @@ object Relational {
       Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
           FROM events GROUP BY 1)
-        SELECT STRFTIME(day, '%Y-%m-%d') AS day, n, e,
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, n, CAST(e AS BIGINT) AS e,
           e / n AS p_hat,
           ((e / n + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
              / (1.0 + 3.8416 / CAST(n AS DOUBLE)))
@@ -3743,7 +3745,7 @@ object Relational {
           merged AS (SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
             FROM isl GROUP BY 1, 2)
         SELECT user_id, COUNT(*) AS n_intervals,
-          SUM(ien - ist) AS covered_us
+          CAST(SUM(ien - ist) AS BIGINT) AS covered_us
         FROM merged GROUP BY user_id ORDER BY user_id""")),
 
     // ---- returned-revenue top customers (TPC-H Q10 analogue) -------------
