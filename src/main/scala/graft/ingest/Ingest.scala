@@ -176,22 +176,36 @@ object Ingest {
     withDenseKey(wide, Seq(col("slabel"), col("pos"))).drop("pos")
   }
 
+  /** One S5 stream: the binding-table column holding the file stem, plus
+    * the directory and extension that turn a stem into a path — the
+    * reference's per-stream `directory`/`binding_field`/`extension` spec
+    * (`serialize.py:570-580,596-605`). */
+  final case class BindingStream(field: String, dir: String, ext: String)
+
   /** S5: binding-driven scan: a binding table column holds the file stem
     * per record per stream; path = `dir/<stem><ext>`
     * (`serialize.py:28-40, 504-567`). Returns the keyed binding rows
     * joined with each stream's binary content. */
   def readWithBinding(spark: SparkSession, binding: DataFrame, streamCols: Seq[String],
-                      dir: String, ext: String): DataFrame = {
-    val absDir = new java.io.File(dir).getAbsolutePath.stripSuffix("/")
-    val keyed = withDenseKey(binding, streamCols.map(col))
-    streamCols.foldLeft(keyed) { (acc, c) =>
+                      dir: String, ext: String): DataFrame =
+    readWithBinding(spark, binding, streamCols.map(BindingStream(_, dir, ext)))
+
+  /** S5 with per-stream directories/extensions — the full reference spec,
+    * where each `input`/`output` entry names its own `directory` and
+    * `extension` (`serialize.py:570-580`). */
+  def readWithBinding(spark: SparkSession, binding: DataFrame,
+                      streams: Seq[BindingStream]): DataFrame = {
+    val keyed = withDenseKey(binding, streams.map(s => col(s.field)))
+    streams.foldLeft(keyed) { (acc, s) =>
+      val absDir = new java.io.File(s.dir).getAbsolutePath.stripSuffix("/")
+      val c = s.field
       // binaryFile reports URIs (file:/…); strip the scheme so the join key
       // matches the filesystem path derived from the binding stem.
-      val scan = spark.read.format("binaryFile").load(s"$dir/*$ext")
+      val scan = spark.read.format("binaryFile").load(s"${s.dir}/*${s.ext}")
         .select(regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
             .as(s"${c}_path"),
           col("content").as(s"${c}_content"))
-      acc.withColumn(s"${c}_path", concat(lit(s"$absDir/"), col(c), lit(ext)))
+      acc.withColumn(s"${c}_path", concat(lit(s"$absDir/"), col(c), lit(s.ext)))
         .join(scan, s"${c}_path")
     }
   }

@@ -156,25 +156,97 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
   }
 
   /** The serialize job: extract the staged zip, scan it with the layout
-    * the request's `input` spec selects (S3 single-input dir vs S4
-    * n-per-record streams — `server.py:131-146`), and sink to parquet. */
+    * the request selects — S5 binding-table when `image_binding` is
+    * present (`serialize.py:504-567`), else S3 single-input dir vs S4
+    * n-per-record streams (`server.py:131-146`) — and sink to parquet. */
   private def runSerialize(req: JValue): Unit =
     try {
       Archive.extractZip(zipPath, dataDir)
-      val nInputPerRecord = req \ "input" match {
-        case JArray(specs) if specs.length > 1 => specs.length
-        case JArray(List(one)) =>
-          one \ "nInputPerRecord" match { case JInt(n) => n.toInt; case _ => 1 }
-        case _ => 1
+      val scanned = req \ "image_binding" match {
+        case spec: JObject => readBindingLayout(req, spec)
+        case _ =>
+          // stale S5 metadata must not re-route a later S3/S4 hand-off
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(streamsMetaPath))
+          val nInputPerRecord = req \ "input" match {
+            case JArray(specs) if specs.length > 1 => specs.length
+            case JArray(List(one)) =>
+              one \ "nInputPerRecord" match { case JInt(n) => n.toInt; case _ => 1 }
+            case _ => 1
+          }
+          if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
+          else Ingest.readImageDir(spark, dataDir)
       }
-      val scanned =
-        if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
-        else Ingest.readImageDir(spark, dataDir)
       Tables.save(scanned, sinkDir, sinkName)
       state = Serialized
     } catch {
       case e: Exception => state = Failed(s"serialize: ${e.getMessage}")
     }
+
+  /** S5: resolve the binding table (csv or json, optional `data_key` —
+    * `serialize.py:504-567`) and each `input`/`output` image stream's
+    * `binding_field`/`directory`/`extension` (`serialize.py:570-605`),
+    * then run the binding-driven scan. Which content columns are inputs
+    * vs outputs is recorded next to the sink so the training hand-off
+    * feeds the streams the request declared, not the slabel convention
+    * of the dir layouts. */
+  private def readBindingLayout(req: JValue, spec: JObject): org.apache.spark.sql.DataFrame = {
+    val file = spec \ "file" match {
+      case JString(f) => f
+      case _ => throw new IllegalArgumentException("image_binding needs a 'file'")
+    }
+    val dataKey = spec \ "data_key" match { case JString(k) => Some(k); case _ => None }
+    val bindingPath = s"$dataDir/$file"
+    val binding =
+      if (file.endsWith(".csv")) Ingest.readCsv(spark, bindingPath)
+      else Ingest.readJson(spark, bindingPath, dataKey)
+    def streamsOf(field: String): Seq[Ingest.BindingStream] = req \ field match {
+      case JArray(specs) => specs.collect {
+        case s: JObject if (s \ "dataType") == JString("image") =>
+          val bf = s \ "binding_field" match {
+            case JString(x) => x
+            case _ => throw new IllegalArgumentException(
+              s"image stream in '$field' needs a 'binding_field'")
+          }
+          val dir = s \ "directory" match {
+            case JString(d) => s"$dataDir/$d"
+            case _          => dataDir
+          }
+          val ext = s \ "extension" match { case JString(e) => e; case _ => "" }
+          Ingest.BindingStream(bf, dir, ext)
+      }
+      case _ => Nil
+    }
+    val ins = streamsOf("input")
+    val outs = streamsOf("output")
+    if (ins.isEmpty)
+      throw new IllegalArgumentException("binding layout needs at least one image input")
+    writeStreamsMeta(ins.map(_.field), outs.map(_.field))
+    Ingest.readWithBinding(spark, binding, ins ++ outs)
+  }
+
+  /** Sink-side record of the S5 request's stream roles (survives a server
+    * restart between serialize and deserialize, like the sink itself). */
+  private def streamsMetaPath = s"$sinkDir/$sinkName.streams.json"
+
+  private def writeStreamsMeta(ins: Seq[String], outs: Seq[String]): Unit = {
+    val json = JObject("input" -> JArray(ins.map(JString(_)).toList),
+      "output" -> JArray(outs.map(JString(_)).toList))
+    new java.io.File(sinkDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(streamsMetaPath),
+      JsonMethods.compact(JsonMethods.render(json)))
+  }
+
+  private def readStreamsMeta(): Option[(Seq[String], Seq[String])] = {
+    val p = java.nio.file.Paths.get(streamsMetaPath)
+    if (!java.nio.file.Files.exists(p)) None
+    else JsonMethods.parseOpt(java.nio.file.Files.readString(p)).map { j =>
+      def names(f: String) = j \ f match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _          => Nil
+      }
+      (names("input"), names("output"))
+    }
+  }
 
   /** The deserialize job: D1 open + stats, D2 shapes, D3 batch stream.
     * The reference trains a Keras model here (`server.py:207-210`); our
@@ -183,8 +255,15 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
   private def runTrainingHandOff(batchSize: Int): Unit =
     try {
       val df = spark.read.parquet(s"$sinkDir/$sinkName.parquet")
-      val inputCols = df.columns.filter(c => c != "key" && c != "slabel").toSeq
-      val export = BatchExport(df, "key", inputCols, Seq("slabel"), batchSize)
+      // S5 datasets carry their request-declared stream roles in the
+      // sink metadata; dir-layout datasets use the slabel convention.
+      val (inputCols, outputCols) = readStreamsMeta() match {
+        case Some((ins, outs)) =>
+          (ins.map(_ + "_content"), outs.map(_ + "_content"))
+        case None =>
+          (df.columns.filter(c => c != "key" && c != "slabel").toSeq, Seq("slabel"))
+      }
+      val export = BatchExport(df, "key", inputCols, outputCols, batchSize)
       lastShapes = export.shapes
       var n = 0L
       export.epoch().foreach(_ => n += 1)

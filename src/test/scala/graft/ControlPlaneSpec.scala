@@ -127,6 +127,62 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("S5 binding layout: image_binding request routes to the binding scan") {
+    // zip: a csv binding table + per-stream image dirs with distinct
+    // extensions — the full reference S5 spec (serialize.py:504-605):
+    // each input/output entry names its binding_field, directory, and
+    // extension; records come from binding rows, not dir structure.
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("bindings.csv"))
+    z.write("in0,out0\nx1,y1\nx2,y2\n".getBytes("UTF-8"))
+    z.closeEntry()
+    for (stem <- Seq("x1", "x2")) {
+      z.putNextEntry(new ZipEntry(s"imgs/$stem.png"))
+      z.write(pngBytes(0xaa00aa))
+      z.closeEntry()
+    }
+    for (stem <- Seq("y1", "y2")) {
+      z.putNextEntry(new ZipEntry(s"masks/$stem.png"))
+      z.write(pngBytes(0x00aaaa))
+      z.closeEntry()
+    }
+    z.close()
+    withFixtureServer(bos.toByteArray) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-s5").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        val req = s"""{"command":"serialize","id":"s5","url":"$zipUrl",
+          "image_binding":{"file":"bindings.csv"},
+          "input":[{"dataType":"image","directory":"imgs",
+                    "binding_field":"in0","extension":".png"}],
+          "output":[{"dataType":"image","directory":"masks",
+                     "binding_field":"out0","extension":".png"}]}"""
+        assert(post(ep, req) == "Dataset downloaded.")
+        pollUntil(cp, ControlPlane.Serialized)
+        val sunk = spark.read.parquet(s"${cp.sinkDir}/datumdb.parquet")
+        assert(sunk.count() == 2, "one row per binding record")
+        assert(Set("in0_path", "in0_content", "out0_path", "out0_content")
+          .subsetOf(sunk.columns.toSet))
+        // per-stream directories resolved: input stems from imgs/,
+        // output stems from masks/
+        val paths = sunk.selectExpr("in0_path", "out0_path")
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        assert(paths.forall { case (i, o) =>
+          i.contains("/imgs/") && o.contains("/masks/") })
+
+        // the training hand-off feeds the request-declared streams, not
+        // the dir-layout slabel convention
+        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+          "Started training. Sit back.")
+        pollUntil(cp, ControlPlane.Trained)
+        assert(cp.shapes.keySet == Set("in0_content", "out0_content"))
+      } finally cp.stop()
+    }
+  }
+
   test("PipelineClient drives the control plane like the reference CLI (C3)") {
     withFixtureServer(datasetZip()) { zipUrl =>
       val work = java.nio.file.Files.createTempDirectory("graft-cp-cli").toString
