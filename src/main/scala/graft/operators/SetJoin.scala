@@ -33,17 +33,49 @@ import org.apache.spark.sql.functions._
   *    prefix, so hot-token buckets (the n² failure of a naive token
   *    join) are structurally avoided.
   *  - Verification joins full token lists on the REAL strings, but only
-  *    after a broadcast semi-join on the (small) candidate id set — the
-  *    corpus-wide element list is never reshuffled for verification.
+  *    after a semi-join on the candidate id set — the corpus-wide
+  *    element list is never reshuffled for verification. The candidate
+  *    set is broadcast only while it stays under `broadcastMaxPairs`
+  *    (count-gated; it is data-dependent, so an adversarial corpus must
+  *    degrade to shuffle joins, not fail the driver's broadcast limit).
   *  - The element list feeds five consumers; it is materialized once
   *    (eager localCheckpoint), not re-tokenized per consumer.
   */
 object SetJoin {
 
+  /** Candidate-pair verification shared by both joins: exact string-level
+    * intersection counts over the candidate ids, then set sizes re-joined.
+    *
+    * The candidate set is DATA-DEPENDENT: an adversarial corpus (heavy
+    * template overlap) can produce a pair set too large to broadcast,
+    * which would fail at the driver's broadcast limit. So the broadcast
+    * is COUNT-GATED — `cand` is already checkpoint-materialized, so the
+    * count is a cheap scan, and above `broadcastMaxPairs` every
+    * broadcast degrades to a plain shuffle join (same output, bounded
+    * memory; the [[Dedup.dupClusters]] driverThreshold precedent). */
+  private def verifiedPairs(el: DataFrame, sz: DataFrame, cand: DataFrame,
+                            broadcastMaxPairs: Long): DataFrame = {
+    val gate: DataFrame => DataFrame =
+      if (cand.count() <= broadcastMaxPairs) broadcast else identity
+    val elA = el.join(gate(cand.select(col("a").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("a"), col("tok"))
+    val elB = el.join(gate(cand.select(col("b").as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id").as("b"), col("tok"))
+    val inter = elA.join(gate(cand), "a")
+      .join(elB, Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sz.select(col("id").as("b"), col("sz").as("sz_b")), "b")
+  }
+
   /** All pairs (a < b) of `elRaw` (columns `id`, `tok` — distinct set
     * elements per id) with Jaccard ≥ tNum/tDen. Output: a, b, inter,
     * sz_a, sz_b. */
-  def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
+                  broadcastMaxPairs: Long = 4000000L): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
     val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
       .localCheckpoint(true)
@@ -61,19 +93,8 @@ object SetJoin {
       .select("a", "b").distinct()
       .localCheckpoint(true)
     // verification: exact string-level intersection counts, over the
-    // candidate ids only (broadcast semi prune — no corpus reshuffle)
-    val elA = el.join(broadcast(cand.select(col("a").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select(col("id").as("a"), col("tok"))
-    val elB = el.join(broadcast(cand.select(col("b").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select(col("id").as("b"), col("tok"))
-    val inter = elA.join(broadcast(cand), "a")
-      .join(elB, Seq("b", "tok"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("a"), col("sz").as("sz_a")), "a")
-      .join(sz.select(col("id").as("b"), col("sz").as("sz_b")), "b")
+    // candidate ids only (count-gated broadcast — no corpus reshuffle)
+    verifiedPairs(el, sz, cand, broadcastMaxPairs)
       .filter(col("inter") * tDen >=
         lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
       .select("a", "b", "inter", "sz_a", "sz_b")
@@ -92,7 +113,8 @@ object SetJoin {
     * 100 TB deployment serves the B side from the capped q119 posting
     * index with an exact fallback verify for capped terms. Integer ceil
     * arithmetic and string-level verification as in [[jaccardJoin]]. */
-  def containmentJoin(elRaw: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def containmentJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
+                      broadcastMaxPairs: Long = 4000000L): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
     val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
       .localCheckpoint(true)
@@ -109,18 +131,7 @@ object SetJoin {
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
       .localCheckpoint(true)
-    val elA = el.join(broadcast(cand.select(col("a").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select(col("id").as("a"), col("tok"))
-    val elB = el.join(broadcast(cand.select(col("b").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select(col("id").as("b"), col("tok"))
-    val inter = elA.join(broadcast(cand), "a")
-      .join(elB, Seq("b", "tok"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("a"), col("sz").as("sz_a")), "a")
-      .join(sz.select(col("id").as("b"), col("sz").as("sz_b")), "b")
+    verifiedPairs(el, sz, cand, broadcastMaxPairs)
       .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
       .select("a", "b", "inter", "sz_a", "sz_b")
   }

@@ -46,6 +46,29 @@ class SetJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 2L, 2L)))
   }
 
+  test("broadcast gate: zero-threshold shuffle fallback yields identical pairs") {
+    // broadcastMaxPairs=0 forces every candidate broadcast down the
+    // shuffle-join fallback; output must be bit-identical to the
+    // broadcast path (the gate is a physical-plan move only)
+    val el = Seq(
+      1L -> Seq("the", "quick", "brown", "fox", "jumps"),
+      2L -> Seq("the", "quick", "brown", "fox", "leaps"),
+      3L -> Seq("the", "quick", "red", "dog", "runs"),
+      4L -> Seq("the", "lazy", "cat", "sleeps", "now"))
+      .toDF("id", "toks")
+      .select(col("id"), explode(col("toks")).as("tok"))
+    val bcast = SetJoin.jaccardJoin(el, 3, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val shuffled = SetJoin.jaccardJoin(el, 3, 5, broadcastMaxPairs = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(shuffled == bcast)
+    val cBcast = SetJoin.containmentJoin(el, 3, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val cShuffled = SetJoin.containmentJoin(el, 3, 5, broadcastMaxPairs = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(cShuffled == cBcast)
+  }
+
   test("containment join finds the inclusion that Jaccard misses") {
     // A = {a,b,c} fully inside B = {a..j}: containment(A,B) = 1 but
     // Jaccard = 3/10 — the symmetric join must NOT report it, the
