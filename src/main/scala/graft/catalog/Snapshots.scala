@@ -724,8 +724,17 @@ object Snapshots {
   /** Fast-forward merge: adopt the branch head as main's next version.
     * Requires main to be UNCHANGED since the branch's base (same file
     * set) — a diverged main needs a semantic merge this layer does not
-    * invent. Branch-local data files are RENAMED into main's pool
-    * (metadata-speed, no copy); the branch is deleted afterwards. */
+    * invent.
+    *
+    * Crash-safety ordering: branch-local data files are COPIED (not
+    * renamed) into main's pool, THEN main's manifest is written, and only
+    * then is the branch deleted. A crash at any point leaves both main
+    * and the branch readable — before the manifest write, main is
+    * unchanged and the branch still owns its files (the half-copied pool
+    * files are referenced by no manifest, so vacuum sweeps them); after
+    * it, main's new version owns its own copies and the surviving branch
+    * is merely redundant. A rename would instead leave the branch
+    * manifest pointing at moved-away files. */
   def mergeBranch(spark: SparkSession, dir: String, name: String): Int = {
     val fs = fsOf(spark, dir)
     val bd = branchDir(dir, refName(name))
@@ -741,13 +750,15 @@ object Snapshots {
     val v = mainV + 1
     val destRoot = new Path(s"$dir/$DataDir/${vName(v)}")
     fs.mkdirs(destRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
     val merged = head.entries.zipWithIndex.map { case (e, i) =>
       if (e.path.startsWith("../../")) e.copy(path = e.path.stripPrefix("../../"))
       else {
         val src = new Path(s"$bd/${e.path}")
         val destName = f"m$i%05d-${src.getName}"
         val dest = new Path(destRoot, destName)
-        if (!fs.rename(src, dest))
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dest,
+            /* deleteSource = */ false, /* overwrite = */ true, conf))
           throw new java.io.IOException(s"snapshots: cannot adopt $src into main pool")
         e.copy(path = s"$DataDir/${vName(v)}/$destName")
       }

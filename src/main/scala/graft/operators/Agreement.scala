@@ -45,8 +45,11 @@ object Agreement {
       (col("n00") + col("n01")) * (col("n00") + col("n10"))
     m.select(col(group), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       (col("n11") + col("n00")).as("n_agree"),
-      ((col("n") * (col("n11") + col("n00")) - chance).cast("double") /
-        (col("n") * col("n") - chance).cast("double")).as("kappa"))
+      // p_e = 1 (both annotators constant and identical) makes kappa
+      // 0/0-undefined; emit NULL, not NaN, on both engines
+      when(col("n") * col("n") - chance > 0L,
+        (col("n") * (col("n11") + col("n00")) - chance).cast("double") /
+          (col("n") * col("n") - chance).cast("double")).as("kappa"))
   }
 
   /** DuckDB twin of [[cohensKappa]] over a relation exposing
@@ -63,10 +66,12 @@ object Agreement {
        SELECT $group, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
          CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
          CAST(n00 AS BIGINT) AS n00, CAST(n11 + n00 AS BIGINT) AS n_agree,
-         CAST(n * (n11 + n00)
-              - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
-         / CAST(n * n
-              - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
-           AS kappa
+         CASE WHEN n * n
+              - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) > 0 THEN
+           CAST(n * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+           / CAST(n * n
+                - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+         END AS kappa
        FROM m"""
 }

@@ -30,13 +30,30 @@ object Sssp {
     * integer weights; unreached nodes are absent. */
   def distances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0)
-    require(edges.filter(col("w").cast("long") <= 0L).isEmpty,
-      "Sssp: edge weights must be positive integers")
-    val dir = edges.select(col("a").cast("long").as("s"),
-        col("b").cast("long").as("d"), col("w").cast("long").as("w"))
+    // Positive-weight validation rides INSIDE the first dir
+    // materialization (the eager checkpoint below) instead of a separate
+    // up-front scan — a 100 TB edge list is read once, not twice. The
+    // raise_error surfaces synchronously here because the checkpoint is
+    // eager; unwrap it to the documented IllegalArgumentException.
+    val validationMsg = "Sssp: edge weights must be positive integers"
+    val checkedW = when(col("w").cast("long") > 0L, col("w").cast("long"))
+      .otherwise(raise_error(lit(validationMsg)))
+    val dirPlan = edges.select(col("a").cast("long").as("s"),
+        col("b").cast("long").as("d"), checkedW.as("w"))
       .union(edges.select(col("b").cast("long").as("s"),
-        col("a").cast("long").as("d"), col("w").cast("long").as("w")))
-      .localCheckpoint(true)
+        col("a").cast("long").as("d"), checkedW.as("w")))
+    val dir =
+      try dirPlan.localCheckpoint(true)
+      catch {
+        case e: Throwable if {
+          var c: Throwable = e; var hit = false
+          while (c != null && !hit) {
+            hit = c.getMessage != null && c.getMessage.contains(validationMsg)
+            c = c.getCause
+          }
+          hit
+        } => throw new IllegalArgumentException(validationMsg)
+      }
     var dist = seeds.select(col("u").cast("long").as("u")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     for (_ <- 1 to rounds) {

@@ -107,9 +107,13 @@ object Validate {
     val content =
       if (na == 0 || nb == 0) Seq.empty
       else common.flatMap { c =>
-        // |nulls_a/n_a − nulls_b/n_b| > tol, cross-multiplied exactly
-        val lhs = math.abs(nullsA(c) * nb - nullsB(c) * na) * nullTolDen
-        val rhs = nullTolNum * na * nb
+        // |nulls_a/n_a − nulls_b/n_b| > tol, cross-multiplied exactly.
+        // BigInt: n_a·n_b·tolDen clears 2^63 already for two ~3·10^8-row
+        // tables at the default tolDen=100 — a Long here would wrap and
+        // silently flip the verdict. Counts are driver-side scalars, so
+        // the arbitrary-precision cost is nil.
+        val lhs = (BigInt(nullsA(c)) * nb - BigInt(nullsB(c)) * na).abs * nullTolDen
+        val rhs = BigInt(nullTolNum) * na * nb
         if (lhs > rhs)
           Some((c, "null_rate_drift",
             s"${nullsA(c)}/$na", s"${nullsB(c)}/$nb"))

@@ -276,6 +276,9 @@ object Governance {
       (s, dir) => {
         val grams = t(s, dir, "documents")
           .select(graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+          // sub-bigram docs: sequence(0, -1) would DESCEND and emit null
+          // grams where the oracle's range(1, len) emits none
+          .filter(size(col("toks")) >= 2)
           .select(explode(expr(
             "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
             .as("g"))

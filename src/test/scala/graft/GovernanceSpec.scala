@@ -50,6 +50,15 @@ class GovernanceSpec extends SparkSpec {
     assert(r == 0.0)
   }
 
+  test("cohensKappa is NULL (not NaN) when both annotators are constant-identical") {
+    // every row (true, true): p_e = 1, so kappa is 0/0-undefined —
+    // the guard must yield an explicit NULL on both engines
+    val df = Seq(("g", true, true), ("g", true, true)).toDF("grp", "a", "b")
+    val r = Agreement.cohensKappa(df, "grp", col("a"), col("b"))
+      .select("kappa").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("Bradley-Terry ratings rank a dominant item first") {
     // a beats b 9 times, b beats a once; c splits evenly with b
     val duels = Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "c", 5L),
