@@ -72,7 +72,18 @@ def main():
                 print(f"FAIL {name}.{c}: oracle dtype {t} (driver hash will "
                       f"mismatch Spark int64 — CAST the aggregate AS BIGINT)")
                 n_bad += 1
-            elif t.startswith("DECIMAL"):
+            elif sk is not None and c in sk and sk[c] in "if":
+                # generic numeric-kind cross-check: an int column on one
+                # engine and a float on the other serializes differently
+                # under the driver hash (`10.0` vs `10`)
+                ok = ("INT" in t or t in ("BIGINT", "INTEGER", "SMALLINT",
+                                          "TINYINT", "UBIGINT", "UINTEGER"))
+                of = t in ("DOUBLE", "FLOAT", "REAL")
+                if (sk[c] == "i" and of) or (sk[c] == "f" and ok):
+                    print(f"WARN {name}.{c}: kind mismatch — oracle {t} vs "
+                          f"Spark {'int' if sk[c] == 'i' else 'float'}")
+                    n_warn += 1
+            if t.startswith("DECIMAL"):
                 kind = sk.get(c) if sk else None
                 if kind == "f":
                     print(f"FAIL {name}.{c}: oracle DECIMAL vs Spark float "
