@@ -106,7 +106,13 @@ object Bench {
     // last so it always survives the tail capture.
     val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"slowest":$slowest,"value":${fmt(total)}}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"slowest":$slowest,"value":${fmt(total)}}"""
+    println(line)
+    // The driver keeps only the tail of stdout; persist the full line so
+    // per-query medians survive for tools/bench_diff.py round-over-round.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line)
+    catch { case e: Exception => System.err.println(s"[bench] could not persist: $e") }
     spark.stop()
   }
 
