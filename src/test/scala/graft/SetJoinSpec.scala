@@ -67,6 +67,15 @@ class SetJoinSpec extends SparkSpec {
     val cShuffled = SetJoin.containmentJoin(el, 3, 5, broadcastMaxPairs = 0L)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(cShuffled == cBcast)
+    // plan shape, not just output: the gate must actually remove the
+    // broadcast hints (analyzed plan — AQE may still pick a broadcast
+    // strategy for tiny inputs on its own, which is fine and bounded)
+    val hintedPlan = SetJoin.jaccardJoin(el, 3, 5)
+      .queryExecution.analyzed.toString
+    val gatedPlan = SetJoin.jaccardJoin(el, 3, 5, broadcastMaxPairs = 0L)
+      .queryExecution.analyzed.toString
+    assert(hintedPlan.contains("ResolvedHint"))
+    assert(!gatedPlan.contains("ResolvedHint"))
   }
 
   test("containment join finds the inclusion that Jaccard misses") {
