@@ -205,8 +205,18 @@ object Ingest {
         .select(regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
             .as(s"${c}_path"),
           col("content").as(s"${c}_content"))
+      // LEFT join + loud failure on a dangling stem: the binding table is
+      // the record-count contract (one record per binding row,
+      // `serialize.py:31-37`) — an inner join would silently DROP rows
+      // whose file is missing from the archive, and the dense keys above
+      // would hide the loss downstream. The check is a FILTER (assert_true
+      // under a predicate), not a projected column: projections get pruned
+      // by aggregates like count(), predicates always evaluate.
       acc.withColumn(s"${c}_path", concat(lit(s"$absDir/"), col(c), lit(s.ext)))
-        .join(scan, s"${c}_path")
+        .join(scan, Seq(s"${c}_path"), "left")
+        .filter(assert_true(col(s"${c}_content").isNotNull,
+          concat(lit(s"readWithBinding: binding stem has no file: "),
+            col(s"${c}_path"))).isNull)
     }
   }
 

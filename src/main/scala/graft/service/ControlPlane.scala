@@ -162,34 +162,47 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
   private def runSerialize(req: JValue): Unit =
     try {
       Archive.extractZip(zipPath, dataDir)
-      val scanned = req \ "image_binding" match {
-        case spec: JObject => readBindingLayout(req, spec)
+      // stale stream metadata from an earlier S5 run must not describe
+      // whatever this request is about to sink (or fail to sink)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(streamsMetaPath))
+      req \ "image_binding" match {
+        case spec: JObject =>
+          val (scanned, ins, outs) = readBindingLayout(req, spec)
+          Tables.save(scanned, sinkDir, sinkName)
+          // roles AFTER the sink: a failed save must not leave a
+          // streams.json describing a parquet that was never written
+          writeStreamsMeta(ins, outs)
         case _ =>
-          // stale S5 metadata must not re-route a later S3/S4 hand-off
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(streamsMetaPath))
           val nInputPerRecord = req \ "input" match {
             case JArray(specs) if specs.length > 1 => specs.length
             case JArray(List(one)) =>
               one \ "nInputPerRecord" match { case JInt(n) => n.toInt; case _ => 1 }
             case _ => 1
           }
-          if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
-          else Ingest.readImageDir(spark, dataDir)
+          val scanned =
+            if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
+            else Ingest.readImageDir(spark, dataDir)
+          Tables.save(scanned, sinkDir, sinkName)
       }
-      Tables.save(scanned, sinkDir, sinkName)
       state = Serialized
     } catch {
       case e: Exception => state = Failed(s"serialize: ${e.getMessage}")
     }
 
+  import ControlPlane.SideStream
+
   /** S5: resolve the binding table (csv or json, optional `data_key` —
-    * `serialize.py:504-567`) and each `input`/`output` image stream's
-    * `binding_field`/`directory`/`extension` (`serialize.py:570-605`),
-    * then run the binding-driven scan. Which content columns are inputs
-    * vs outputs is recorded next to the sink so the training hand-off
-    * feeds the streams the request declared, not the slabel convention
-    * of the dir layouts. */
-  private def readBindingLayout(req: JValue, spec: JObject): org.apache.spark.sql.DataFrame = {
+    * `serialize.py:504-567`) and every declared `input`/`output` stream:
+    * image streams via `binding_field`/`directory`/`extension`
+    * (`serialize.py:570-580`), numeric/text streams from their own files
+    * (`serialize.py:583-612`); an unknown dataType is a hard error, the
+    * reference's `sys.exit(-1)` (`serialize.py:592-594`). Returns the
+    * scanned records plus the request's input/output content-column
+    * names, recorded next to the sink so the training hand-off feeds the
+    * streams the request declared, not the slabel convention of the dir
+    * layouts. */
+  private def readBindingLayout(req: JValue, spec: JObject)
+      : (org.apache.spark.sql.DataFrame, Seq[String], Seq[String]) = {
     val file = spec \ "file" match {
       case JString(f) => f
       case _ => throw new IllegalArgumentException("image_binding needs a 'file'")
@@ -199,29 +212,87 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
     val binding =
       if (file.endsWith(".csv")) Ingest.readCsv(spark, bindingPath)
       else Ingest.readJson(spark, bindingPath, dataKey)
-    def streamsOf(field: String): Seq[Ingest.BindingStream] = req \ field match {
-      case JArray(specs) => specs.collect {
-        case s: JObject if (s \ "dataType") == JString("image") =>
-          val bf = s \ "binding_field" match {
-            case JString(x) => x
-            case _ => throw new IllegalArgumentException(
-              s"image stream in '$field' needs a 'binding_field'")
+    def streamsOf(field: String): Seq[Either[Ingest.BindingStream, SideStream]] =
+      req \ field match {
+        case JArray(specs) => specs.map {
+          case s: JObject => s \ "dataType" match {
+            case JString("image") =>
+              val bf = s \ "binding_field" match {
+                case JString(x) => x
+                case _ => throw new IllegalArgumentException(
+                  s"image stream in '$field' needs a 'binding_field'")
+              }
+              val dir = s \ "directory" match {
+                case JString(d) => s"$dataDir/$d"
+                case _          => dataDir
+              }
+              val ext = s \ "extension" match { case JString(e) => e; case _ => "" }
+              Left(Ingest.BindingStream(bf, dir, ext))
+            case JString(dt) if dt == "numeric" || dt == "text" =>
+              val f = s \ "file" match {
+                case JString(x) => x
+                case _ => throw new IllegalArgumentException(
+                  s"$dt stream in '$field' needs a 'file'")
+              }
+              val name = f.split('/').last.takeWhile(_ != '.')
+                .map(c => if (c.isLetterOrDigit) c else '_')
+              val textCol = s \ "text" match { case JString(t) => Some(t); case _ => None }
+              Right(SideStream(name, f, numeric = dt == "numeric", textCol))
+            case other =>
+              // reference parity: invalid format is fatal (sys.exit(-1))
+              throw new IllegalArgumentException(
+                s"invalid dataType in '$field': $other")
           }
-          val dir = s \ "directory" match {
-            case JString(d) => s"$dataDir/$d"
-            case _          => dataDir
-          }
-          val ext = s \ "extension" match { case JString(e) => e; case _ => "" }
-          Ingest.BindingStream(bf, dir, ext)
+          case other => throw new IllegalArgumentException(
+            s"malformed stream spec in '$field': $other")
+        }
+        case _ => Nil
       }
-      case _ => Nil
-    }
     val ins = streamsOf("input")
     val outs = streamsOf("output")
-    if (ins.isEmpty)
+    if (!ins.exists(_.isLeft))
       throw new IllegalArgumentException("binding layout needs at least one image input")
-    writeStreamsMeta(ins.map(_.field), outs.map(_.field))
-    Ingest.readWithBinding(spark, binding, ins ++ outs)
+    val sides = (ins ++ outs).collect { case Right(s) => s }
+    val widened = attachSideStreams(binding, sides)
+    val images = (ins ++ outs).collect { case Left(b) => b }
+    def contentNames(xs: Seq[Either[Ingest.BindingStream, SideStream]]) =
+      xs.map { case Left(b) => b.field; case Right(s) => s.name }
+    (Ingest.readWithBinding(spark, widened, images),
+      contentNames(ins), contentNames(outs))
+  }
+
+  /** Join each side stream's rows to the binding POSITIONALLY (record i ↔
+    * row i, the reference's queue pairing). Both sides get a scalable
+    * row id in file order; a row-count mismatch between a side file and
+    * the binding table fails loudly instead of silently dropping the
+    * excess records. */
+  private def attachSideStreams(binding: org.apache.spark.sql.DataFrame,
+                                sides: Seq[SideStream]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (sides.isEmpty) return binding
+    val keyedBinding = Ingest.withScalableKey(binding, "_row")
+    val nBinding = keyedBinding.count()
+    val widened = sides.foldLeft(keyedBinding) { (acc, ss) =>
+      val path = s"$dataDir/${ss.file}"
+      val cName = s"${ss.name}_content"
+      val content =
+        if (ss.numeric) {
+          // readNumeric: every csv row coerced to one float vector (P2)
+          val df = Ingest.readCsv(spark, path)
+          Ingest.toFeatureVector(df, df.columns.toSeq, cName).select(cName)
+        } else if (ss.file.endsWith(".csv") || ss.file.endsWith(".json")) {
+          val df = if (ss.file.endsWith(".csv")) Ingest.readCsv(spark, path)
+                   else Ingest.readJson(spark, path)
+          df.select(Ingest.selectTextColumn(df, ss.textCol).cast("string").as(cName))
+        } else spark.read.text(path).select(col("value").as(cName))
+      val keyedSide = Ingest.withScalableKey(content.select(col(cName)), "_row")
+      val nSide = keyedSide.count()
+      if (nSide != nBinding)
+        throw new IllegalArgumentException(
+          s"side stream '${ss.file}' has $nSide rows but the binding table has $nBinding")
+      acc.join(keyedSide, "_row")
+    }
+    widened.drop("_row")
   }
 
   /** Sink-side record of the S5 request's stream roles (survives a server
@@ -276,6 +347,13 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
 }
 
 object ControlPlane {
+  /** A non-image S5 stream: `numeric` (csv of per-record vectors, the
+    * reference `readNumeric`) or `text`, read from its own `file` and
+    * aligned with binding rows POSITIONALLY — the reference's queue
+    * workers pair record i with row i (`serialize.py:583-612`). */
+  private[service] final case class SideStream(name: String, file: String,
+                                               numeric: Boolean, textCol: Option[String])
+
   sealed trait State
   case object Idle extends State
   case object Serializing extends State

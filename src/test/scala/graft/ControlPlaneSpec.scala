@@ -183,6 +183,86 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("S5 numeric output stream: side file rows pair with binding records positionally") {
+    // reference serialize.py:583-612: a numeric stream reads its OWN csv
+    // (one float vector per row), record i pairing with binding row i —
+    // not a binding_field lookup. The declared roles must reach the
+    // hand-off: the label stream here is the numeric side file.
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("bindings.csv"))
+    z.write("in0\nx1\nx2\n".getBytes("UTF-8"))
+    z.closeEntry()
+    z.putNextEntry(new ZipEntry("labels.csv"))
+    z.write("v1,v2\n0.5,1.5\n2.5,3.5\n".getBytes("UTF-8"))
+    z.closeEntry()
+    for (stem <- Seq("x1", "x2")) {
+      z.putNextEntry(new ZipEntry(s"imgs/$stem.png"))
+      z.write(pngBytes(0x336699))
+      z.closeEntry()
+    }
+    z.close()
+    withFixtureServer(bos.toByteArray) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-s5n").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        val req = s"""{"command":"serialize","id":"s5n","url":"$zipUrl",
+          "image_binding":{"file":"bindings.csv"},
+          "input":[{"dataType":"image","directory":"imgs",
+                    "binding_field":"in0","extension":".png"}],
+          "output":[{"dataType":"numeric","file":"labels.csv"}]}"""
+        assert(post(ep, req) == "Dataset downloaded.")
+        pollUntil(cp, ControlPlane.Serialized)
+        val sunk = spark.read.parquet(s"${cp.sinkDir}/datumdb.parquet")
+        assert(sunk.count() == 2)
+        // positional pairing: binding row (x1) ↔ labels row 1
+        val byStem = sunk.selectExpr("in0", "labels_content")
+          .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+        assert(byStem("x1") == Seq(0.5f, 1.5f))
+        assert(byStem("x2") == Seq(2.5f, 3.5f))
+        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+          "Started training. Sit back.")
+        pollUntil(cp, ControlPlane.Trained)
+        assert(cp.shapes.keySet == Set("in0_content", "labels_content"))
+      } finally cp.stop()
+    }
+  }
+
+  test("S5 rejects an unknown stream dataType (reference sys.exit parity)") {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("bindings.csv"))
+    z.write("in0\nx1\n".getBytes("UTF-8"))
+    z.closeEntry()
+    z.putNextEntry(new ZipEntry("imgs/x1.png"))
+    z.write(pngBytes(0x101010))
+    z.closeEntry()
+    z.close()
+    withFixtureServer(bos.toByteArray) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-s5bad").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        val req = s"""{"command":"serialize","id":"bad","url":"$zipUrl",
+          "image_binding":{"file":"bindings.csv"},
+          "input":[{"dataType":"image","directory":"imgs",
+                    "binding_field":"in0","extension":".png"}],
+          "output":[{"dataType":"tensor","file":"whatever.bin"}]}"""
+        assert(post(ep, req) == "Dataset downloaded.")
+        val deadline = System.currentTimeMillis() + 60000
+        while (!cp.currentState.isInstanceOf[ControlPlane.Failed] &&
+               System.currentTimeMillis() < deadline) Thread.sleep(100)
+        cp.currentState match {
+          case ControlPlane.Failed(why) => assert(why.contains("invalid dataType"))
+          case s => fail(s"expected Failed, at $s")
+        }
+      } finally cp.stop()
+    }
+  }
+
   test("PipelineClient drives the control plane like the reference CLI (C3)") {
     withFixtureServer(datasetZip()) { zipUrl =>
       val work = java.nio.file.Files.createTempDirectory("graft-cp-cli").toString

@@ -109,6 +109,21 @@ class IngestSpec extends SparkSpec {
     assert(row(1)._2.endsWith("y1.png") && row(1)._3.endsWith("x1.png"))
   }
 
+  test("binding-driven scan fails loudly on a dangling stem (S5)") {
+    // the binding table is the record-count contract: a stem with no
+    // matching file must raise, not silently shrink the dataset
+    val dir = tmpDir("binding-dangle")
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    ImageIO.write(img, "png", Paths.get(dir, "x1.png").toFile)
+    Files.writeString(Paths.get(dir, "bindings.csv"), "in0\nx1\nmissing\n")
+    val binding = Ingest.readCsv(spark, s"$dir/bindings.csv")
+    val out = Ingest.readWithBinding(spark, binding, Seq("in0"), dir, ".png")
+    val e = intercept[Exception](out.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("binding stem has no file")))
+  }
+
   test("bag-of-words: distributed vocab table + sparse per-doc counts (P4)") {
     val df = Seq((1L, "spark makes big data small"), (2L, "big data big plans"),
         (3L, "")).toDF("key", "text")

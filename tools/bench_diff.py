@@ -11,7 +11,7 @@ import json
 import re
 import sys
 
-Q_RE = re.compile(r'"(q\d+[a-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)')
+Q_RE = re.compile(r'"(q\d+[a-z0-9_]*)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)')
 
 
 def load(path):
@@ -62,8 +62,16 @@ def main():
     if not common:
         print(f"no common queries ({len(old)} old, {len(new)} new)")
         return 1
-    rows = [(q, old[q], new[q], new[q] / old[q] if old[q] > 0 else float("inf"))
-            for q in common]
+    # Bench emits -1.0 for a query whose reps all failed — a sentinel,
+    # not a time. Report status flips separately, never as ratios.
+    broke = [q for q in common if old[q] > 0 >= new[q]]
+    fixed = [q for q in common if new[q] > 0 >= old[q]]
+    common = [q for q in common if old[q] > 0 and new[q] > 0]
+    for q in broke:
+        print(f"NOW FAILING: {q} (was {old[q]:.2f}s)")
+    for q in fixed:
+        print(f"now passing: {q} ({new[q]:.2f}s)")
+    rows = [(q, old[q], new[q], new[q] / old[q]) for q in common]
     reg = [r for r in rows if r[3] > thr]
     imp = sorted(rows, key=lambda r: r[3])[:5]
     so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
@@ -80,7 +88,7 @@ def main():
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"\nnew-only queries: {len(only_new)}")
-    return 0 if not reg else 3
+    return 0 if not (reg or broke) else 3
 
 
 if __name__ == "__main__":
