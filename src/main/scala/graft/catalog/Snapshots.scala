@@ -97,13 +97,23 @@ object Snapshots {
     sb.append("#end\n")
     val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-    // Create-exclusive commit point: rename fails (or the exists-check
-    // catches it) when a concurrent committer won the race.
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    // Create-exclusive commit point. The exists-check above is only a
+    // fast path — two racers can both pass it, and POSIX rename(2)
+    // OVERWRITES an existing target, so on a local filesystem both
+    // renames would "succeed" and the first commit would be silently
+    // lost. file:// gets a hard link (atomic, fails if target exists);
+    // HDFS/object-store rename already refuses an existing destination.
+    val committed =
+      if ("file" == fs.getScheme) {
+        val t = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+        val s = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(t, s); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, target)
+    fs.delete(tmp, false)
+    if (!committed)
       throw new java.util.ConcurrentModificationException(
         s"snapshots: lost commit race for version ${m.version}")
-    }
   }
 
   /** Complete manifests are immutable — cache their parse so version
@@ -180,10 +190,22 @@ object Snapshots {
       .filter(v => readManifest(spark, dir, v).isDefined)
   }
 
+  /** Newest committed version: one directory LIST, then manifests probed
+    * DESCENDING until the first complete one — O(1) probes in the common
+    * case instead of validating the whole chain (a commit-per-micro-batch
+    * stream calls this several times per commit; validating every older
+    * manifest made commit latency grow linearly with table age). */
   def currentVersion(spark: SparkSession, dir: String): Int = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"snapshots: no committed version at $dir")
-    vs.last
+    val fs = fsOf(spark, dir)
+    val md = new Path(s"$dir/$ManifestDir")
+    val names =
+      if (!fs.exists(md)) Seq.empty[Int]
+      else fs.listStatus(md).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .sorted(Ordering[Int].reverse)
+    names.find(v => readManifest(spark, dir, v).isDefined).getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: snapshots: no committed version at $dir"))
   }
 
   /** Cluster a partitioned commit's rows by the partition column before
@@ -249,7 +271,7 @@ object Snapshots {
     }
     val destRoot = new Path(s"$dir/$DataDir/${vName(v)}")
     fs.mkdirs(destRoot)
-    val out = ArrayBuffer.empty[Entry]
+    val moved = ArrayBuffer.empty[(Path, String, String)] // dest, relpath, partValue
     def moveFiles(src: Path, partValue: String): Unit =
       fs.listStatus(src).foreach { st =>
         val n = st.getPath.getName
@@ -258,20 +280,48 @@ object Snapshots {
           val dest = new Path(destRoot, destName)
           if (!fs.rename(st.getPath, dest))
             throw new java.io.IOException(s"snapshots: cannot move ${st.getPath} -> $dest")
-          out += Entry(s"$DataDir/${vName(v)}/$destName", partValue,
-            Some(footerStats(spark, dest)))
+          moved += ((dest, s"$DataDir/${vName(v)}/$destName", partValue))
         }
       }
     partCol match {
-      case Some(_) =>
+      case Some(c) =>
         fs.listStatus(tmp).filter(_.isDirectory).foreach { pd =>
           val value = pd.getPath.getName.stripPrefix("__part=")
+          // the manifest stores RAW partition values; a value hive had to
+          // escape ('%XX') or null ('__HIVE_DEFAULT_PARTITION__') would
+          // diverge from the raw value callers prune/replace with —
+          // upsert would then silently drop the partition's old rows.
+          // '%' raw in a value is itself escaped to %25, so any '%' here
+          // means escaping happened.
+          if (value.contains("%") || value == "__HIVE_DEFAULT_PARTITION__")
+            throw new IllegalArgumentException(
+              s"snapshots: partition column $c has a non-filesystem-plain " +
+                s"or null value (dir '$value'); partition values must be " +
+                "plain (Mutate.PlainPartition contract)")
           moveFiles(pd.getPath, value)
         }
       case None => moveFiles(tmp, "")
     }
     fs.delete(tmp, true)
-    out.toSeq
+    // footer stats in parallel: hundreds of serial driver round-trips at
+    // commit time otherwise dominate wide partitioned commits on remote
+    // storage (each is one footer read, independent of the others)
+    val statsByPath: Map[String, FileStats] =
+      if (moved.size <= 1) moved.map(m => m._2 -> footerStats(spark, m._1)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, moved.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = moved.map { m =>
+            new java.util.concurrent.Callable[(String, FileStats)] {
+              def call() = m._2 -> footerStats(spark, m._1)
+            }: java.util.concurrent.Callable[(String, FileStats)]
+          }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    moved.map(m => Entry(m._2, m._3, Some(statsByPath(m._2)))).toSeq
   }
 
   // ---- commits ----------------------------------------------------------
@@ -283,17 +333,37 @@ object Snapshots {
   def init(spark: SparkSession, dir: String, df: DataFrame,
            partCol: Option[String] = None): Int = {
     require(versions(spark, dir).isEmpty, s"snapshots: $dir already initialized")
+    // a table wiped and re-init'd at the same path (derived artifacts in
+    // a loop) must not serve the previous table's cached manifests — the
+    // (mtime, length) validation can collide when the rebuild lands in
+    // the same millisecond with identical byte length
+    manifestCache.keys.filter(_._1 == dir).foreach(manifestCache.remove)
     val entries = poolWrite(spark, dir, clustered(df, partCol), partCol, v = 1)
     writeManifest(spark, dir, Manifest(1, partCol, df.schema.toDDL, entries))
     1
   }
 
+  /** The batch's column set must equal the table's: poolWrite imposes the
+    * manifest schema at read time, so a misnamed column would silently
+    * read back as all-NULL forever (upsert already checks; append and
+    * commitEpoch feed streaming sinks and must too). appendEvolve is the
+    * explicit widening path. */
+  private def requireSameColumns(cur: Manifest, df: DataFrame, op: String): Unit = {
+    val table = org.apache.spark.sql.types.StructType.fromDDL(cur.schemaDdl)
+      .fieldNames.toSet
+    require(df.columns.toSet == table,
+      s"snapshots: $op batch columns ${df.columns.sorted.mkString(",")} != " +
+        s"table columns ${table.toSeq.sorted.mkString(",")} (use appendEvolve to widen)")
+  }
+
   /** Append-only commit: new files join the current file list. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Int = {
     val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    requireSameColumns(cur, df, "append")
     val v = cur.version + 1
     val entries = poolWrite(spark, dir, clustered(df, cur.partCol), cur.partCol, v)
-    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries))
+    writeManifest(spark, dir,
+      Manifest(v, cur.partCol, cur.schemaDdl, cur.entries ++ entries, cur.epoch))
     v
   }
 
@@ -324,7 +394,7 @@ object Snapshots {
     val v = cur.version + 1
     val entries = poolWrite(spark, dir, clustered(aligned, cur.partCol), cur.partCol, v)
     writeManifest(spark, dir,
-      Manifest(v, cur.partCol, widened.toDDL, cur.entries ++ entries))
+      Manifest(v, cur.partCol, widened.toDDL, cur.entries ++ entries, cur.epoch))
     v
   }
 
@@ -333,17 +403,19 @@ object Snapshots {
     * between sink write and checkpoint commit, then restarted) is
     * detected by the stamp on the CURRENT manifest and skipped — the
     * foreachBatch idempotence contract without a separate ledger, because
-    * the manifest chain IS the ledger. Returns the committed version, or
-    * None for a skipped replay. Single-writer per table (one stream);
-    * epochs must be monotone, which Structured Streaming guarantees. */
+    * the manifest chain IS the ledger. Every commit path CARRIES the
+    * high-water epoch forward into its new manifest (append/compact/
+    * replace interleaves, and vacuum retiring old manifests, can
+    * therefore never lose the stamp — a replayed epoch after
+    * compact+vacuum still reads it off the current manifest). Returns
+    * the committed version, or None for a skipped replay. Single-writer
+    * per table (one stream); epochs must be monotone, which Structured
+    * Streaming guarantees. */
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
                   epochId: Long): Option[Int] = {
     val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
-    // the newest epoch-stamped manifest guards the replay, even when
-    // non-epoch commits (compaction, batch appends) interleave
-    val lastEpoch = versions(spark, dir).reverse.iterator
-      .flatMap(v => readManifest(spark, dir, v).flatMap(_.epoch)).nextOption()
-    if (lastEpoch.exists(_ >= epochId)) return None
+    requireSameColumns(cur, df, "commitEpoch")
+    if (cur.epoch.exists(_ >= epochId)) return None
     val v = cur.version + 1
     val entries = poolWrite(spark, dir, clustered(df, cur.partCol), cur.partCol, v)
     writeManifest(spark, dir,
@@ -356,25 +428,31 @@ object Snapshots {
     * files are re-referenced BY PATH (no read, no copy, no rename). A
     * partition value in `dropValues` is removed without replacement. */
   def replacePartitions(spark: SparkSession, dir: String, df: DataFrame,
-                        dropValues: Seq[String] = Seq.empty): Int =
-    replacePartitionsRaw(spark, dir,
-      clustered(df, readManifest(spark, dir, currentVersion(spark, dir)).get.partCol),
-      dropValues)
+                        dropValues: Seq[String] = Seq.empty): Int = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    replacePartitionsRaw(spark, dir, clustered(df, cur.partCol), dropValues, Some(cur))
+  }
 
   /** [[replacePartitions]] WITHOUT the per-partition clustering — for
     * callers that crafted the physical layout themselves
     * ([[compactPartitions]]'s range-partitioned sort must survive to the
-    * files). */
+    * files). `base`, when given, PINS the version the caller's read-
+    * modify-write started from: the commit targets base.version + 1, so
+    * a concurrent commit landing in between makes writeManifest throw
+    * ConcurrentModificationException instead of silently building the
+    * new version on top of files the caller never read (lost update). */
   private def replacePartitionsRaw(spark: SparkSession, dir: String, df: DataFrame,
-                                   dropValues: Seq[String] = Seq.empty): Int = {
-    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+                                   dropValues: Seq[String] = Seq.empty,
+                                   base: Option[Manifest] = None): Int = {
+    val cur = base.getOrElse(readManifest(spark, dir, currentVersion(spark, dir)).get)
     val partCol = cur.partCol.getOrElse(
       throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
     val v = cur.version + 1
     val newEntries = poolWrite(spark, dir, df, Some(partCol), v)
     val replaced = newEntries.map(_.partValue).toSet ++ dropValues
     val kept = cur.entries.filterNot(e => replaced.contains(e.partValue))
-    writeManifest(spark, dir, Manifest(v, cur.partCol, cur.schemaDdl, kept ++ newEntries))
+    writeManifest(spark, dir,
+      Manifest(v, cur.partCol, cur.schemaDdl, kept ++ newEntries, cur.epoch))
     v
   }
 
@@ -394,16 +472,23 @@ object Snapshots {
     val partCol = cur.partCol.getOrElse(
       throw new IllegalArgumentException(s"snapshots: $dir is not partitioned"))
     val values = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSeq
     require(values.nonEmpty, "snapshots: empty batch")
-    val base = readPartitions(spark, dir, values)
+    require(!values.contains(null), s"snapshots: null $partCol in upsert batch")
+    val sorted = values.sorted
+    // read-modify-write against the PINNED version: a concurrent commit
+    // between here and the manifest write raises CME instead of being
+    // silently overwritten
+    val base = readPartitions(spark, dir, sorted, Some(cur.version))
     require(base.columns.toSet == updates.columns.toSet,
       s"snapshots: updates schema ${updates.columns.sorted.mkString(",")} != " +
         s"table schema ${base.columns.sorted.mkString(",")}")
     val keep = base.join(broadcast(updates.select(keyCols.map(col): _*)),
       keyCols, "left_anti")
-    replacePartitions(spark, dir,
-      keep.unionByName(updates.select(base.columns.map(col): _*)))
+    replacePartitionsRaw(spark, dir,
+      clustered(keep.unionByName(updates.select(base.columns.map(col): _*)),
+        cur.partCol),
+      base = Some(cur))
   }
 
   /** Keyed delete on a versioned table: rows matching `deleteKeys` are
@@ -418,12 +503,15 @@ object Snapshots {
     require(deleteKeys.columns.contains(partCol),
       s"snapshots: deleteKeys must carry $partCol")
     val values = deleteKeys.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSeq
     require(values.nonEmpty, "snapshots: empty batch")
-    val base = readPartitions(spark, dir, values)
+    require(!values.contains(null), s"snapshots: null $partCol in delete batch")
+    val sorted = values.sorted
+    val base = readPartitions(spark, dir, sorted, Some(cur.version))
     val keep = base.join(broadcast(deleteKeys.select(keyCols.map(col): _*)),
       keyCols, "left_anti")
-    replacePartitions(spark, dir, keep, dropValues = values)
+    replacePartitionsRaw(spark, dir, clustered(keep, cur.partCol),
+      dropValues = sorted, base = Some(cur))
   }
 
   /** Small-file compaction as a normal snapshot commit (the OPTIMIZE
@@ -438,14 +526,15 @@ object Snapshots {
   def compactPartitions(spark: SparkSession, dir: String, values: Seq[String],
                         filesPer: Int = 1, sortBy: Option[String] = None): Int = {
     require(filesPer >= 1, "snapshots: filesPer must be >= 1")
-    val part = readPartitions(spark, dir, values)
+    val cur = readManifest(spark, dir, currentVersion(spark, dir)).get
+    val part = readPartitions(spark, dir, values, Some(cur.version))
     // range-partition + sort when a layout column is given: files get
     // DISJOINT [min,max] ranges, the best case for stats pruning
     val laid = sortBy match {
       case Some(c) => part.repartitionByRange(filesPer, col(c)).sortWithinPartitions(col(c))
       case None    => part.repartition(filesPer)
     }
-    replacePartitionsRaw(spark, dir, laid)
+    replacePartitionsRaw(spark, dir, laid, base = Some(cur))
   }
 
   /** The OPTIMIZE scheduling policy: compact exactly those partitions
@@ -576,12 +665,24 @@ object Snapshots {
   /** Drop all but the newest `keepLast` versions and delete every pool
     * file no retained manifest references (including orphans from lost
     * commit races and torn writes). Returns deleted pool-relative paths.
-    * Operational constraint: no reader may hold a dropped version. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+    * Operational constraints: no reader may hold a dropped version, and
+    * `inFlightGraceMs` must exceed the longest possible commit — an
+    * IN-FLIGHT commit's files (a pool dir beyond the current version, a
+    * `.write-` tmp dir, a `.tmp-`/torn manifest) are referenced by no
+    * manifest YET, and sweeping them would corrupt the version their
+    * writer is about to publish. Anything younger than the grace window
+    * is presumed in flight and skipped; 0 restores sweep-everything (only
+    * safe when no writer can be concurrent). */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+             inFlightGraceMs: Long = 20 * 60 * 1000L): Seq[String] = {
     require(keepLast >= 1, "snapshots: keepLast must be >= 1")
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshots: no committed version at $dir")
+    val curV = vs.last
+    val cutoff = System.currentTimeMillis() - inFlightGraceMs
+    def settled(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
     // tagged versions are pinned: a tag is a promise the version stays
     // readable, so retention never drops it
     val pinned = tags(spark, dir).values.toSet
@@ -611,28 +712,42 @@ object Snapshots {
     val md = new Path(s"$dir/$ManifestDir")
     fs.listStatus(md).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".tmp-")) fs.delete(st.getPath, false)
+      if (n.startsWith(".tmp-")) { if (settled(st)) fs.delete(st.getPath, false) }
       else if (n.startsWith("v") && n.endsWith(".manifest")) {
         val v = n.stripPrefix("v").stripSuffix(".manifest").toInt
-        if (readManifest(spark, dir, v).isEmpty) fs.delete(st.getPath, false)
+        if (readManifest(spark, dir, v).isEmpty && settled(st))
+          fs.delete(st.getPath, false)
       }
     }
     val deleted = ArrayBuffer.empty[String]
     val dataRoot = new Path(s"$dir/$DataDir")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { vd =>
-        if (vd.isDirectory && vd.getPath.getName.startsWith(".write-")) {
-          fs.delete(vd.getPath, true) // torn pool write
-          deleted += s"$DataDir/${vd.getPath.getName}"
-        } else if (vd.isDirectory) {
-          fs.listStatus(vd.getPath).foreach { f =>
-            val rel = s"$DataDir/${vd.getPath.getName}/${f.getPath.getName}"
-            if (!referenced.contains(rel)) {
-              fs.delete(f.getPath, false)
-              deleted += rel
-            }
+        val vdName = vd.getPath.getName
+        if (vd.isDirectory && vdName.startsWith(".write-")) {
+          if (settled(vd)) { // else: a pool write in progress
+            fs.delete(vd.getPath, true) // torn pool write
+            deleted += s"$DataDir/$vdName"
           }
-          if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+        } else if (vd.isDirectory) {
+          // a pool dir BEYOND the current version belongs to a commit
+          // whose manifest isn't published yet — in flight unless stale
+          val inFlightDir = vdName.startsWith("v") &&
+            vdName.stripPrefix("v").forall(_.isDigit) &&
+            vdName.stripPrefix("v").toInt > curV && !settled(vd)
+          if (!inFlightDir) {
+            // dirs at or below the current version are decided: their
+            // manifest exists, so an unreferenced file there is a lost
+            // racer's leftover, sweepable immediately
+            fs.listStatus(vd.getPath).foreach { f =>
+              val rel = s"$DataDir/$vdName/${f.getPath.getName}"
+              if (!referenced.contains(rel)) {
+                fs.delete(f.getPath, false)
+                deleted += rel
+              }
+            }
+            if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+          }
         }
       }
     }
@@ -763,7 +878,8 @@ object Snapshots {
         e.copy(path = s"$DataDir/${vName(v)}/$destName")
       }
     }
-    writeManifest(spark, dir, Manifest(v, head.partCol, head.schemaDdl, merged))
+    writeManifest(spark, dir,
+      Manifest(v, head.partCol, head.schemaDdl, merged, main.epoch))
     fs.delete(new Path(bd), true)
     if (fs.listStatus(new Path(s"$dir/$BranchRoot")).isEmpty)
       fs.delete(new Path(s"$dir/$BranchRoot"), false)

@@ -81,7 +81,12 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events
-      .selectExpr("user_id", "event_type", "value")
+      // NULL-tolerant like the windowed aggregates (sum() skips NULLs): a
+      // single NULL value/user_id would otherwise kill the query at the
+      // non-nullable tuple encoder ("Null value appeared in non-nullable
+      // field"), not just drop the row
+      .selectExpr("user_id", "event_type", "coalesce(value, 0.0d) AS value")
+      .filter(col("user_id").isNotNull)
       .as[(Long, String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, timeout)(

@@ -342,9 +342,102 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.append(spark, dir, Seq((6L, "six", "c")).toDF("id", "v", "p"))
     }
     assert(new String(Files.readAllBytes(clash), "UTF-8") == winner)
-    // B's orphaned pool files are swept by vacuum
-    Snapshots.vacuum(spark, dir, keepLast = 1)
+    // B's orphaned pool files are swept by vacuum (grace 0: the race is
+    // decided in-test, nothing is genuinely in flight)
+    Snapshots.vacuum(spark, dir, keepLast = 1, inFlightGraceMs = 0)
     assert(rows(dir) == base.toSet)
+  }
+
+  test("vacuum grace window protects in-flight commit artifacts") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // simulate an in-flight commit: pool dir beyond current version with
+    // a moved-but-not-yet-referenced file, plus a .write- tmp dir
+    val inflight = java.nio.file.Paths.get(dir, "_data", "v00000002")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("a-part-0.parquet"), Array[Byte](1, 2, 3))
+    val writeTmp = java.nio.file.Paths.get(dir, "_data", ".write-v00000002-x")
+    Files.createDirectories(writeTmp)
+    // default grace: presumed in flight, untouched
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Files.exists(inflight.resolve("a-part-0.parquet")))
+    assert(Files.exists(writeTmp))
+    // grace 0: treated as settled leftovers, swept
+    val swept = Snapshots.vacuum(spark, dir, keepLast = 1, inFlightGraceMs = 0)
+    assert(!Files.exists(inflight.resolve("a-part-0.parquet")))
+    assert(!Files.exists(writeTmp))
+    assert(swept.exists(_.contains("v00000002")))
+  }
+
+  test("epoch replay guard survives compaction and vacuum (high-water carry-forward)") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((10L, "x", "a")).toDF("id", "v", "p"), epochId = 41).isDefined)
+    // maintenance interleaves: un-stamped commits, then retention retires
+    // the epoch-stamped manifest itself
+    Snapshots.append(spark, dir, Seq((11L, "y", "b")).toDF("id", "v", "p"))
+    Snapshots.compactPartitions(spark, dir, Seq("a"))
+    Snapshots.vacuum(spark, dir, keepLast = 1, inFlightGraceMs = 0)
+    // replay of epoch 41 (stream died before checkpointing) must still be
+    // detected — the stamp rode forward on every later manifest
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((10L, "x", "a")).toDF("id", "v", "p"), epochId = 41).isEmpty)
+    // the next real epoch commits normally
+    assert(Snapshots.commitEpoch(spark, dir,
+      Seq((12L, "z", "c")).toDF("id", "v", "p"), epochId = 42).isDefined)
+    assert(rows(dir).count(_._1 == 10L) == 1)
+  }
+
+  test("append and commitEpoch reject a batch whose columns differ from the table") {
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    // misnamed column would silently read back as all-NULL forever
+    val bad = Seq((6L, "six", "c")).toDF("id", "vv", "p")
+    intercept[IllegalArgumentException](Snapshots.append(spark, dir, bad))
+    intercept[IllegalArgumentException](Snapshots.commitEpoch(spark, dir, bad, 1L))
+    assert(rows(dir) == base.toSet)
+  }
+
+  test("non-filesystem-plain and null partition values are rejected at commit") {
+    val dir = freshDir()
+    // ':' forces hive path-escaping (__part=a%3Ab): the manifest value
+    // would diverge from the raw value callers prune/replace with
+    intercept[IllegalArgumentException](Snapshots.init(spark, dir,
+      Seq((1L, "one", "a:b")).toDF("id", "v", "p"), Some("p")))
+    val dir2 = freshDir()
+    intercept[IllegalArgumentException](Snapshots.init(spark, dir2,
+      Seq((1L, "one", null.asInstanceOf[String])).toDF("id", "v", "p"), Some("p")))
+  }
+
+  test("concurrent keyed upserts never lose an update (pinned base + exclusive commit)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    Snapshots.init(spark, dir, base.toDF("id", "v", "p"), Some("p"))
+    def upsertRetrying(row: (Long, String, String)): Unit = {
+      var done = false
+      var tries = 0
+      while (!done) {
+        try {
+          Snapshots.upsert(spark, dir, Seq(row).toDF("id", "v", "p"), Seq("id"))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            tries += 1; assert(tries < 20, "upsert starved")
+        }
+      }
+    }
+    val f1 = Future(upsertRetrying((1L, "ONE", "a")))
+    val f2 = Future(upsertRetrying((3L, "THREE", "b")))
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    // both writers' rows present: the loser observed CME and retried
+    // instead of silently overwriting the winner's commit
+    val got = rows(dir)
+    assert(got.contains((1L, "ONE", "a")) && got.contains((3L, "THREE", "b")))
+    assert(got.size == base.size)
   }
 
   test("tags pin versions: readable by name, immune to vacuum retention") {
