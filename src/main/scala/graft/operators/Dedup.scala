@@ -395,7 +395,11 @@ object Dedup {
     * chains (DedupSpec). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   driverThreshold: Long = 1000000L): DataFrame = {
+    // drop self-pairs BEFORE tiering: they carry no clustering
+    // information, and filtering only in the distributed path would make
+    // the two tiers disagree on which nodes appear in the label table
     val edges = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
     if (nEdges <= driverThreshold) {

@@ -242,7 +242,7 @@ object Multimodal {
   private def decodeGif(payload: Array[Byte], everyNth: Int): Option[Seq[RawFrame]] = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
     val readers = ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return None
+    if (!readers.hasNext) { iis.close(); return None } // close: no reader owns iis yet
     val reader = readers.next()
     try {
       reader.setInput(iis, false, false)
@@ -323,9 +323,12 @@ object Multimodal {
     val header = new String(payload, 0, pos, "US-ASCII")
     pos += 1
     var w = -1; var h = -1; var cs = "420"
+    // malformed numerics drop the payload (w/h stay -1), never throw
+    def intOr(s: String, dflt: Int): Int =
+      try s.toInt catch { case _: NumberFormatException => dflt }
     header.split(' ').foreach { tok =>
-      if (tok.startsWith("W")) w = tok.substring(1).toInt
-      else if (tok.startsWith("H")) h = tok.substring(1).toInt
+      if (tok.startsWith("W")) w = intOr(tok.substring(1), -1)
+      else if (tok.startsWith("H")) h = intOr(tok.substring(1), -1)
       else if (tok.startsWith("C")) cs = tok.substring(1)
     }
     if (w <= 0 || h <= 0) return None
@@ -513,7 +516,9 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = bb.getInt(pos) // little-endian fourcc
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // Long guard: `pos + 8 + size` wraps Int for an adversarial size
+      // near 2^31, sneaking past the bound and crashing getInt below
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None
       if (id == 0x20746d66) { // "fmt "
         if (size < 16) return None
         val audioFormat = bb.getShort(pos + 8) & 0xffff
@@ -572,6 +577,9 @@ object Multimodal {
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
+      // AudioSystem throws IAE (not UAFE) for a READABLE format it cannot
+      // CONVERT to 16-bit signed PCM — still "undecodable payload, drop"
+      case _: IllegalArgumentException => None
     }
 
   /** Decode audio payloads to float32 PCM. Real codec for the JDK-native

@@ -34,24 +34,29 @@ object Profile {
       case StringType | LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    val aggs = names.flatMap { c =>
+    // internal aliases are POSITIONAL: a column name is data here, and
+    // interpolating it into stack()'s SQL text would break on a name
+    // containing a quote or backtick (same fix as Validate.checks)
+    val aggs = names.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"nulls_$c"),
-        distinctOf(c).cast("long").as(s"distinct_$c"),
+        coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"nulls_$i"),
+        distinctOf(c).cast("long").as(s"distinct_$i"),
         (if (comparable(c)) min(col(c)).cast("string") else lit(null).cast("string"))
-          .as(s"min_$c"),
+          .as(s"min_$i"),
         (if (comparable(c)) max(col(c)).cast("string") else lit(null).cast("string"))
-          .as(s"max_$c"))
+          .as(s"max_$i"))
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // unpivot the single wide row into one report row per column
-    val stackExpr = names.map { c =>
-      s"'$c', `nulls_$c`, `distinct_$c`, `min_$c`, `max_$c`"
-    }.mkString(", ")
-    wide.selectExpr("n_rows",
-        s"stack(${names.size}, $stackExpr) AS (column_name, n_nulls, n_distinct, min_s, max_s)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_s"), col("max_s"))
+    // typed unpivot: one report row per column via explode over structs
+    val kvs = names.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"nulls_$i").as("n_nulls"),
+        col(s"distinct_$i").as("n_distinct"), col(s"min_$i").as("min_s"),
+        col(s"max_$i").as("max_s"))
+    }
+    wide.select(col("n_rows"), explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("n_rows"),
+        col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"),
+        col("kv.min_s").as("min_s"), col("kv.max_s").as("max_s"))
       .orderBy("column_name")
   }
 }

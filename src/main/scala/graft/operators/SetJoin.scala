@@ -71,11 +71,13 @@ object SetJoin {
       .join(sz.select(col("id").as("b"), col("sz").as("sz_b")), "b")
   }
 
-  /** All pairs (a < b) of `elRaw` (columns `id`, `tok` — distinct set
-    * elements per id) with Jaccard ≥ tNum/tDen. Output: a, b, inter,
-    * sz_a, sz_b. */
-  def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
-                  broadcastMaxPairs: Long = 4000000L): DataFrame = {
+  /** Shared front half of both joins: the materialized element table
+    * (with token hashes), per-set sizes, and the ascending-df prefix
+    * (the first |A| − ceil(t·|A|) + 1 tokens of each set under the
+    * global (df, tokh, tok) order). One definition so a fix to the
+    * prefix math cannot silently miss one of the two joins. */
+  private def prefixTables(elRaw: DataFrame, tNum: Int, tDen: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen)
     val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
       .localCheckpoint(true)
@@ -87,6 +89,15 @@ object SetJoin {
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col("id"), col("tokh"))
+    (el, sz, prefix)
+  }
+
+  /** All pairs (a < b) of `elRaw` (columns `id`, `tok` — distinct set
+    * elements per id) with Jaccard ≥ tNum/tDen. Output: a, b, inter,
+    * sz_a, sz_b. */
+  def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
+                  broadcastMaxPairs: Long = 4000000L): DataFrame = {
+    val (el, sz, prefix) = prefixTables(elRaw, tNum, tDen)
     val cand = prefix.select(col("id").as("a"), col("tokh"))
       .join(prefix.select(col("id").as("b"), col("tokh")), "tokh")
       .filter(col("a") < col("b"))
@@ -115,17 +126,7 @@ object SetJoin {
     * arithmetic and string-level verification as in [[jaccardJoin]]. */
   def containmentJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
                       broadcastMaxPairs: Long = 4000000L): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen)
-    val el = elRaw.select(col("id"), col("tok"), xxhash64(col("tok")).as("tokh"))
-      .localCheckpoint(true)
-    val sz = el.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfc = el.groupBy("tokh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("id").orderBy("df", "tokh", "tok")
-    val prefix = el.join(dfc, "tokh").join(sz, "id")
-      .withColumn("pos", row_number().over(wDoc))
-      .filter(col("pos") <=
-        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("id"), col("tokh"))
+    val (el, sz, prefix) = prefixTables(elRaw, tNum, tDen)
     val cand = prefix.select(col("id").as("a"), col("tokh"))
       .join(el.select(col("id").as("b"), col("tokh")), "tokh")
       .filter(col("a") =!= col("b"))

@@ -67,13 +67,20 @@ object Sssp {
   }
 
   /** One summary row pinning the whole distance table: reached count,
-    * distance mass/extreme, and an xor fingerprint of (node, dist). */
+    * distance mass/extreme, and an xor fingerprint of (node, dist).
+    * The fingerprint mixes MODULAR residues: a raw `u * 1000003` clears
+    * 2^63 for hash-derived 64-bit node ids, where Spark (non-ANSI) wraps
+    * but DuckDB raises — the two engines must compute the identical
+    * overflow-free tree. */
+  private[graft] val FpMod = 536870909L // prime < 2^29: product stays < 2^49
+  private def fpExpr = s"bit_xor((u % $FpMod) * 1000003 + dist % $FpMod)"
+
   def summary(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
     distances(edges, seeds, rounds).agg(
       count(lit(1)).as("n_reached"),
       coalesce(sum(col("dist")), lit(0L)).as("sum_dist"),
       coalesce(max(col("dist")), lit(0L)).as("max_dist"),
-      coalesce(expr("bit_xor(u * 1000003 + dist)"), lit(0L)).as("dist_xor"))
+      coalesce(expr(fpExpr), lit(0L)).as("dist_xor"))
 
   /** The matching DuckDB SQL over caller-supplied `edges(a, b, w)` /
     * `seeds(u)` CTEs — the relaxation chain is GENERATED from the same
@@ -97,7 +104,8 @@ object Sssp {
        SELECT COUNT(*) AS n_reached,
          CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_dist,
          CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_dist,
-         CAST(COALESCE(bit_xor(u * 1000003 + dist), 0) AS BIGINT) AS dist_xor
+         CAST(COALESCE(bit_xor((u % $FpMod) * 1000003 + dist % $FpMod), 0)
+           AS BIGINT) AS dist_xor
        FROM d$rounds"""
   }
 }

@@ -199,9 +199,15 @@ object TrainPrep {
           .when(col("r0") * col("r0") > col("dom_tok"), col("r0") - 1)
           .otherwise(col("r0")))
     val tot = domW.agg(sum(col("wgt")).as("sum_w"), sum(col("dom_tok")).as("total_tok"))
+    // DECIMAL(38,0) for the share product: total_tok * wgt clears 2^63
+    // already at ~4e12 total tokens (the operator's own 100 TB target is
+    // well past), and a wrapped product silently zeroes whole domains.
+    // FLOOR(decimal /) == integer DIV for these all-positive operands, so
+    // the DuckDB twin's HUGEINT DIV chain computes identical values.
     val plan = domW.crossJoin(broadcast(tot)).select(col(domainCol), col("n_in"),
       least(lit(maxRepeatPpm),
-        expr("((total_tok * wgt) DIV sum_w) * 1000000 DIV dom_tok")).as("r_ppm"))
+        expr("CAST(FLOOR(FLOOR(CAST(total_tok AS DECIMAL(38,0)) * wgt / sum_w)" +
+          " * 1000000 / dom_tok) AS BIGINT)")).as("r_ppm"))
     perDoc.join(broadcast(plan), domainCol)
       .withColumn("copies", expr("r_ppm DIV 1000000") +
         when(pmod(Hashing.h60(concat(lit("tmix:"), col(idCol).cast("string"))),
@@ -245,20 +251,29 @@ object TrainPrep {
   def writeShards(df: DataFrame, idCol: String, textCol: String, dir: String,
                   docsPerShard: Long = 1000L): DataFrame = {
     require(docsPerShard > 0, s"docsPerShard must be positive, got $docsPerShard")
+    // persist: the parquet export AND the manifest aggregate both consume
+    // `assigned` — without the cache the full md5 sort + position join
+    // pipeline runs TWICE (a second full-corpus sort at 100 TB)
     val assigned = shuffled(df.select(col(idCol), col(textCol)), idCol)
       .withColumn("shard", expr(s"pos DIV $docsPerShard"))
       .drop("hkey")
       .join(df.select(col(idCol), col(textCol)), idCol)
-    assigned.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
-    val manifest = assigned.withColumn("digest", docDigest(idCol, textCol))
-      .groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"),
-      min(col("pos")).as("pos_min"),
-      max(col("pos")).as("pos_max"),
-      expr("bit_xor(digest)").as("checksum"))
-    manifest.coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
-    manifest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+      val manifest = assigned.withColumn("digest", docDigest(idCol, textCol))
+        .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"),
+        min(col("pos")).as("pos_min"),
+        max(col("pos")).as("pos_max"),
+        expr("bit_xor(digest)").as("checksum"))
+        // |shards| rows: pin them so the returned frame and the json
+        // write never re-derive from the (about to be unpersisted) plan
+        .localCheckpoint(true)
+      manifest.coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
+      manifest
+    } finally assigned.unpersist()
   }
 
   /** Read-back integrity check: recompute every shard's doc count and

@@ -31,22 +31,29 @@ object Validate {
   def checks(df: DataFrame, preds: Seq[(String, Column)],
              uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(preds.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
-    val predAggs = preds.map { case (name, p) =>
+    // internal aliases are POSITIONAL (bad_0, bad_1…): a check name is
+    // user text and must never be parsed as SQL (a quote/backtick/dot in
+    // the name would break a selectExpr/stack round-trip)
+    val predAggs = preds.zipWithIndex.map { case ((_, p), i) =>
       coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
-        .as(s"bad_$name")
+        .as(s"bad_$i")
     }
     // struct() so null-containing key tuples still participate in the
     // distinct count (bare COUNT(DISTINCT a, b) silently skips them)
-    val uniqAggs = uniqueKeys.map { case (name, cols) =>
+    val uniqAggs = uniqueKeys.zipWithIndex.map { case ((_, cols), j) =>
       (count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
-        .cast("long").as(s"bad_$name")
+        .cast("long").as(s"bad_${preds.size + j}")
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), (predAggs ++ uniqAggs): _*)
     val names = preds.map(_._1) ++ uniqueKeys.map(_._1)
-    val stackExpr = names.map(n => s"'$n', `bad_$n`").mkString(", ")
-    wide.selectExpr("n_rows", s"stack(${names.size}, $stackExpr) AS (check_name, n_bad)")
-      .select(col("check_name"), col("n_rows"), col("n_bad"),
-        (col("n_bad") === 0L).as("pass"))
+    // typed unpivot (explode over literal structs): name strings stay
+    // DATA, never SQL text
+    val kvs = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("check_name"), col(s"bad_$i").as("n_bad"))
+    }
+    wide.select(col("n_rows"), explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"), col("n_rows"),
+        col("kv.n_bad").as("n_bad"), (col("kv.n_bad") === 0L).as("pass"))
   }
 
   /** The [[checks]] predicates as SUM-mergeable rollup counters

@@ -164,7 +164,10 @@ object Governance {
         val pairAgg = pairs.agg(
           count(lit(1)).as("n_pairs"),
           coalesce(sum(col("dist2")), lit(0L)).as("sum_dist2"),
-          coalesce(expr("bit_xor(id_a * 1000003 + id_b)"), lit(0L)).as("pair_xor"))
+          // modular residues: raw id*1000003 would wrap in Spark but
+          // raise in DuckDB for 64-bit ids (Sssp.FpMod discipline)
+          coalesce(expr(s"bit_xor((id_a % ${graft.operators.Sssp.FpMod}) * 1000003" +
+            s" + id_b % ${graft.operators.Sssp.FpMod})"), lit(0L)).as("pair_xor"))
         pts.agg(count(lit(1)).as("n_points")).crossJoin(pairAgg)
       },
       Some(s"""WITH pts AS (SELECT c_custkey AS id,
@@ -185,7 +188,8 @@ object Governance {
         SELECT (SELECT COUNT(*) FROM pts) AS n_points,
           COUNT(*) AS n_pairs,
           CAST(COALESCE(SUM(dist2), 0) AS BIGINT) AS sum_dist2,
-          CAST(COALESCE(BIT_XOR(id_a * 1000003 + id_b), 0) AS BIGINT) AS pair_xor
+          CAST(COALESCE(BIT_XOR((id_a % ${graft.operators.Sssp.FpMod}) * 1000003
+              + id_b % ${graft.operators.Sssp.FpMod}), 0) AS BIGINT) AS pair_xor
         FROM pairs""")),
 
     // ---- consistent pseudonymization ------------------------------------

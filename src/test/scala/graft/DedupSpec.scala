@@ -168,6 +168,17 @@ class DedupSpec extends SparkSpec {
     assert(viaStars(ids(60)) == chain.flatMap(e => Seq(e._1, e._2)).min)
   }
 
+  test("dupClusters: self-loop pairs are dropped identically by both tiers") {
+    // (5,5) once registered node 5 in the driver union-find but was
+    // filtered by the distributed path — same input, different label sets
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("a", "b")
+    val driver = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val stars = Dedup.dupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == stars)
+    assert(driver == Map(1L -> 1L, 2L -> 1L)) // 5 carries no information
+  }
+
   test("signature banding recall: bands x rows covers whole signature") {
     val sh = Dedup.shingled(corpus, "doc_id", "text", 2)
     val sig = Dedup.signatures(sh, 32).select("sig").as[Seq[Long]].collect()

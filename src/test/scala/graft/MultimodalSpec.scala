@@ -163,6 +163,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frameIdx).toSeq == again.map(_.frameIdx).toSeq)
   }
 
+  test("sampleFrames: non-numeric Y4M header dims fall back to the stub, not NFE") {
+    // 'Wabc' once threw an uncaught NumberFormatException and failed the
+    // whole job on one corrupt payload
+    val bad = "YUV4MPEG2 Wabc H4 C420\nFRAME\n".getBytes("US-ASCII")
+    val ds = Seq(Multimodal.BinaryRecord(1L, "badhdr", bad)).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyNth = 1).collect()
+    assert(frames.nonEmpty, "stub fallback keeps the operator total")
+  }
+
+  test("parseCanonicalWav: adversarial chunk size near 2^31 is rejected, not OOB") {
+    // size 0x7FFFFFF0 made `pos + 8 + size` wrap Int past the bounds
+    // guard; the walk then read a negative offset
+    val bos = new ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(Array[Byte](36, 0, 0, 0))
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("JUNK".getBytes("US-ASCII"))
+    bos.write(Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f)) // LE 0x7ffffff0
+    bos.write(new Array[Byte](32))
+    assert(Multimodal.parseCanonicalWav(bos.toByteArray).isEmpty)
+  }
+
   test("syntheticY4msOracle / syntheticWavsOracle: demuxable, per-id deterministic") {
     val src = Seq((1L, "a"), (2L, "b")).toDS()
     val vf = Multimodal.sampleFrames(Multimodal.syntheticY4msOracle(src), everyNth = 1).collect()
