@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.GraftBridge
@@ -124,8 +125,9 @@ case class BloomLongAgg(
   * shared bit-test helper — the fact-side filter this exists for runs in
   * the scan's generated loop. */
 case class BloomMightContainLong(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(BinaryType, LongType)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true

@@ -2,7 +2,7 @@ package graft.expressions
 
 import java.text.Normalizer
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -24,8 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * normalization algorithm, so q74's gate is a real cross-engine
   * hash-match on the normalized STRINGS, not a length proxy.
   */
-case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  // analysis-time type error for non-string SQL arguments (graft_nfc(42)
+  // previously ClassCastException'd on executors mid-job)
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_nfc"

@@ -2,7 +2,7 @@ package graft.expressions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -52,7 +52,8 @@ object Sketches {
     GraftBridge.column(Simhash60Expr(GraftBridge.expression(hashes60)))
 
   def srpSketch(vec: Column, signs: Array[Array[Int]]): Column =
-    GraftBridge.column(SrpSketchExpr(GraftBridge.expression(vec), signs))
+    GraftBridge.column(SrpSketchExpr(GraftBridge.expression(vec),
+      signs.map(_.toIndexedSeq).toIndexedSeq))
 
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -74,10 +75,15 @@ object Sketches {
   * accumulated left to right from 0.0 — bit-identical to the declarative
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,p) -> acc+p)` and to
   * DuckDB's `list_reduce([a[i]*b[i] ...], (x,y) -> x+y)`, so it is safe
-  * inside oracle-checked queries. */
+  * inside oracle-checked queries. Length-mismatched inputs yield NULL —
+  * exactly what the zip_with formulation gives (the shorter side pads
+  * with null), so schema drift surfaces as missing scores rather than a
+  * plausible-looking truncated similarity. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // null-element inputs → null
@@ -85,7 +91,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
-    val n = math.min(va.numElements(), vb.numElements())
+    val n = va.numElements()
+    if (vb.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -104,9 +111,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      int $n = $a.numElements();
       double $acc = 0.0;
-      for (int $i = 0; $i < $n; $i++) {
+      if ($b.numElements() != $n) { ${ev.isNull} = true; }
+      for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
         if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
         $acc += $a.getDouble($i) * $b.getDouble($i);
       }
@@ -122,8 +130,9 @@ case class DotProductExpr(left: Expression, right: Expression)
   * byte-identical to the SQL formulation `CAST(CONV(SUBSTRING(MD5(x),1,n),
   * 16,10) AS BIGINT)` used by the DuckDB oracle. */
 case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -172,7 +181,9 @@ case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
   * sig[i] = min_h (a_i·h + b_i) mod (2^31-1). One pass over the hashes,
   * all k mins updated per element. Empty/absent input → null. */
 case class MinhashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
 
   private val P = 2147483647L
   private val Mask28 = (1L << 28) - 1
@@ -241,17 +252,22 @@ case class MinhashSigExpr(child: Expression, k: Int)
 }
 
 /** 60-bit SimHash over an array of 60-bit element hashes: bit j of the
-  * result is set iff Σ_h (2·bit_j(h) − 1) >= 0. */
+  * result is set iff Σ_h (2·bit_j(h) − 1) >= 0. Empty input → null (like
+  * [[MinhashSigExpr]]): the zero-count ties would otherwise set ALL 60
+  * bits, parking every empty document at a plausible Hamming distance
+  * from real fingerprints instead of forcing callers to filter it. */
 case class Simhash60Expr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def nullable: Boolean = true // null-element inputs → null
+  override def nullable: Boolean = true // null-element/empty inputs → null
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return null
     val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
@@ -288,26 +304,36 @@ case class Simhash60Expr(child: Expression)
 /** 16-bit sign-random-projection sketch over an array<double> embedding,
   * with the ±1 hyperplane matrix baked in at plan time. Components are
   * quantized to floor(x·1e6) so the sums are exact integers — identical
-  * to the declarative/oracle formulation regardless of evaluation order. */
-case class SrpSketchExpr(child: Expression, signs: Array[Array[Int]])
-    extends UnaryExpression {
+  * to the declarative/oracle formulation regardless of evaluation order.
+  * NULL for null elements and for a vector whose length differs from the
+  * hyperplane dimensionality (schema drift must not produce a plausible
+  * sketch). `signs` is a Seq (not Array) so two identical instances are
+  * structurally equal and Catalyst canonicalization/CSE can merge them. */
+case class SrpSketchExpr(child: Expression, signs: IndexedSeq[IndexedSeq[Int]])
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  @transient private lazy val rows: Array[Array[Int]] = signs.map(_.toArray).toArray
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dims = v.numElements()
+    if (rows.nonEmpty && rows(0).length != dims) return null
     val q = new Array[Long](dims)
     var d = 0
     while (d < dims) {
+      if (v.isNullAt(d)) return null
       q(d) = math.floor(v.getDouble(d) * 1000000L).toLong
       d += 1
     }
     var sketch = 0L
     var p = 0
-    while (p < signs.length) {
-      val row = signs(p)
+    while (p < rows.length) {
+      val row = rows(p)
       var acc = 0L
       var i = 0
       while (i < dims) {
@@ -322,7 +348,10 @@ case class SrpSketchExpr(child: Expression, signs: Array[Array[Int]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("srp", this, classOf[SrpSketchExpr].getName)
-    defineCodeGen(ctx, ev, c => s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) r).longValue(); }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -153,17 +153,30 @@ object ProtoDatum {
                     vecCol: String, labelCol: Option[String]): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions.{assert_true, col, concat, expr, lit}
+    // Loud NULL guard BEFORE the typed encoder: a NULL key/vector/label
+    // would otherwise die mid-export in the non-nullable tuple encoder
+    // ("Null value appeared in non-nullable field") with no hint of which
+    // row — the codec's MalformedDatumException discipline, applied to
+    // the DataFrame entry point. A predicate survives column pruning.
+    def guarded(sel: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      sel.filter(assert_true(
+        cols.map(c => col(c).isNotNull).reduce(_ && _) &&
+          !expr(s"exists(`$vecCol`, x -> x IS NULL)"),
+        concat(lit(s"numericDatums: NULL $keyCol/$vecCol" +
+          labelCol.fold("")("/" + _) + " in export row key="),
+          col(keyCol).cast("string"))).isNull)
     labelCol match {
       case Some(lc) =>
-        df.select(org.apache.spark.sql.functions.col(keyCol).cast("long"),
-            org.apache.spark.sql.functions.col(vecCol).cast("array<float>"),
-            org.apache.spark.sql.functions.col(lc).cast("long"))
+        guarded(df.select(col(keyCol).cast("long").as(keyCol),
+            col(vecCol).cast("array<float>").as(vecCol),
+            col(lc).cast("long").as(lc)), Seq(keyCol, vecCol, lc))
           .as[(Long, Seq[Float], Long)]
           .mapPartitions(_.map { case (k, v, l) => (k, numericDatum(k, v, Some(l))) })
           .toDF("key", "datum")
       case None =>
-        df.select(org.apache.spark.sql.functions.col(keyCol).cast("long"),
-            org.apache.spark.sql.functions.col(vecCol).cast("array<float>"))
+        guarded(df.select(col(keyCol).cast("long").as(keyCol),
+            col(vecCol).cast("array<float>").as(vecCol)), Seq(keyCol, vecCol))
           .as[(Long, Seq[Float])]
           .mapPartitions(_.map { case (k, v) => (k, numericDatum(k, v, None)) })
           .toDF("key", "datum")
@@ -237,11 +250,14 @@ object ProtoDatum {
     val r = new Reader(bytes, 0, bytes.length)
     var d = Datum()
     while (r.hasMore) {
-      val key = r.varint(); val field = (key >> 3).toInt; val wire = (key & 7).toInt
+      val key = r.varint(); val field = key >>> 3; val wire = (key & 7).toInt
+      // field number kept as Long: a corrupt varint encoding 2^32+10
+      // would alias onto field 10 under .toInt and be MISPARSED as the
+      // Numeric submessage instead of skipped
       field match {
-        case 10 => r.expectWire(10, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(numeric = Some(decodeNumeric(bytes, s, e)))
-        case 11 => r.expectWire(11, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(imgdata = Some(decodeImg(bytes, s, e)))
-        case 13 => r.expectWire(13, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(classs = Some(decodeClass(bytes, s, e)))
+        case 10L => r.expectWire(10, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(numeric = Some(decodeNumeric(bytes, s, e)))
+        case 11L => r.expectWire(11, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(imgdata = Some(decodeImg(bytes, s, e)))
+        case 13L => r.expectWire(13, wire, 2); val (s, e) = r.lenDelimited(); d = d.copy(classs = Some(decodeClass(bytes, s, e)))
         case _ => r.skip(wire)
       }
     }
@@ -252,19 +268,19 @@ object ProtoDatum {
     var id = ""; var size: Option[Size] = None; var data = Array.empty[Byte]
     while (r.hasMore) {
       val key = r.varint()
-      ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); id = new String(r.slice(s, e), "UTF-8")
-        case (2, w) =>
+      (key >>> 3, (key & 7).toInt) match {
+        case (1L, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); id = new String(r.slice(s, e), "UTF-8")
+        case (2L, w) =>
           r.expectWire(2, w, 2)
           val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
           var dim = 1L
           while (rr.hasMore) {
             val k2 = rr.varint()
-            if ((k2 >> 3).toInt == 1) { rr.expectWire(1, (k2 & 7).toInt, 0); dim = rr.varint() }
+            if ((k2 >>> 3) == 1L) { rr.expectWire(1, (k2 & 7).toInt, 0); dim = rr.varint() }
             else rr.skip((k2 & 7).toInt)
           }
           size = Some(Size(dim))
-        case (3, w) => r.expectWire(3, w, 2); val (s, e) = r.lenDelimited(); data = r.slice(s, e)
+        case (3L, w) => r.expectWire(3, w, 2); val (s, e) = r.lenDelimited(); data = r.slice(s, e)
         case (_, w) => r.skip(w)
       }
     }
@@ -276,18 +292,18 @@ object ProtoDatum {
     val floats = scala.collection.mutable.ArrayBuffer.empty[Float]
     while (r.hasMore) {
       val key = r.varint()
-      ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
-        case (2, w) => r.expectWire(2, w, 0); m = m.copy(channels = Some(r.varint()))
-        case (3, w) => r.expectWire(3, w, 0); m = m.copy(height = Some(r.varint()))
-        case (4, w) => r.expectWire(4, w, 0); m = m.copy(width = Some(r.varint()))
-        case (5, w) => r.expectWire(5, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(data = Some(r.slice(s, e)))
-        case (6, 5) => floats += r.float32()
-        case (6, 2) => // packed encoding also legal on the read path
+      (key >>> 3, (key & 7).toInt) match {
+        case (1L, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2L, w) => r.expectWire(2, w, 0); m = m.copy(channels = Some(r.varint()))
+        case (3L, w) => r.expectWire(3, w, 0); m = m.copy(height = Some(r.varint()))
+        case (4L, w) => r.expectWire(4, w, 0); m = m.copy(width = Some(r.varint()))
+        case (5L, w) => r.expectWire(5, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(data = Some(r.slice(s, e)))
+        case (6L, 5) => floats += r.float32()
+        case (6L, 2) => // packed encoding also legal on the read path
           val (s, e) = r.lenDelimited(); val rr = new Reader(bytes, s, e)
           while (rr.hasMore) floats += rr.float32()
-        case (6, w) => throw new MalformedDatumException(s"field 6 has wire type $w, expected 5 or 2")
-        case (7, w) => r.expectWire(7, w, 0); m = m.copy(encoded = Some(r.varint() != 0L))
+        case (6L, w) => throw new MalformedDatumException(s"field 6 has wire type $w, expected 5 or 2")
+        case (7L, w) => r.expectWire(7, w, 0); m = m.copy(encoded = Some(r.varint() != 0L))
         case (_, w) => r.skip(w)
       }
     }
@@ -298,11 +314,11 @@ object ProtoDatum {
     var m = ClassMsg("", None, None)
     while (r.hasMore) {
       val key = r.varint()
-      ((key >> 3).toInt, (key & 7).toInt) match {
-        case (1, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
-        case (2, w) => r.expectWire(2, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(slabel = Some(new String(r.slice(s, e), "UTF-8")))
-        case (3, w) => r.expectWire(3, w, 0); m = m.copy(nlabel = Some(r.varint()))
-        case (4, w) => r.expectWire(4, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(multilabel = Some(r.slice(s, e)))
+      (key >>> 3, (key & 7).toInt) match {
+        case (1L, w) => r.expectWire(1, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(identifier = new String(r.slice(s, e), "UTF-8"))
+        case (2L, w) => r.expectWire(2, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(slabel = Some(new String(r.slice(s, e), "UTF-8")))
+        case (3L, w) => r.expectWire(3, w, 0); m = m.copy(nlabel = Some(r.varint()))
+        case (4L, w) => r.expectWire(4, w, 2); val (s, e) = r.lenDelimited(); m = m.copy(multilabel = Some(r.slice(s, e)))
         case (_, w) => r.skip(w)
       }
     }

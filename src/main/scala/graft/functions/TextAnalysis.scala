@@ -26,15 +26,24 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("\\w+"), lit(0))
 
-  /** Whitespace-delimited token count. */
+  /** Whitespace-delimited token count. Empty/whitespace-only text counts
+    * 0 (split('') returns [''], which would count 1 — an empty doc is not
+    * a one-token doc); the q22 oracle twin carries the same guard. */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** Distinct word n-gram shingles ("w1 w2 ... wn"), from an ordered
-    * token array. Requires size(toks) >= n; callers guard. */
+    * token array. TOTAL: a sub-n document yields the empty set — without
+    * the guard, sequence(1, size-(n-1)) DESCENDS through 0 and
+    * element_at(toks, 0) throws INVALID_INDEX_OF_ZERO, killing the whole
+    * query on one short document (the DuckDB twins' `len(toks) >= n`
+    * guards produce the same empty set). */
   def wordNgrams(toks: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(off => element_at(toks, i + off)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(off => element_at(toks, i + off)): _*))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   /** BPE-ish subword count estimate: sum over tokens of ceil(len/4),
     * as exact integer arithmetic ((len+3) div 4). */
@@ -140,9 +149,11 @@ object TextAnalysis {
     * Same deterministic tie-break order. */
   def predictedLangTrigram(text: Column): Column = {
     val tris = charTrigrams(text)
-    predictedLang(
+    // NULL text stays NULL: the zero-score path would otherwise win the
+    // en-first tie-break and confidently label missing documents English
+    when(text.isNull, lit(null).cast("string")).otherwise(predictedLang(
       trigramScore(tris, TriEn), trigramScore(tris, TriDe),
-      trigramScore(tris, TriEs), trigramScore(tris, TriFr))
+      trigramScore(tris, TriEs), trigramScore(tris, TriFr)))
   }
 
   // ---- quality scoring -------------------------------------------------
@@ -227,8 +238,13 @@ object TextAnalysis {
     "<script[^>]*>[^<]*</script>" -> " ",
     "<style[^>]*>[^<]*</style>" -> " ",
     "<[^>]+>" -> " ",
-    "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+    // &amp; decodes LAST within the entity chain: decoding it first
+    // would turn a double-encoded &amp;lt; into &lt; and then into a
+    // literal '<' — the entity-order variant of the sanitizer bug the
+    // tag/entity ordering above already avoids
+    "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&",
     "[ \\t\\r\\n]+" -> " ")
 
   /** Strip markup from `html`, in [[MarkupStrip]] order, and trim. A

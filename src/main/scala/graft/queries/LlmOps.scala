@@ -169,7 +169,8 @@ object LlmOps {
       // for the SQL literal — the segmentations cannot drift
       Some(s"""WITH w AS (SELECT doc_id, text, regexp_extract_all(text, '\\w+') AS toks FROM documents)
         SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+          CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_ws,
           CAST(len(toks) AS BIGINT) AS n_re,
           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
           CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS ttr,

@@ -99,6 +99,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(fp._1 == viaCol)
   }
 
+  test("sketch expression edge semantics: mismatch/empty/wrong type") {
+    graft.expressions.Sketches.registerSql(spark)
+    // length-mismatched embeddings: NULL (the zip_with semantics), never
+    // a silently truncated similarity
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(1.0D, 1.0D)) AS d,
+                graft_simhash60(CAST(array() AS ARRAY<BIGINT>)) AS fp""")
+      .collect().head
+    assert(r.isNullAt(0), "length mismatch must be NULL")
+    assert(r.isNullAt(1), "empty simhash input must be NULL, not all-ones")
+    // array<int> arguments implicit-cast to array<bigint> instead of
+    // reading 8-byte slots from 4-byte data (silent garbage pre-fix)
+    val viaInt = spark.sql("SELECT graft_simhash60(array(7, 9)) AS fp")
+      .as[java.lang.Long].collect().head
+    val viaLong = spark.sql("SELECT graft_simhash60(array(7L, 9L)) AS fp")
+      .as[java.lang.Long].collect().head
+    assert(viaInt == viaLong)
+    // a non-castable argument is an ANALYSIS error, not executor garbage
+    // (scalar 42 implicit-casts to '42', the built-in string-fn behavior)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_nfc(array(1, 2))").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_dot(array('x'), array('y'))").collect())
+  }
+
   test("text-cleaning functions from SQL match the Column API") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext)

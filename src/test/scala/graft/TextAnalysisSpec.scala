@@ -113,4 +113,34 @@ class TextAnalysisSpec extends SparkSpec {
     val grams = df.select(TextAnalysis.wordNgrams(toks, 2)).as[Seq[String]].collect().head
     assert(grams.toSet == Set("a b", "b c", "c a"))
   }
+
+  test("wordNgrams is total: sub-n documents yield the empty set, not a crash") {
+    // sequence(1, size-(n-1)) DESCENDS for short docs; element_at(toks, 0)
+    // then threw INVALID_INDEX_OF_ZERO and killed the whole query
+    val df = Seq((1L, ""), (2L, "one"), (3L, "just two"), (4L, "a b c d"))
+      .toDF("id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = df.select(col("id"), TextAnalysis.wordNgrams(toks, 3))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(grams(1L).isEmpty && grams(2L).isEmpty && grams(3L).isEmpty)
+    assert(grams(4L).toSet == Set("a b c", "b c d"))
+  }
+
+  test("wsTokenCount: empty and whitespace-only text count zero tokens") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "two words")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.wsTokenCount(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
+
+  test("stripMarkup decodes entities exactly once (no &amp;-first double decode)") {
+    // double-encoded markup must decode ONE level, never re-materialize
+    // literal angle brackets in 'markup-free' text
+    val df = Seq((1L, "use &amp;lt;script&amp;gt; tags"),
+      (2L, "a &amp; b &lt;ok&gt;")).toDF("id", "html")
+    val got = df.select(col("id"), TextAnalysis.stripMarkup(col("html")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "use &lt;script&gt; tags")
+    assert(got(2L) == "a & b <ok>")
+  }
 }
