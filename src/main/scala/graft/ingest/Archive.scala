@@ -33,10 +33,17 @@ object Archive {
     * (`server.py:107-116`), minus the polling. Redirects are followed;
     * non-2xx fails. Driver-side staging only, like [[extractZip]]. */
   def fetch(url: String, destPath: String,
-            progress: (Long, Long) => Unit = (_, _) => ()): String = {
+            progress: (Long, Long) => Unit = (_, _) => (),
+            connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+            requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(30)): String = {
+    // timeouts: a server that accepts the connection but never sends
+    // would otherwise block this thread forever — and the control plane's
+    // state machine with it (no fetch failure ever fires)
     val client = java.net.http.HttpClient.newBuilder()
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(connectTimeout).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(requestTimeout).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
     val in = resp.body()
     try {

@@ -24,6 +24,11 @@ final case class BatchExport(df: DataFrame, keyCol: String,
                              inputCols: Seq[String], outputCols: Seq[String],
                              batchSize: Int) {
 
+  // reject at construction: batchSize 0 surfaced later as an opaque
+  // ArithmeticException from nBatches, negatives as an AnalysisException
+  // from limit() mid-epoch
+  require(batchSize > 0, s"BatchExport: batchSize must be positive, got $batchSize")
+
   lazy val nSamples: Long = df.count()
   lazy val nBatches: Long = nSamples / batchSize
 

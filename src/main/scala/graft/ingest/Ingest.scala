@@ -43,7 +43,14 @@ object Ingest {
     * This is the 100 TB path: two narrow passes, no data shuffle —
     * the count job shuffles |partitions| rows, the offset join is a
     * broadcast. */
-  def withScalableKey(df: DataFrame, keyName: String = "key"): DataFrame = {
+  def withScalableKey(df: DataFrame, keyName: String = "key"): DataFrame =
+    withScalableKeyCounted(df, keyName)._1
+
+  /** [[withScalableKey]] plus the exact row count the offset pass already
+    * computed — callers needing both (positional alignment checks) get
+    * the count for zero extra jobs. */
+  private[graft] def withScalableKeyCounted(df: DataFrame,
+                                            keyName: String = "key"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val counts = df.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n"))
@@ -57,11 +64,18 @@ object Ingest {
       StructType(Seq(
         org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("_off", LongType, nullable = false))))
-    df.withColumn("_pid", spark_partition_id())
+    // LEFT join + loud assert: the two passes evaluate df independently,
+    // and a partition id appearing only in the second pass (recomputed
+    // nondeterministic source, AQE re-coalesce) would be silently DROPPED
+    // by an inner join — wrong record count with no error
+    val keyed = df.withColumn("_pid", spark_partition_id())
       .withColumn("_pos", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .join(broadcast(offDf), Seq("_pid"))
+      .join(broadcast(offDf), Seq("_pid"), "left")
+      .filter(assert_true(col("_off").isNotNull,
+        lit("withScalableKey: partition set changed between the count and key passes")).isNull)
       .withColumn(keyName, col("_off") + col("_pos") + lit(1L))
       .drop("_pid", "_pos", "_off")
+    (keyed, acc)
   }
 
   // ---- S6/S7: tabular scans ---------------------------------------------
@@ -173,7 +187,15 @@ object Ingest {
     val wide = ranked.groupBy("slabel", "pos")
       .pivot("stream")
       .agg(first(struct(col("path"), col("content"))))
-    withDenseKey(wide, Seq(col("slabel"), col("pos"))).drop("pos")
+    // ragged streams: the reference's sorted zip truncates each label to
+    // its SHORTEST stream (serialize.py:91) — the pivot instead keeps the
+    // longer stream's tail rows with NULL structs for the missing side,
+    // which would hand null images to the training consumer
+    val streamCols = wide.columns.filterNot(Set("slabel", "pos"))
+    val complete =
+      if (streamCols.isEmpty) wide
+      else wide.filter(streamCols.map(col(_).isNotNull).reduce(_ && _))
+    withDenseKey(complete, Seq(col("slabel"), col("pos"))).drop("pos")
   }
 
   /** One S5 stream: the binding-table column holding the file stem, plus
@@ -248,7 +270,14 @@ object Ingest {
                  out: String = "bow"): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val toks = graft.functions.TextAnalysis.tokens(lower(col(textCol)))
-    val sorted = df.select(explode(toks).as("term")).distinct().orderBy("term")
+    // ONE tokenization pass: the per-(key, term) counts are checkpointed
+    // eagerly, then BOTH the vocab (distinct terms) and the sparse rows
+    // derive from them — without this the corpus-wide regexp tokenize
+    // (the operator's dominant CPU cost) ran twice
+    val counts = df.select(col(keyCol), explode(toks).as("term"))
+      .groupBy(keyCol, "term").count()
+      .localCheckpoint(true)
+    val sorted = counts.select("term").distinct().orderBy("term")
     // ids follow the global sort: orderBy range-partitions with sorted
     // partitions in order, zipWithIndex numbers across them — two narrow
     // passes (count job + map), no single-partition stage
@@ -258,8 +287,6 @@ object Ingest {
     val vocab = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) },
       vocabSchema)
-    val counts = df.select(col(keyCol), explode(toks).as("term"))
-      .groupBy(keyCol, "term").count()
     val sparse = counts.join(vocab, "term")
       .groupBy(keyCol)
       .agg(sort_array(collect_list(struct(

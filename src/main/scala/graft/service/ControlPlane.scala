@@ -64,9 +64,17 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
   def currentState: State = state
   def shapes: Map[String, Seq[Int]] = lastShapes
 
+  /** True when a previous serialize's parquet sink is on disk. */
+  private def sinkExists: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sinkDir/$sinkName.parquet"))
+
   /** Start listening; returns the bound port (ephemeral when `port`=0). */
   def start(): Int = synchronized {
     require(server == null, "already started")
+    // restart recovery: a sink persisted by a previous process IS the
+    // Serialized state — without this, the on-disk sink (and the S5
+    // streams.json written beside it) could never be deserialized again
+    if (state == Idle && sinkExists) state = Serialized
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/download", (ex: HttpExchange) => handle(ex))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -137,13 +145,22 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           }
         }
       case Some("deserialize") =>
-        if (tryTransition(s => s == Serialized || s == Trained, Training)) {
-          val batchSize = req \ "batch_size" match {
-            case JInt(n)    => n.toInt
-            case JString(s) => s.toInt
-            case _          => 32
-          }
-          val job = new Thread(() => runTrainingHandOff(batchSize), "graft-train")
+        // parse + validate BEFORE the state transition: a bad batch_size
+        // after moving to Training would wedge the machine there forever
+        // (the job thread that could transition out is never created)
+        val batchSize = req \ "batch_size" match {
+          case JInt(n) if n >= 1 && n <= Int.MaxValue => Some(n.toInt)
+          case JString(s) => s.toIntOption.filter(_ >= 1)
+          case JNothing | JNull => Some(32)
+          case _ => None
+        }
+        if (batchSize.isEmpty) respond(ex, "Please provide a valid command.")
+        // a FAILED train may retry as long as the sink survives — the
+        // serialized data is intact, re-downloading the archive to get
+        // out of Failed would be pure waste
+        else if (tryTransition(s => s == Serialized || s == Trained ||
+            (s.isInstanceOf[Failed] && sinkExists), Training)) {
+          val job = new Thread(() => runTrainingHandOff(batchSize.get), "graft-train")
           job.setDaemon(true)
           job.start()
           respond(ex, "Started training. Sit back.")
@@ -270,8 +287,9 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
                                 sides: Seq[SideStream]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     if (sides.isEmpty) return binding
-    val keyedBinding = Ingest.withScalableKey(binding, "_row")
-    val nBinding = keyedBinding.count()
+    // the scalable-key pass already computes exact totals — no extra
+    // count() scans for the row-parity check
+    val (keyedBinding, nBinding) = Ingest.withScalableKeyCounted(binding, "_row")
     val widened = sides.foldLeft(keyedBinding) { (acc, ss) =>
       val path = s"$dataDir/${ss.file}"
       val cName = s"${ss.name}_content"
@@ -285,8 +303,8 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
                    else Ingest.readJson(spark, path)
           df.select(Ingest.selectTextColumn(df, ss.textCol).cast("string").as(cName))
         } else spark.read.text(path).select(col("value").as(cName))
-      val keyedSide = Ingest.withScalableKey(content.select(col(cName)), "_row")
-      val nSide = keyedSide.count()
+      val (keyedSide, nSide) =
+        Ingest.withScalableKeyCounted(content.select(col(cName)), "_row")
       if (nSide != nBinding)
         throw new IllegalArgumentException(
           s"side stream '${ss.file}' has $nSide rows but the binding table has $nBinding")

@@ -40,8 +40,12 @@ object PipelineClient {
   def main(args: Array[String]): Unit =
     args.toList match {
       case "--method" :: "POST" :: file :: _ => send("POST", Some(file))
-      case "--method" :: "GET" :: _          => send("GET", None)
-      case "--method" :: _ :: _              => send("GET", None) // reference: non-POST → GET
+      // POST with the file forgotten must be a usage error, not a silent
+      // GET status poll the user mistakes for a submitted command
+      case "--method" :: "POST" :: Nil =>
+        System.err.println("Error: No request file provided for POST request.\n" + usage)
+        sys.exit(1)
+      case "--method" :: _ :: _ => send("GET", None) // reference: non-POST → GET
       case _ =>
         System.err.println("Error: Not all parameters provided.\n" + usage)
         sys.exit(1)

@@ -263,6 +263,55 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("invalid batch_size is rejected BEFORE the Training transition (no wedge)") {
+    withFixtureServer(datasetZip()) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-badbs").toString
+      val cp = new ControlPlane(spark, work)
+      val port = cp.start()
+      try {
+        val ep = s"http://127.0.0.1:$port/download"
+        assert(post(ep, s"""{"command":"serialize","id":"x","url":"$zipUrl"}""") ==
+          "Dataset downloaded.")
+        pollUntil(cp, ControlPlane.Serialized)
+        // a non-numeric batch_size once moved state to Training and then
+        // threw, wedging the machine there forever
+        assert(post(ep, """{"command":"deserialize","batch_size":"abc"}""") ==
+          "Please provide a valid command.")
+        assert(post(ep, """{"command":"deserialize","batch_size":0}""") ==
+          "Please provide a valid command.")
+        assert(cp.currentState == ControlPlane.Serialized)
+        // a valid request still goes through afterwards
+        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+          "Started training. Sit back.")
+        pollUntil(cp, ControlPlane.Trained)
+      } finally cp.stop()
+    }
+  }
+
+  test("restart recovery: a persisted sink is deserializable without re-serializing") {
+    withFixtureServer(datasetZip()) { zipUrl =>
+      val work = java.nio.file.Files.createTempDirectory("graft-cp-restart").toString
+      val cp1 = new ControlPlane(spark, work)
+      val port1 = cp1.start()
+      try {
+        assert(post(s"http://127.0.0.1:$port1/download",
+          s"""{"command":"serialize","id":"r","url":"$zipUrl"}""") == "Dataset downloaded.")
+        pollUntil(cp1, ControlPlane.Serialized)
+      } finally cp1.stop()
+      // fresh process over the same workDir: the sink on disk IS the
+      // Serialized state — deserialize must not demand a re-download
+      val cp2 = new ControlPlane(spark, work)
+      val port2 = cp2.start()
+      try {
+        assert(cp2.currentState == ControlPlane.Serialized)
+        assert(post(s"http://127.0.0.1:$port2/download",
+          """{"command":"deserialize","batch_size":1}""") == "Started training. Sit back.")
+        pollUntil(cp2, ControlPlane.Trained)
+        assert(cp2.shapes.nonEmpty)
+      } finally cp2.stop()
+    }
+  }
+
   test("PipelineClient drives the control plane like the reference CLI (C3)") {
     withFixtureServer(datasetZip()) { zipUrl =>
       val work = java.nio.file.Files.createTempDirectory("graft-cp-cli").toString

@@ -93,6 +93,21 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("n-stream scan truncates ragged streams to the shortest (S4 zip parity)") {
+    // rgb has 3 files for label a, depth only 2: the reference's sorted
+    // zip forms 2 records — the pivot must not emit a third with a NULL
+    // depth struct
+    val dir = tmpDir("mimo-ragged")
+    for ((stream, n) <- Seq("rgb" -> 3, "depth" -> 2); i <- 1 to n) {
+      Files.createDirectories(Paths.get(dir, stream, "a"))
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      ImageIO.write(img, "png", Paths.get(dir, stream, "a", s"f$i.png").toFile)
+    }
+    val wide = Ingest.readImageStreams(spark, dir)
+    assert(wide.count() == 2)
+    assert(wide.filter(col("rgb").isNull || col("depth").isNull).count() == 0)
+  }
+
   test("binding-driven scan associates per-stream files by stem (S5)") {
     val dir = tmpDir("binding")
     for (stem <- Seq("x1", "x2", "y1")) {
