@@ -2645,14 +2645,16 @@ object Analytics {
           .withColumn("dw", pmod(col("x") + 4L, lit(7L)))
         val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
         val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-        val slope = num / dx
+        // Det.nz: a degenerate spine (single day -> dx=0) must yield NULL
+        // like DuckDB's /0, not Spark's Inf
+        val slope = num / Det.nz(dx)
         horizon.join(broadcast(dow), Seq("dw"))
           .select(col("h"), col("x"), col("dw"),
             (slope * col("x").cast("double")
               + (col("sy").cast("double") - slope * col("sx").cast("double"))
-                / col("n").cast("double")
-              + (col("sdw").cast("double") / col("ndw").cast("double")
-                - col("sy").cast("double") / col("n").cast("double")))
+                / Det.nz(col("n").cast("double"))
+              + (col("sdw").cast("double") / Det.nz(col("ndw").cast("double"))
+                - col("sy").cast("double") / Det.nz(col("n").cast("double"))))
               .as("yhat"))
           .orderBy("h")
       },
@@ -2704,12 +2706,12 @@ object Analytics {
           .crossJoin(broadcast(stats))
         val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
         val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-        val slope = num / dx
+        val slope = num / Det.nz(dx) // constant/degenerate train set -> NULL
         val yhat = slope * col("x").cast("double") +
           ((col("sy").cast("double") - slope * col("sx").cast("double")) /
-            col("n").cast("double")) +
-          (col("sdw").cast("double") / col("ndw").cast("double") -
-            col("sy").cast("double") / col("n").cast("double"))
+            Det.nz(col("n").cast("double"))) +
+          (col("sdw").cast("double") / Det.nz(col("ndw").cast("double")) -
+            col("sy").cast("double") / Det.nz(col("n").cast("double")))
         val scored = test.select(col("x"),
           abs(col("ylag7") - col("y")).as("naive_err"),
           abs(yhat - col("y").cast("double")).as("model_err"))
@@ -2719,9 +2721,9 @@ object Analytics {
               " CAST(0 AS DOUBLE), (acc, e) -> acc + e.model_err)")
               .as("model_abs_sum"))
           .select(col("n_test"), col("naive_abs_sum"), col("model_abs_sum"),
-            (col("naive_abs_sum").cast("double") / col("n_test").cast("double"))
+            (col("naive_abs_sum").cast("double") / Det.nz(col("n_test").cast("double")))
               .as("mae_naive"),
-            (col("model_abs_sum") / col("n_test").cast("double")).as("mae_model"),
+            (col("model_abs_sum") / Det.nz(col("n_test").cast("double"))).as("mae_model"),
             (col("model_abs_sum")
               < col("naive_abs_sum").cast("double")).as("model_wins"))
       },

@@ -26,6 +26,13 @@ object Det {
   val Money: DecimalType = DecimalType(12, 2)
   val Rate: DecimalType = DecimalType(4, 2)
 
+  /** NULL-on-zero denominator. Spark's `x / 0.0` is IEEE Inf/NaN but
+    * DuckDB's is NULL, so a statistic whose denominator can collapse to
+    * zero on degenerate data (single-row arm, constant series) diverges
+    * cross-engine exactly when it matters. Dividing by `nz(d)` makes the
+    * Spark side yield NULL too — the oracle needs no change. */
+  def nz(d: Column): Column = when(d =!= lit(0).cast("double"), d)
+
   /** Source money column as exact decimal. */
   def money(c: Column): Column = c.cast(Money)
 

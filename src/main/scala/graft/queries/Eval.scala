@@ -24,6 +24,35 @@ object Eval {
   private def sqlList(ws: Seq[String]): String =
     ws.mkString("['", "','", "']")
 
+  /** Per-user survival input shared by q254 (Kaplan-Meier) and q285
+    * (log-rank): observation window [d0, d1], first purchase p0,
+    * duration to conversion-or-censoring, and the `converted` event flag
+    * (true = the user DID purchase; censored users carry false). One
+    * definition so a censoring change cannot desynchronize the paired
+    * statistics. */
+  private def userSurvival(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"),
+        to_date(min(when(col("event_type") === "purchase", col("ts"))))
+          .as("p0"))
+      .select(col("user_id"),
+        datediff(coalesce(col("p0"), col("d1")), col("d0")).cast("long")
+          .as("dur"),
+        col("p0").isNotNull.as("converted"))
+
+  /** DuckDB twin of [[userSurvival]] (CTE body yielding user_id, dur,
+    * converted). */
+  private val SqlSurvival: String =
+    """u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
+            CAST(MAX(ts) AS DATE) AS d1,
+            CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE) AS p0
+          FROM events GROUP BY user_id),
+        su AS (SELECT user_id,
+            CAST(DATEDIFF('day', d0, COALESCE(p0, d1)) AS BIGINT) AS dur,
+            p0 IS NOT NULL AS converted FROM u)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- Kaplan-Meier survival (time to first purchase) -----------------
@@ -42,19 +71,10 @@ object Eval {
     // the same ORDER BY list.
     "q254_kaplan_meier" -> Q(
       (s, dir) => {
-        val du = t(s, dir, "events")
-          .groupBy("user_id")
-          .agg(to_date(min(col("ts"))).as("d0"),
-            to_date(max(col("ts"))).as("d1"),
-            to_date(min(when(col("event_type") === "purchase", col("ts"))))
-              .as("p0"))
-          .select(
-            datediff(coalesce(col("p0"), col("d1")), col("d0")).cast("long")
-              .as("dur"),
-            col("p0").isNotNull.as("churn"))
+        val du = userSurvival(s, dir)
         val byDur = du.groupBy("dur")
           .agg(count(lit(1)).as("m"),
-            sum(when(col("churn"), 1L).otherwise(0L)).as("d"))
+            sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
         val wBefore = Window.orderBy("dur")
           .rowsBetween(Window.unboundedPreceding, -1)
         val tot = byDur.agg(sum(col("m")).as("n_total"))
@@ -73,15 +93,10 @@ object Eval {
               " (acc, x) -> acc * x.term)").as("survival"))
           .orderBy("t_day")
       },
-      Some("""WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
-            CAST(MAX(ts) AS DATE) AS d1,
-            CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE) AS p0
-          FROM events GROUP BY user_id),
-        du AS (SELECT CAST(DATEDIFF('day', d0, COALESCE(p0, d1)) AS BIGINT) AS dur,
-            p0 IS NOT NULL AS churn FROM u),
+      Some(s"""WITH $SqlSurvival,
         bd AS (SELECT dur, COUNT(*) AS m,
-            SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS d
-          FROM du GROUP BY dur),
+            SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS d
+          FROM su GROUP BY dur),
         r AS (SELECT dur, d,
             (SELECT SUM(m) FROM bd) -
               COALESCE(SUM(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
@@ -111,16 +126,8 @@ object Eval {
     // one groupBy over per-user rows plus duration-domain windows.
     "q285_km_logrank" -> Q(
       (s, dir) => {
-        val du = t(s, dir, "events")
-          .groupBy("user_id")
-          .agg(to_date(min(col("ts"))).as("d0"),
-            to_date(max(col("ts"))).as("d1"),
-            to_date(min(when(col("event_type") === "purchase", col("ts"))))
-              .as("p0"))
-          .select(
-            datediff(coalesce(col("p0"), col("d1")), col("d0")).cast("long")
-              .as("dur"),
-            col("p0").isNotNull.cast("long").as("conv"),
+        val du = userSurvival(s, dir)
+          .select(col("dur"), col("converted").cast("long").as("conv"),
             (pmod(graft.functions.Hashing.h28(
               concat(lit("t"), col("user_id").cast("string"))), lit(2L)) === 0L)
               .as("tr"))
@@ -157,15 +164,12 @@ object Eval {
               * (col("sum_o").cast("double") - col("sum_e")) / col("sum_v"))
             .as("logrank_z2"))
       },
-      Some(s"""WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0,
-            CAST(MAX(ts) AS DATE) AS d1,
-            CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE) AS p0
-          FROM events GROUP BY user_id),
-        du AS (SELECT CAST(DATEDIFF('day', d0, COALESCE(p0, d1)) AS BIGINT) AS dur,
-            CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS conv,
+      Some(s"""WITH $SqlSurvival,
+        du AS (SELECT dur,
+            CASE WHEN converted THEN 1 ELSE 0 END AS conv,
             ${graft.functions.Hashing.sqlH28("'t' || CAST(user_id AS VARCHAR)")} % 2 = 0
               AS tr
-          FROM u),
+          FROM su),
         bd AS (SELECT dur,
             SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS m_t,
             SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS m_c,

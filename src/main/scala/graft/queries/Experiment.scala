@@ -25,6 +25,42 @@ object Experiment {
   private val SqlTreated =
     s"${Hashing.sqlH28("'t' || CAST(user_id AS VARCHAR)")} % 2 = 0"
 
+  /** Per-user paired pre/post comparison shared by q297 (sign test) and
+    * q298 (Wilcoxon signed-rank): cents and active-day counts on each
+    * side of the cut date, users active on both sides, and the exact
+    * cross-multiplied per-day-value comparison `cmp` (sign of
+    * post_rate − pre_rate without a division). One definition so a cut
+    * or censoring change cannot desynchronize the paired tests. */
+  private def prePostCmp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"),
+        (to_date(col("ts")) >= to_date(lit("2024-01-16"))).as("post"),
+        to_date(col("ts")).as("day"),
+        (Det.money(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("pre_c"),
+        countDistinct(when(!col("post"), col("day"))).as("pre_d"),
+        sum(when(col("post"), col("cents")).otherwise(0L)).as("post_c"),
+        countDistinct(when(col("post"), col("day"))).as("post_d"))
+      .filter(col("pre_d") > 0L && col("post_d") > 0L)
+      .withColumn("cmp",
+        col("post_c") * col("pre_d") - col("pre_c") * col("post_d"))
+
+  /** DuckDB twin of [[prePostCmp]] (the `per` CTE; each test defines its
+    * own cmp selection on top). */
+  private val SqlPrePost: String =
+    """per AS (SELECT user_id,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
+              ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS pre_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS pre_d,
+            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
+              AS post_c,
+            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN CAST(ts AS DATE) END) AS post_d
+          FROM events GROUP BY user_id)"""
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- off-policy evaluation by replay --------------------------------
@@ -298,13 +334,15 @@ object Experiment {
           .agg(count(lit(1)).as("n"),
             Det.moneySumExact(col("value")).as("sv"),
             sum(Det.money(col("value")) * Det.money(col("value"))).as("svv"))
+          // Det.nz: a single-event type (n=1, n_arm=0) must yield NULL
+          // like DuckDB's /0, not Spark's Inf
           .withColumn("variance",
             (col("n").cast("double") * col("svv").cast("double")
               - col("sv").cast("double") * col("sv").cast("double"))
-              / (col("n").cast("double") * (col("n") - 1L).cast("double")))
+              / Det.nz(col("n").cast("double") * (col("n") - 1L).cast("double")))
           .withColumn("n_arm", expr("n div 2"))
           .withColumn("mde", z * sqrt(lit(2d) * col("variance")
-            / col("n_arm").cast("double")))
+            / Det.nz(col("n_arm").cast("double"))))
           .select("event_type", "n", "variance", "n_arm", "mde")
           .orderBy("event_type")
       },
@@ -357,20 +395,22 @@ object Experiment {
               sum(when(!col("tr"), col("v") * col("v"))
                 .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(24, 4))))
                 .as("svv_c"))
+            // Det.nz on every collapsible denominator: an arm with n<=1
+            // must yield NULL (DuckDB's /0) not Inf/NaN (Spark's)
             .select(lit(look).as("look"), col("n_t"), col("n_c"),
-              (col("sv_t").cast("double") / col("n_t").cast("double")
-                - col("sv_c").cast("double") / col("n_c").cast("double"))
+              (col("sv_t").cast("double") / Det.nz(col("n_t").cast("double"))
+                - col("sv_c").cast("double") / Det.nz(col("n_c").cast("double")))
                 .as("mean_diff"),
               ((col("n_t").cast("double") * col("svv_t").cast("double")
                 - col("sv_t").cast("double") * col("sv_t").cast("double"))
-                / (col("n_t").cast("double") * (col("n_t") - 1L).cast("double"))
-                / col("n_t").cast("double")
+                / Det.nz(col("n_t").cast("double") * (col("n_t") - 1L).cast("double"))
+                / Det.nz(col("n_t").cast("double"))
                 + (col("n_c").cast("double") * col("svv_c").cast("double")
                   - col("sv_c").cast("double") * col("sv_c").cast("double"))
-                  / (col("n_c").cast("double") * (col("n_c") - 1L).cast("double"))
-                  / col("n_c").cast("double")).as("se2"),
+                  / Det.nz(col("n_c").cast("double") * (col("n_c") - 1L).cast("double"))
+                  / Det.nz(col("n_c").cast("double"))).as("se2"),
               lit(bound).cast("double").as("boundary"))
-            .withColumn("z", col("mean_diff") / sqrt(col("se2")))
+            .withColumn("z", col("mean_diff") / Det.nz(sqrt(col("se2"))))
             .withColumn("reject", abs(col("z")) > col("boundary"))
         }
         rows.reduce(_.unionAll(_)).orderBy("look")
@@ -425,42 +465,20 @@ object Experiment {
     // prescribes.
     "q297_sign_test" -> Q(
       (s, dir) => {
-        val cut = to_date(lit("2024-01-16"))
-        val per = t(s, dir, "events")
-          .select(col("user_id"),
-            (to_date(col("ts")) >= cut).as("post"),
-            to_date(col("ts")).as("day"),
-            (Det.money(col("value")) * 100).cast("long").as("cents"))
-          .groupBy("user_id")
-          .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("pre_c"),
-            countDistinct(when(!col("post"), col("day"))).as("pre_d"),
-            sum(when(col("post"), col("cents")).otherwise(0L)).as("post_c"),
-            countDistinct(when(col("post"), col("day"))).as("post_d"))
-          .filter(col("pre_d") > 0L && col("post_d") > 0L)
-          .withColumn("cmp",
-            col("post_c") * col("pre_d") - col("pre_c") * col("post_d"))
+        val per = prePostCmp(s, dir)
         per.agg(
             sum(when(col("cmp") > 0L, 1L).otherwise(0L)).as("n_pos"),
             sum(when(col("cmp") < 0L, 1L).otherwise(0L)).as("n_neg"),
             sum(when(col("cmp") === 0L, 1L).otherwise(0L)).as("n_tie"))
           .withColumn("n", col("n_pos") + col("n_neg"))
+          // Det.nz: n=0 (all ties) must be NULL like DuckDB's /0, not NaN
           .withColumn("z",
             (col("n_pos").cast("double") - col("n").cast("double") / 2d)
-              / sqrt(col("n").cast("double") / 4d))
+              / Det.nz(sqrt(col("n").cast("double") / 4d)))
           .withColumn("significant",
             abs(col("z")) > lit("1.959963984540054").cast("double"))
       },
-      Some("""WITH per AS (SELECT user_id,
-            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
-              ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS pre_c,
-            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
-              THEN CAST(ts AS DATE) END) AS pre_d,
-            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
-              AS post_c,
-            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-              THEN CAST(ts AS DATE) END) AS post_d
-          FROM events GROUP BY user_id),
+      Some(s"""WITH $SqlPrePost,
         s AS (SELECT post_c * pre_d - pre_c * post_d AS cmp FROM per
           WHERE pre_d > 0 AND post_d > 0),
         a AS (SELECT
@@ -490,20 +508,7 @@ object Experiment {
     // are rare off zero in this fixture).
     "q298_wilcoxon_signed" -> Q(
       (s, dir) => {
-        val cut = to_date(lit("2024-01-16"))
-        val per = t(s, dir, "events")
-          .select(col("user_id"),
-            (to_date(col("ts")) >= cut).as("post"),
-            to_date(col("ts")).as("day"),
-            (Det.money(col("value")) * 100).cast("long").as("cents"))
-          .groupBy("user_id")
-          .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("pre_c"),
-            countDistinct(when(!col("post"), col("day"))).as("pre_d"),
-            sum(when(col("post"), col("cents")).otherwise(0L)).as("post_c"),
-            countDistinct(when(col("post"), col("day"))).as("post_d"))
-          .filter(col("pre_d") > 0L && col("post_d") > 0L)
-          .withColumn("cmp",
-            col("post_c") * col("pre_d") - col("pre_c") * col("post_d"))
+        val per = prePostCmp(s, dir)
           .filter(col("cmp") =!= 0L)
           .withColumn("a", abs(col("cmp")))
         val vc = per.groupBy("a").agg(count(lit(1)).as("cnt"))
@@ -516,25 +521,16 @@ object Experiment {
         per.join(dr, Seq("a"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("cmp") > 0L, col("dr")).otherwise(0L)).as("w2_pos"))
+          // Det.nz: n=0 (no nonzero diffs) must be NULL, not NaN
           .withColumn("z",
             (col("w2_pos").cast("double")
               - (col("n") * (col("n") + 1L)).cast("double") / 2d)
-              / sqrt((col("n") * (col("n") + 1L) * (col("n") * 2L + 1L))
-                .cast("double") / 6d))
+              / Det.nz(sqrt((col("n") * (col("n") + 1L) * (col("n") * 2L + 1L))
+                .cast("double") / 6d)))
           .withColumn("significant",
             abs(col("z")) > lit("1.959963984540054").cast("double"))
       },
-      Some("""WITH per AS (SELECT user_id,
-            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 0
-              ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS pre_c,
-            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
-              THEN CAST(ts AS DATE) END) AS pre_d,
-            SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
-              AS post_c,
-            COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-              THEN CAST(ts AS DATE) END) AS post_d
-          FROM events GROUP BY user_id),
+      Some(s"""WITH $SqlPrePost,
         s AS (SELECT post_c * pre_d - pre_c * post_d AS cmp,
             ABS(post_c * pre_d - pre_c * post_d) AS a
           FROM per WHERE pre_d > 0 AND post_d > 0

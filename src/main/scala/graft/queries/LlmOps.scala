@@ -2779,35 +2779,21 @@ object LlmOps {
           .orderBy("label")
       },
       Some {
+        // the (source, fp) set is hoisted into ONE materialized CTE — the
+        // per-document 8-gram md5 hashing is the dominant cost and the
+        // previous inlined form made DuckDB recompute it four times (the
+        // Spark side persists the same frame for the same reason)
         val edgesCte =
-          s"""SELECT ${H.sqlH28("a.source")} AS src, ${H.sqlH28("b.source")} AS dst
-             FROM (SELECT f.source, f.fp FROM
-                 (SELECT DISTINCT source, fp FROM (
-                   SELECT source, unnest(list_distinct(list_filter(
-                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
-                     h -> h % 16 = 0))) AS fp
-                   FROM documents)) f
-               JOIN (SELECT fp FROM (SELECT DISTINCT source, fp FROM (
-                   SELECT source, unnest(list_distinct(list_filter(
-                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
-                     h -> h % 16 = 0))) AS fp
-                   FROM documents))
-                 GROUP BY fp HAVING COUNT(*) <= $MaxFpSources) ok
-               USING (fp)) a
-             JOIN (SELECT f.source, f.fp FROM
-                 (SELECT DISTINCT source, fp FROM (
-                   SELECT source, unnest(list_distinct(list_filter(
-                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
-                     h -> h % 16 = 0))) AS fp
-                   FROM documents)) f
-               JOIN (SELECT fp FROM (SELECT DISTINCT source, fp FROM (
-                   SELECT source, unnest(list_distinct(list_filter(
-                     [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
-                     h -> h % 16 = 0))) AS fp
-                   FROM documents))
-                 GROUP BY fp HAVING COUNT(*) <= $MaxFpSources) ok
-               USING (fp)) b
-               ON a.fp = b.fp AND a.source < b.source
+          s"""WITH sf AS MATERIALIZED (SELECT DISTINCT source, fp FROM (
+                 SELECT source, unnest(list_distinct(list_filter(
+                   [${H.sqlH60("substr(text, i, 8)")} for i in range(1, GREATEST(len(text) - 7, 1) + 1)],
+                   h -> h % 16 = 0))) AS fp
+                 FROM documents)),
+               okf AS MATERIALIZED (SELECT fp FROM sf
+                 GROUP BY fp HAVING COUNT(*) <= $MaxFpSources),
+               cf AS MATERIALIZED (SELECT sf.source, sf.fp FROM sf JOIN okf USING (fp))
+             SELECT ${H.sqlH28("a.source")} AS src, ${H.sqlH28("b.source")} AS dst
+             FROM cf a JOIN cf b ON a.fp = b.fp AND a.source < b.source
              GROUP BY a.source, b.source
              HAVING COUNT(*) >= 12"""
         val lbl = graft.operators.Communities.oracleSql(edgesCte, iters = 4)

@@ -23,6 +23,38 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Minute-co-occurrence user pairs (a < b): users sharing a DISTINCT
+    * (event_type, minute) cell — the shared blocking key of the graph
+    * query family (q130 triangles, q132 communities, q157 k-core, q168
+    * BFS; q274 weights the same join by pair frequency). ONE definition
+    * so a blocking-key change cannot silently desynchronize the five
+    * graphs. */
+  private def coPresence(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("hr"))
+      .distinct()
+    ev.join(ev.withColumnRenamed("user_id", "user_b"), Seq("event_type", "hr"))
+      .filter(col("user_id") < col("user_b"))
+  }
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coPresence(s, dir)
+      .select(col("user_id").as("a"), col("user_b").as("b"))
+      .distinct()
+
+  /** DuckDB twin of [[coEdges]]; output aliases parameterized (the LPA
+    * oracle names them src/dst). */
+  private def sqlCoEdges(a: String = "a", b: String = "b"): String =
+    s"""SELECT DISTINCT x.user_id AS $a, y.user_id AS $b
+           FROM (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) x
+           JOIN (SELECT DISTINCT user_id, event_type,
+                   date_trunc('minute', ts) AS hr FROM events) y
+             ON x.event_type = y.event_type AND x.hr = y.hr
+            AND x.user_id < y.user_id"""
+
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ---- aggregation: TPC-H Q1-style pricing summary ------------------
@@ -1942,15 +1974,7 @@ object Relational {
     // hub fan-outs flat.
     "q130_triangle_count" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("hr"))
-          .distinct()
-        val e2 = ev.withColumnRenamed("user_id", "user_b")
-        val edges = ev.join(e2, Seq("event_type", "hr"))
-          .filter(col("user_id") < col("user_b"))
-          .select(col("user_id").as("a"), col("user_b").as("b"))
-          .distinct()
+        val edges = coEdges(s, dir)
         val ab = edges
         val bc = edges.select(col("a").as("b2"), col("b").as("c"))
         val ac = edges.select(col("a").as("a3"), col("b").as("c3"))
@@ -1962,16 +1986,16 @@ object Relational {
           .union(edges.select(col("b").as("u"))).distinct()
         nodes.agg(count(lit(1)).as("n_nodes"))
           .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          // triple-pack on residues mod 2^20-ish: raw a*1e12 clears INT64
+          // already at ids ~9.2e6, where DuckDB raises and Spark wraps
+          // (the Sssp.FpMod discipline, sized for three components:
+          // max ≈ M·(M·M) ≈ 1.15e18 < 2^63)
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles"),
-            coalesce(expr("bit_xor(a * 1000000000000 + b * 1000000 + c)"),
+            coalesce(expr("bit_xor(((a % 1048573) * 1048573 + (b % 1048573))" +
+              " * 1048573 + (c % 1048573))"),
               lit(0L)).as("xor_tri")))
       },
-      Some("""WITH ev AS (SELECT DISTINCT user_id, event_type,
-                 date_trunc('minute', ts) AS hr FROM events),
-        e AS (SELECT DISTINCT x.user_id AS a, y.user_id AS b
-              FROM ev x JOIN ev y
-                ON x.event_type = y.event_type AND x.hr = y.hr
-               AND x.user_id < y.user_id),
+      Some(s"""WITH e AS (${sqlCoEdges()}),
         tri AS (SELECT ab.a, ab.b, bc.b AS c
                 FROM e ab JOIN e bc ON ab.b = bc.a
                           JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
@@ -1979,7 +2003,8 @@ object Relational {
                  (SELECT a AS u FROM e UNION ALL SELECT b FROM e)),
         ne AS (SELECT COUNT(*) AS n_edges FROM e),
         nt AS (SELECT COUNT(*) AS n_triangles,
-                 COALESCE(bit_xor(a * 1000000000000 + b * 1000000 + c), 0) AS xor_tri
+                 COALESCE(bit_xor(((a % 1048573) * 1048573 + (b % 1048573))
+                   * 1048573 + (c % 1048573)), 0) AS xor_tri
                FROM tri)
         SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
           CAST(n_triangles AS BIGINT) AS n_triangles, CAST(xor_tri AS BIGINT) AS xor_tri
@@ -2033,15 +2058,7 @@ object Relational {
     // xor, never the (possibly huge) member list.
     "q132_lpa_communities" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("hr"))
-          .distinct()
-        val e2 = ev.withColumnRenamed("user_id", "user_b")
-        val edges = ev.join(e2, Seq("event_type", "hr"))
-          .filter(col("user_id") < col("user_b"))
-          .select(col("user_id").as("a"), col("user_b").as("b"))
-          .distinct()
+        val edges = coEdges(s, dir)
         graft.operators.Communities.labels(edges, "a", "b", iters = 4)
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),
@@ -2050,13 +2067,7 @@ object Relational {
       },
       Some {
         val lbl = graft.operators.Communities.oracleSql(
-          """SELECT DISTINCT x.user_id AS src, y.user_id AS dst
-             FROM (SELECT DISTINCT user_id, event_type,
-                     date_trunc('minute', ts) AS hr FROM events) x
-             JOIN (SELECT DISTINCT user_id, event_type,
-                     date_trunc('minute', ts) AS hr FROM events) y
-               ON x.event_type = y.event_type AND x.hr = y.hr
-              AND x.user_id < y.user_id""", iters = 4)
+          sqlCoEdges("src", "dst"), iters = 4)
         s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(bit_xor(node) AS BIGINT) AS xor_members
            FROM ($lbl) GROUP BY label ORDER BY label"""
@@ -2787,25 +2798,11 @@ object Relational {
     // edge shuffles, nothing quadratic (operators.KCore).
     "q157_kcore" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("hr"))
-          .distinct()
-        val e2 = ev.withColumnRenamed("user_id", "user_b")
-        val edges = ev.join(e2, Seq("event_type", "hr"))
-          .filter(col("user_id") < col("user_b"))
-          .select(col("user_id").as("a"), col("user_b").as("b"))
-          .distinct()
+        val edges = coEdges(s, dir)
         graft.operators.KCore.trajectory(edges, k = 3, rounds = 4)
       },
       Some(graft.operators.KCore.oracleSql(
-        """SELECT DISTINCT x.user_id AS a, y.user_id AS b
-           FROM (SELECT DISTINCT user_id, event_type,
-                   date_trunc('minute', ts) AS hr FROM events) x
-           JOIN (SELECT DISTINCT user_id, event_type,
-                   date_trunc('minute', ts) AS hr FROM events) y
-             ON x.event_type = y.event_type AND x.hr = y.hr
-            AND x.user_id < y.user_id""",
+        sqlCoEdges(),
         k = 3, rounds = 4))),
 
     // ---- 2-d skyline (Pareto frontier) -----------------------------------
@@ -3075,28 +3072,14 @@ object Relational {
     // per round.
     "q168_bfs_distances" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("hr"))
-          .distinct()
-        val e2 = ev.withColumnRenamed("user_id", "user_b")
-        val edges = ev.join(e2, Seq("event_type", "hr"))
-          .filter(col("user_id") < col("user_b"))
-          .select(col("user_id").as("a"), col("user_b").as("b"))
-          .distinct()
+        val edges = coEdges(s, dir)
         val seeds = t(s, dir, "events")
           .filter(col("user_id") % 7 === 0)
           .select(col("user_id").as("u")).distinct()
         graft.operators.Bfs.distances(edges, seeds, rounds = 3)
       },
       Some(graft.operators.Bfs.oracleSql(
-        """SELECT DISTINCT x.user_id AS a, y.user_id AS b
-           FROM (SELECT DISTINCT user_id, event_type,
-                   date_trunc('minute', ts) AS hr FROM events) x
-           JOIN (SELECT DISTINCT user_id, event_type,
-                   date_trunc('minute', ts) AS hr FROM events) y
-             ON x.event_type = y.event_type AND x.hr = y.hr
-            AND x.user_id < y.user_id""",
+        sqlCoEdges(),
         "SELECT DISTINCT user_id AS u FROM events WHERE user_id % 7 = 0",
         rounds = 3))),
 
@@ -3564,10 +3547,13 @@ object Relational {
       (s, dir) => {
         val horizonUs = 7L * 24 * 3600 * 1000000
         val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"), col("ts"),
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
             unix_micros(col("ts")).as("us"),
             when(col("event_type") === "click", col("ts")).as("click_ts"))
-        val wLast = Window.partitionBy("user_id").orderBy("us")
+        // event_id tie-break: the ROWS frame's notion of "preceding" for
+        // same-microsecond events would otherwise be engine/partition-
+        // order dependent (the q82 total-order discipline)
+        val wLast = Window.partitionBy("user_id").orderBy("us", "event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wRange = Window.partitionBy("user_id").orderBy("us")
           .rangeBetween(-horizonUs, -1)
@@ -3588,13 +3574,13 @@ object Relational {
           .agg(count(lit(1)).as("n_purchases"))
         lastT.union(firstT).orderBy("model", "click_day")
       },
-      Some("""WITH ev AS (SELECT user_id, event_type, ts,
+      Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id,
             epoch_us(ts) AS us,
             CASE WHEN event_type = 'click' THEN ts END AS click_ts
           FROM events),
           t AS (SELECT *,
             LAST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
-              ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               AS last_click_raw,
             MIN(click_ts) OVER (PARTITION BY user_id ORDER BY us
               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
@@ -3859,13 +3845,7 @@ object Relational {
     // same round count; each round is one edge-list join + min fold.
     "q274_sssp" -> Q(
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            date_trunc("minute", col("ts")).as("hr"))
-          .distinct()
-        val e2 = ev.withColumnRenamed("user_id", "user_b")
-        val edges = ev.join(e2, Seq("event_type", "hr"))
-          .filter(col("user_id") < col("user_b"))
+        val edges = coPresence(s, dir)
           .groupBy(col("user_id").as("a"), col("user_b").as("b"))
           .agg(count(lit(1)).as("cnt"))
           .select(col("a"), col("b"),
