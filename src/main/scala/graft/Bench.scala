@@ -19,14 +19,20 @@ object Bench {
       SparkEntry.prepare(spark, sfDir)
       System.err.println(f"[bench] prepare (bucketing + ivf index) ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // dev aid: SPARK_GRAFT_ONLY=q26_minhash_neardups,q25_simhash times a subset
+    // dev aid: SPARK_GRAFT_ONLY=q26,q25 times a subset — PREFIX match,
+    // the same semantics as Verify (exact-match here silently benched
+    // zero queries for a filter value Verify accepted)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    if (selected.isEmpty)
+      System.err.println(s"[bench] WARNING: filter matched zero queries: ${only}")
     // best-of-N (default 2): single-run timings charge a query for one-off
     // JIT/compilation/scheduler stalls; the min is the steady-state cost.
     // Caches are cleared between reps, so the min never reflects Spark-
     // cache reuse — only warm JIT and OS page cache.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     // noop sink, NOT count(): under count() the optimizer prunes every
     // projected column a query computes (and drops its sort), so
     // select-style queries would time only their scan. The noop sink
@@ -98,7 +104,11 @@ object Bench {
     val calSorted = calTimes.sorted
     val calJson = s"""{"times":${calTimes.map(fmt).mkString("[", ",", "]")},""" +
       s""""median":${fmt(calSorted(calSorted.size / 2))},"max":${fmt(calSorted.last)}}"""
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total over SUCCESSFUL queries only: summing the -1.0 failure
+    // sentinels would make a crashed query read as a SPEEDUP in the
+    // headline value; failures are counted out loud instead
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ > 0).sum
     // Key order matters: the driver keeps only the LAST 2000 bytes of this
     // line (BENCH_r05.json lost the total to front-loaded keys). The bulky
     // maps (reps, queries) go first; the self-contained summary the judge
@@ -106,7 +116,8 @@ object Bench {
     // last so it always survives the tail capture.
     val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"slowest":$slowest,"value":${fmt(total)}}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"value":${fmt(total)}}"""
     println(line)
     // The driver keeps only the tail of stdout; persist the full line so
     // per-query medians survive for tools/bench_diff.py round-over-round.

@@ -43,10 +43,14 @@ object GraftExtensions {
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> name,
+            // usage rides inside functionName: the docroot slot is
+            // interpolated into a '<docroot>/sql-ref-functions.html' URL
+            // by the template, which mangled the usage string into a
+            // bogus link instead of displaying it
+            "functionName" -> s"$name (usage: ${usage.replace("_FUNC_", name)})",
             "expectedNum" -> n.toString,
             "actualNum" -> exprs.length.toString,
-            "docroot" -> usage))
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       build(exprs)
     }
 

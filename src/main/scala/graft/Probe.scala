@@ -9,26 +9,32 @@ object Probe {
     val qname = if (args.length > 1) args(1) else "q60_curation_fast"
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // synchronized: listener-bus delivery is async, so clear() below can
+    // race late prepare-stage events into the measured query's breakdown
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val ms = (for {s <- i.submissionTime; e <- i.completionTime} yield e - s).getOrElse(-1L)
-        stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
+        stages.synchronized {
+          stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks))
+        }
       }
     })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.prepare(spark, sfDir)
-    stages.clear()
+    Thread.sleep(500) // drain the listener bus before clearing
+    stages.synchronized(stages.clear())
     val t0 = System.nanoTime()
     SparkEntry.queries(qname)(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
-    println(f"== $qname wall $wall%.2f s, ${stages.size} stages ==")
-    stages.sortBy(-_._3).foreach { case (id, name, ms, n) =>
+    val snap = stages.synchronized(stages.toList)
+    println(f"== $qname wall $wall%.2f s, ${snap.size} stages ==")
+    snap.sortBy(-_._3).foreach { case (id, name, ms, n) =>
       println(f"stage $id%4d  $ms%6d ms  $n%4d tasks  $name")
     }
-    println(f"sum of stage times: ${stages.map(_._3).sum} ms")
+    println(f"sum of stage times: ${snap.map(_._3).sum} ms")
     spark.stop()
   }
 }

@@ -6,9 +6,15 @@ import graft.queries.{Analytics, Corpus, Eval, Experiment, Governance, LlmOps, P
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[(String, Relational.Q)] =
-    Relational.defs ++ LlmOps.defs ++ Analytics.defs ++ Governance.defs ++
+  private def allDefs: Seq[(String, Relational.Q)] = {
+    val defs = Relational.defs ++ LlmOps.defs ++ Analytics.defs ++ Governance.defs ++
       Corpus.defs ++ Eval.defs ++ Pipeline.defs ++ Experiment.defs
+    // a duplicate name across modules would silently DROP one query from
+    // bench/verify/oracle coverage at the .toMap below
+    val dups = defs.groupBy(_._1).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -10,7 +10,17 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clean slate: a reused outDir must not let a query that FAILS this
+    // run be silently scored against a previous run's surviving parquet
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(outRoot)
+    }
+    outRoot.mkdirs()
     // dev aid (driver sets no env): SPARK_GRAFT_ONLY=q52,... dumps a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
@@ -43,12 +53,27 @@ object Verify {
     val rows = back.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .limit(201).collect()
     if (rows.length <= 200) {
-      val lines = rows.map(_.toSeq.map {
+      // canonical cell repr: UTC for temporal types (java.sql toString
+      // renders in the JVM default TZ — the one artifact built to compare
+      // hosts must not itself vary by host TZ), hex for binary at any
+      // nesting depth, and escaped tabs/newlines so a text cell cannot
+      // corrupt the TSV row/column structure
+      def cell(v: Any): String = v match {
         case null => "NULL"
         case b: Array[Byte] => b.map("%02x".format(_)).mkString
-        case s: Seq[_] => s.mkString("[", ",", "]")
+        case t: java.sql.Timestamp =>
+          java.time.format.DateTimeFormatter.ISO_INSTANT
+            .format(t.toInstant.atOffset(java.time.ZoneOffset.UTC))
+        case d: java.sql.Date =>
+          java.time.Instant.ofEpochMilli(d.getTime)
+            .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString
+        case s: Seq[_] => s.map(cell).mkString("[", ",", "]")
+        case r: org.apache.spark.sql.Row => r.toSeq.map(cell).mkString("{", ",", "}")
+        case s: String => s.replace("\\", "\\\\").replace("\t", "\\t")
+          .replace("\n", "\\n").replace("\r", "\\r")
         case v => v.toString
-      }.mkString("\t")).sorted
+      }
+      val lines = rows.map(_.toSeq.map(cell).mkString("\t")).sorted
       val txt = cols.mkString("\t") + "\n" + lines.mkString("\n") + "\n"
       Files.writeString(Paths.get(s"$outDir/$name.cells.tsv"), txt)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
