@@ -119,6 +119,13 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$repsJson,"queries":$qs,"calibration":$calJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"value":${fmt(total)}}"""
     println(line)
+    // The driver keeps only the LAST 2000 bytes of stdout and parses the
+    // tail as JSON. The full line above exceeds that, so every prior
+    // round's artifact came back "parsed": null. Emit a final compact
+    // summary line — guaranteed far under 2000 bytes — so the tail always
+    // ends in one complete, parseable JSON object.
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"calibration_median":${fmt(calSorted(calSorted.size / 2))},"calibration_max":${fmt(calSorted.last)}}"""
+    println(summary)
     // The driver keeps only the tail of stdout; persist the full line so
     // per-query medians survive for tools/bench_diff.py round-over-round.
     try java.nio.file.Files.writeString(

@@ -97,15 +97,32 @@ object Advisor {
     * extreme the distinct sets come from the layer's sketches instead.
     * Integer counts + ONE IEEE division, so rows hash bit-for-bit. */
   def fkScore(pairName: String, child: DataFrame, childCol: Column,
-              parent: DataFrame, parentCol: Column): DataFrame = {
-    val dc = child.filter(childCol.isNotNull).select(childCol.as("k")).distinct()
-    val dp = parent.filter(parentCol.isNotNull)
-      .groupBy(parentCol.as("k")).agg(count(lit(1)).as("cnt"))
-    val contained = dc.join(dp, Seq("k"), "left_semi")
+              parent: DataFrame, parentCol: Column): DataFrame =
+    fkScoreShared(pairName, keyCounts(child, childCol),
+      keyCounts(parent, parentCol))
+
+  /** One (table, column) key profile — `(k, cnt)` per distinct non-null
+    * key — eagerly materialized (localCheckpoint) so however many FK
+    * edges consume it as child or parent, the base table is scanned
+    * ONCE. The profile is |distinct keys| rows of two longs — small by
+    * construction (it exists precisely because distinct keys ≪ rows). */
+  def keyCounts(df: DataFrame, key: Column): DataFrame =
+    df.filter(key.isNotNull).groupBy(key.as("k"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+
+  /** [[fkScore]] over pre-built [[keyCounts]] profiles: both sides'
+    * distinct sets, the containment semi join, and parent uniqueness all
+    * read the materialized profiles — no base-table access at all, so a
+    * discovery sweep over E candidate edges costs one scan per distinct
+    * (table, column), not per edge. */
+  def fkScoreShared(pairName: String, childKeys: DataFrame,
+                    parentKeys: DataFrame): DataFrame = {
+    val dc = childKeys.select("k")
+    val contained = dc.join(parentKeys, Seq("k"), "left_semi")
       .agg(count(lit(1)).as("n_contained"))
     dc.agg(count(lit(1)).as("n_child_keys"))
       .crossJoin(contained)
-      .crossJoin(dp.agg(count(lit(1)).as("n_parent_keys"),
+      .crossJoin(parentKeys.agg(count(lit(1)).as("n_parent_keys"),
         sum(col("cnt")).as("n_parent_rows")))
       .select(lit(pairName).as("pair"),
         col("n_child_keys"), col("n_contained"),

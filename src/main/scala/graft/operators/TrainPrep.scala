@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 import graft.functions.{Hashing, TextAnalysis}
 
 /** Training-set preparation operators: the steps between "curated corpus"
@@ -28,21 +27,35 @@ object TrainPrep {
     * Scale shape: rows are narrowed to (id, hkey) BEFORE the sort, so the
     * range exchange moves 16-byte pairs, not documents (callers re-join
     * payloads by id afterwards — at 100 TB that join is id-bucketed and
-    * exchange-free). Positions come from `orderBy` + `zipWithIndex`:
-    * range-partition + local sort + a count-only job + a narrow map — the
-    * same two-narrow-pass construction as [[graft.ingest.Ingest.withScalableKey]],
-    * never a one-partition `row_number()` window.
+    * exchange-free). Positions come from range-partition + local sort +
+    * [[graft.ingest.Ingest.withScalableKey]] — a count-only job plus a
+    * broadcast offset join, all in the DataFrame API — never a
+    * one-partition `row_number()` window or an RDD detour.
     */
   def shuffled(df: DataFrame, idCol: String, shards: Int = 8): DataFrame = {
-    val spark = df.sparkSession
     val keyed = df.select(
       col(idCol),
       Hashing.h60(concat(lit("shuf:"), col(idCol).cast("string"))).as("hkey"))
-    val sorted = keyed.orderBy(col("hkey"), col(idCol))
-    val schema = sorted.schema.add("pos", LongType, nullable = false)
-    val positioned = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    // The global sort is expressed as explicit range partitioning + local
+    // sort, NOT `orderBy`: the position pass below evaluates this frame
+    // twice (per-partition counts, then the keyed pass), and an orderBy
+    // under the count pass's aggregate would be dropped by EliminateSorts
+    // — silently decoupling the two passes' partitionings. The partition
+    // COUNT is pinned explicitly for the same reason: AQE is free to
+    // coalesce an unpinned repartition, and it decides per execution, so
+    // the two passes could see different partition ids (observed: the
+    // scalable-key drift guard fired in TrainPrepSpec). A user
+    // RepartitionByExpression with an explicit count survives both the
+    // optimizer and AQE, and the guard still backstops any residual drift.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = keyed.repartitionByRange(nPart, col("hkey"), col(idCol))
+      .sortWithinPartitions(col("hkey"), col(idCol))
+    // Positions via the columnar two-pass key (counts + broadcast offset
+    // join) — the whole pass stays inside Tungsten/whole-stage codegen
+    // instead of the former rdd.zipWithIndex detour that deserialized
+    // every row. Key is 1-based; the shuffle position is 0-based.
+    val positioned = graft.ingest.Ingest.withScalableKey(sorted, "pos")
+      .withColumn("pos", col("pos") - lit(1L))
     positioned.withColumn("shard", pmod(col("pos"), lit(shards.toLong)))
   }
 

@@ -1949,18 +1949,31 @@ object Analytics {
     // only; verdicts are pure integer comparisons.
     "q237_fk_discovery" -> Q(
       (s, dir) => {
-        import graft.operators.Advisor.fkScore
+        import graft.operators.Advisor.{keyCounts, fkScoreShared}
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
         val su = t(s, dir, "supplier"); val p = t(s, dir, "part")
+        // One materialized key profile per distinct (table, column) —
+        // 8 scans feeding 7 edges (each profile reused across edges AND
+        // across the 2-3 aggregates inside each edge; the naive per-edge
+        // formulation scanned lineitem/orders/customer 2-4x each).
+        val liOrder = keyCounts(li, col("l_orderkey"))
+        val liPart = keyCounts(li, col("l_partkey"))
+        val oOrder = keyCounts(o, col("o_orderkey"))
+        val oCust = keyCounts(o, col("o_custkey"))
+        val cCust = keyCounts(c, col("c_custkey"))
+        val cNation = keyCounts(c, col("c_nationkey"))
+        val nNation = keyCounts(n, col("n_nationkey"))
+        val sNation = keyCounts(su, col("s_nationkey"))
+        val pPart = keyCounts(p, col("p_partkey"))
         Seq(
-          fkScore("li.orderkey->o", li, col("l_orderkey"), o, col("o_orderkey")),
-          fkScore("li.partkey->p", li, col("l_partkey"), p, col("p_partkey")),
-          fkScore("o.custkey->c", o, col("o_custkey"), c, col("c_custkey")),
-          fkScore("c.nationkey->n", c, col("c_nationkey"), n, col("n_nationkey")),
-          fkScore("s.nationkey->n", su, col("s_nationkey"), n, col("n_nationkey")),
-          fkScore("o.orderkey->c", o, col("o_orderkey"), c, col("c_custkey")),
-          fkScore("n.nationkey->c", n, col("n_nationkey"), c, col("c_custkey"))
+          fkScoreShared("li.orderkey->o", liOrder, oOrder),
+          fkScoreShared("li.partkey->p", liPart, pPart),
+          fkScoreShared("o.custkey->c", oCust, cCust),
+          fkScoreShared("c.nationkey->n", cNation, nNation),
+          fkScoreShared("s.nationkey->n", sNation, nNation),
+          fkScoreShared("o.orderkey->c", oOrder, cCust),
+          fkScoreShared("n.nationkey->c", nNation, cCust)
         ).reduce(_ unionAll _).orderBy("pair")
       },
       Some(Seq(

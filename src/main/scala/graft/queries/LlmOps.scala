@@ -633,9 +633,20 @@ object LlmOps {
     "q114_bpe_stats" -> Q(
       (s, dir) => {
         val m = graft.operators.Bpe.train(docs(s, dir), "text", nMerges = 60)
+        // the q34 anchor pattern: corpus-level exact-integer summary
+        // columns (counts/sums of spec-pinned per-doc stats) ride along
+        // on every row, so the rows-only gate and the round-over-round
+        // artifact pin real VALUES, not just shape — the output is too
+        // wide for the 200-row cells dump, and these make drift in the
+        // trained merge table visible as a one-cell diff
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy()
         graft.operators.Bpe
           .encodeStats(s, docs(s, dir), "doc_id", "text", m)
           .withColumnRenamed("id", "doc_id")
+          .withColumn("smry_docs", count(lit(1)).over(w))
+          .withColumn("smry_bpe_tokens", sum(col("n_bpe_tokens")).over(w))
+          .withColumn("smry_word_chars", sum(col("n_word_chars")).over(w))
           .orderBy("doc_id")
       },
       None),

@@ -2377,10 +2377,19 @@ object Relational {
           "users" -> hll_sketch_agg(col("user_id"), 14))
         val wk = ev.withColumn("wk",
           date_trunc("week", col("ts")).cast("date").cast("string"))
-        val weeks = wk.select("wk").distinct().collect().map(_.getString(0)).sorted
+        // ONE events scan: the weekly batches are pre-split by a single
+        // partitionBy-week staging write, and each appendBatch reads only
+        // its own partition directory. The per-week `wk.filter(...)` loop
+        // this replaces rescanned the full events table once per batch —
+        // O(weeks) full scans, growing with the data span.
+        val staging = s"$work/staging"
+        wk.write.partitionBy("wk").parquet(staging)
+        val weeks = new java.io.File(staging).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("wk="))
+          .map(_.getName.stripPrefix("wk=")).sorted
         weeks.zipWithIndex.foreach { case (w, i) =>
           graft.catalog.Rollup.appendBatch(s,
-            wk.filter(col("wk") === w).drop("wk"), path, s"w$i", groupCols, counters)
+            s.read.parquet(s"$staging/wk=$w"), path, s"w$i", groupCols, counters)
           if (i == 1) // fold the first two batches into the base mid-stream
             graft.catalog.Rollup.compactAgg(s, path, groupCols,
               Seq("n" -> "sum", "users" -> "hll_union"))

@@ -63,5 +63,10 @@ class BpeSpec extends SparkSpec {
     assert(rows(1) == ((1L, 2L, 6L, 10L))) // lower -> low,e,r
     assert(rows(2) == ((2L, 6L, 18L, 36L)))
     assert(rows(3) == ((3L, 3L, 12L, 18L))) // widest -> w,i,d,est
+    // the corpus-level sums q114 rides along as smry_* anchor columns —
+    // pinned here so the rows-only driver gate has a spec-gated exact
+    // value behind it (merge-table drift moves these, shape does not)
+    assert(rows.map(_._3).sum == 41L)
+    assert(rows.map(_._4).sum == 79L)
   }
 }

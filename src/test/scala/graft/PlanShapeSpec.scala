@@ -665,4 +665,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"the 7-row fence table must broadcast into the bucket tagging:\n$plan")
   }
+
+  test("q237 fk discovery: base tables feed only the materialized key profiles") {
+    // scan-count gate for the shared-profile rewrite: every (table, column)
+    // distinct-key profile is localCheckpoint-materialized exactly once, so
+    // the 7-edge discovery sweep's FINAL plan must read NO parquet at all —
+    // all 17 side-aggregates (2-3 per edge) consume checkpointed profiles.
+    // A FileScan reappearing here means some edge went back to the base
+    // table, reintroducing the per-edge rescan this rewrite removed.
+    val df = SparkEntry.queries("q237_fk_discovery")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"q237 must read only materialized key profiles, found a base-table scan:\n$plan")
+  }
 }

@@ -29,6 +29,17 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == again)
   }
 
+  test("shuffled stays columnar: no RDD scan, broadcast offset join") {
+    // the IngestSpec scalable-key gate extended over the shuffle operator:
+    // positions must come from the two-pass DataFrame construction, never
+    // an rdd.zipWithIndex detour that deserializes every row
+    val plan = TrainPrep.shuffled(corpus, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD detour in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset add must be a broadcast join:\n$plan")
+  }
+
   test("shuffled order is the hash order, not the id order") {
     val out = TrainPrep.shuffled(corpus, "doc_id").select("doc_id", "hkey", "pos")
       .as[(Long, Long, Long)].collect().sortBy(_._3)
