@@ -110,6 +110,20 @@ object Advisor {
     df.filter(key.isNotNull).groupBy(key.as("k"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
 
+  /** The lazy twin of [[keyCounts]] for MANY-consumer plans: no
+    * materialization — instead every consumer embeds the IDENTICAL
+    * aggregate subtree, and AQE's exchange/stage reuse computes the
+    * scan+shuffle once per profile inside the single final job. This
+    * beats both measured alternatives for a discovery sweep: per-profile
+    * eager checkpoints serialize one driver job per profile, and a
+    * tagged-union checkpoint makes every consumer rescan ALL profiles'
+    * blocks. Reuse requires consumers to share THIS DataFrame reference
+    * (canonically equal plans) — re-deriving the profile per edge is
+    * what breaks dedup. */
+  def keyCountsLazy(df: DataFrame, key: Column): DataFrame =
+    df.filter(key.isNotNull).groupBy(key.as("k"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** [[fkScore]] over pre-built [[keyCounts]] profiles: both sides'
     * distinct sets, the containment semi join, and parent uniqueness all
     * read the materialized profiles — no base-table access at all, so a

@@ -40,6 +40,17 @@ import org.apache.spark.sql.functions._
   *    degrade to shuffle joins, not fail the driver's broadcast limit).
   *  - The element list feeds five consumers; it is materialized once
   *    (eager localCheckpoint), not re-tokenized per consumer.
+  *  - Why TWO materializations (el + cand) and not one: el is consumed
+  *    both BEFORE candidate generation (df counts, sizes, prefix) and
+  *    AFTER it (verification), so fusing it into cand would re-tokenize
+  *    the corpus for verification; cand is consumed four times (count
+  *    gate + a-ids + b-ids + the pair join) and sits downstream of the
+  *    prefix self-join, so leaving it lazy re-runs that join per
+  *    consumer. Measured (sf0.1): each materialization is ~1s while the
+  *    irreducible verification exchange is ~2.5s — the checkpoints are
+  *    not the bottleneck, the one string-keyed shuffle is, and the
+  *    B-token semi-prune below is the lever that shrinks it when the
+  *    candidate vocabularies are narrow.
   */
 object SetJoin {
 
@@ -54,15 +65,35 @@ object SetJoin {
     * broadcast degrades to a plain shuffle join (same output, bounded
     * memory; the [[Dedup.dupClusters]] driverThreshold precedent). */
   private def verifiedPairs(el: DataFrame, sz: DataFrame, cand: DataFrame,
-                            broadcastMaxPairs: Long): DataFrame = {
+                            broadcastMaxPairs: Long,
+                            pruneBTokens: Boolean = false,
+                            broadcastMaxToks: Long = 1000000L): DataFrame = {
     val gate: DataFrame => DataFrame =
       if (cand.count() <= broadcastMaxPairs) broadcast else identity
     val elA = el.join(gate(cand.select(col("a").as("id")).distinct()),
         Seq("id"), "left_semi")
       .select(col("id").as("a"), col("tok"))
-    val elB = el.join(gate(cand.select(col("b").as("id")).distinct()),
+    val elBAll = el.join(gate(cand.select(col("b").as("id")).distinct()),
         Seq("id"), "left_semi")
       .select(col("id").as("b"), col("tok"))
+    // Containment-shape prune: the heaviest stage of verification is the
+    // (b, tok) string-keyed shuffle of the B side, and containment's B
+    // docs are the BIG containers while A docs are small. A B-token that
+    // matches no candidate-A token cannot contribute to any intersection,
+    // so a broadcast semi-join on A's distinct tokens shrinks that
+    // shuffle exactly (inner-join rows are never dropped). Count-gated
+    // like the candidate broadcast — and skipped entirely when the A
+    // vocabulary is too big to broadcast, because a SHUFFLE semi-join on
+    // tok would cost the very exchange the prune exists to shrink.
+    // (Jaccard callers leave this off: there the A ids cover most of the
+    // corpus, so A's vocabulary approaches the full token set and the
+    // prune removes nothing.)
+    val elB = if (pruneBTokens) {
+      val aToks = elA.select("tok").distinct().localCheckpoint(true)
+      if (aToks.count() <= broadcastMaxToks)
+        elBAll.join(broadcast(aToks), Seq("tok"), "left_semi")
+      else elBAll
+    } else elBAll
     val inter = elA.join(gate(cand), "a")
       .join(elB, Seq("b", "tok"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
@@ -132,7 +163,7 @@ object SetJoin {
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
       .localCheckpoint(true)
-    verifiedPairs(el, sz, cand, broadcastMaxPairs)
+    verifiedPairs(el, sz, cand, broadcastMaxPairs, pruneBTokens = true)
       .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
       .select("a", "b", "inter", "sz_a", "sz_b")
   }

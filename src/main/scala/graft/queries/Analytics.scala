@@ -1949,23 +1949,25 @@ object Analytics {
     // only; verdicts are pure integer comparisons.
     "q237_fk_discovery" -> Q(
       (s, dir) => {
-        import graft.operators.Advisor.{keyCounts, fkScoreShared}
+        import graft.operators.Advisor.{keyCountsLazy, fkScoreShared}
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
         val su = t(s, dir, "supplier"); val p = t(s, dir, "part")
-        // One materialized key profile per distinct (table, column) —
-        // 8 scans feeding 7 edges (each profile reused across edges AND
-        // across the 2-3 aggregates inside each edge; the naive per-edge
-        // formulation scanned lineitem/orders/customer 2-4x each).
-        val liOrder = keyCounts(li, col("l_orderkey"))
-        val liPart = keyCounts(li, col("l_partkey"))
-        val oOrder = keyCounts(o, col("o_orderkey"))
-        val oCust = keyCounts(o, col("o_custkey"))
-        val cCust = keyCounts(c, col("c_custkey"))
-        val cNation = keyCounts(c, col("c_nationkey"))
-        val nNation = keyCounts(n, col("n_nationkey"))
-        val sNation = keyCounts(su, col("s_nationkey"))
-        val pPart = keyCounts(p, col("p_partkey"))
+        // One key profile per distinct (table, column), SHARED by
+        // reference across the 7 edges and the 2-3 aggregates inside
+        // each edge: identical subtrees let AQE's stage reuse compute
+        // each scan+shuffle once inside the single job (the naive
+        // per-edge formulation re-derived the distinct sets, scanning
+        // lineitem/orders/customer 2-4x each; plan-gated below).
+        val liOrder = keyCountsLazy(li, col("l_orderkey"))
+        val liPart = keyCountsLazy(li, col("l_partkey"))
+        val oOrder = keyCountsLazy(o, col("o_orderkey"))
+        val oCust = keyCountsLazy(o, col("o_custkey"))
+        val cCust = keyCountsLazy(c, col("c_custkey"))
+        val cNation = keyCountsLazy(c, col("c_nationkey"))
+        val nNation = keyCountsLazy(n, col("n_nationkey"))
+        val sNation = keyCountsLazy(su, col("s_nationkey"))
+        val pPart = keyCountsLazy(p, col("p_partkey"))
         Seq(
           fkScoreShared("li.orderkey->o", liOrder, oOrder),
           fkScoreShared("li.partkey->p", liPart, pPart),

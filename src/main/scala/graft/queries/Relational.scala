@@ -2383,7 +2383,11 @@ object Relational {
         // this replaces rescanned the full events table once per batch —
         // O(weeks) full scans, growing with the data span.
         val staging = s"$work/staging"
-        wk.write.partitionBy("wk").parquet(staging)
+        // clustered by week before the partitioned write: one file per
+        // week, not tasks x weeks small files (each appendBatch then
+        // opens one footer; at cluster scale add more distribution keys
+        // alongside wk to keep write parallelism)
+        wk.repartition(col("wk")).write.partitionBy("wk").parquet(staging)
         val weeks = new java.io.File(staging).listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("wk="))
           .map(_.getName.stripPrefix("wk=")).sorted

