@@ -122,10 +122,12 @@ object Bench {
     // The driver keeps only the LAST 2000 bytes of stdout and parses the
     // tail as JSON. The full line above exceeds that, so every prior
     // round's artifact came back "parsed": null. Emit a final compact
-    // summary line — guaranteed far under 2000 bytes — so the tail always
-    // ends in one complete, parseable JSON object.
+    // summary line, preceded by enough newline padding that the captured
+    // tail contains ONLY (whitespace +) this one complete JSON object —
+    // robust whether the driver json-parses the raw tail blob (leading
+    // whitespace is valid JSON lexically) or scans it line-by-line.
     val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"calibration_median":${fmt(calSorted(calSorted.size / 2))},"calibration_max":${fmt(calSorted.last)}}"""
-    println(summary)
+    println("\n" * 2000 + summary)
     // The driver keeps only the tail of stdout; persist the full line so
     // per-query medians survive for tools/bench_diff.py round-over-round.
     try java.nio.file.Files.writeString(

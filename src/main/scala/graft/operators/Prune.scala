@@ -9,8 +9,9 @@ import graft.expressions.Bloom
   * [[bloomSemiFilter]] is the manual twin of Spark's AQE runtime
   * row-level filtering (InjectRuntimeFilter), for when the caller KNOWS
   * the dim is selective: the dim's join keys fold into a few-MB bloom
-  * bitmap (one single-row aggregate), the bitmap broadcasts, and the
-  * fact side drops non-joining rows inside its scan's codegen loop —
+  * bitmap (one single-row aggregate, materialized like a blocking scalar
+  * subquery and embedded as a binary literal), and the fact side drops
+  * non-joining rows inside its scan's codegen loop —
   * BEFORE the join's shuffle ever materializes them. At 100 TB this is
   * the difference between shuffling the full fact table and shuffling
   * the joining fraction; false positives pass through and the join
@@ -29,9 +30,16 @@ object Prune {
   def bloomSemiFilter(fact: DataFrame, factKey: Column,
                       dim: DataFrame, dimKey: Column,
                       numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
-    val bloom = dim.agg(Bloom.bloomAgg(dimKey, numBits, numHashes).as("_bloom"))
-    fact.crossJoin(broadcast(bloom))
-      .filter(Bloom.mightContain(col("_bloom"), factKey))
-      .drop("_bloom")
+    // The bitmap is materialized ONCE (driver-side single-row aggregate —
+    // the same blocking-subquery shape Spark's InjectRuntimeFilter uses)
+    // and embedded as a binary LITERAL, which codegen references as one
+    // task-level object. The previous crossJoin(broadcast(bitmap)) form
+    // re-read the binary COLUMN per fact row, and UnsafeRow.getBinary
+    // copies — |fact| x bitmap-size allocation (~77 GB at sf0.1 for a
+    // 128 KiB bitmap), which intermittently collapsed the probe stage
+    // into GC (q133 reps bimodal 1.5 s vs 27-72 s across rounds).
+    val bytes = dim.agg(Bloom.bloomAgg(dimKey, numBits, numHashes).as("_bloom"))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(Bloom.mightContain(lit(bytes), factKey))
   }
 }

@@ -41,15 +41,20 @@ object TrainPrep {
     // twice (per-partition counts, then the keyed pass), and an orderBy
     // under the count pass's aggregate would be dropped by EliminateSorts
     // — silently decoupling the two passes' partitionings. The partition
-    // COUNT is pinned explicitly for the same reason: AQE is free to
-    // coalesce an unpinned repartition, and it decides per execution, so
-    // the two passes could see different partition ids (observed: the
-    // scalable-key drift guard fired in TrainPrepSpec). A user
-    // RepartitionByExpression with an explicit count survives both the
-    // optimizer and AQE, and the guard still backstops any residual drift.
+    // COUNT is pinned for the same reason (AQE coalesces an unpinned
+    // repartition per execution), and the frame is CACHED because range
+    // boundaries are re-SAMPLED per execution with an rdd.id-derived
+    // seed: above the exhaustive-sampling size (~10k rows) two separate
+    // executions see different boundaries, which corrupts positions while
+    // keeping every partition id present — invisible to the drift guard
+    // (reproduced at 200k rows; spec-pinned below). The cache pins ONE
+    // materialized layout for both passes, in Spark's columnar cached-
+    // batch format — 16-byte (id, hkey) pairs, the same narrow-persist
+    // budget as the dedup shingle table at 100 TB.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = keyed.repartitionByRange(nPart, col("hkey"), col(idCol))
       .sortWithinPartitions(col("hkey"), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Positions via the columnar two-pass key (counts + broadcast offset
     // join) — the whole pass stays inside Tungsten/whole-stage codegen
     // instead of the former rdd.zipWithIndex detour that deserialized

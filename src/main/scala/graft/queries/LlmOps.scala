@@ -638,15 +638,17 @@ object LlmOps {
         // on every row, so the rows-only gate and the round-over-round
         // artifact pin real VALUES, not just shape — the output is too
         // wide for the 200-row cells dump, and these make drift in the
-        // trained merge table visible as a one-cell diff
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy()
-        graft.operators.Bpe
+        // trained merge table visible as a one-cell diff. The summary is
+        // a broadcast single-row crossJoin, NOT an unpartitioned window:
+        // the window shape funnels the whole per-doc output through one
+        // partition, which grows with sf.
+        val stats = graft.operators.Bpe
           .encodeStats(s, docs(s, dir), "doc_id", "text", m)
           .withColumnRenamed("id", "doc_id")
-          .withColumn("smry_docs", count(lit(1)).over(w))
-          .withColumn("smry_bpe_tokens", sum(col("n_bpe_tokens")).over(w))
-          .withColumn("smry_word_chars", sum(col("n_word_chars")).over(w))
+        stats.crossJoin(broadcast(stats.agg(
+            count(lit(1)).as("smry_docs"),
+            sum(col("n_bpe_tokens")).as("smry_bpe_tokens"),
+            sum(col("n_word_chars")).as("smry_word_chars"))))
           .orderBy("doc_id")
       },
       None),
@@ -1255,9 +1257,10 @@ object LlmOps {
     // ---- deterministic corpus shuffle ------------------------------------
     // Reproducible training permutation: global position by md5-shuffle
     // key + round-robin shard. Only (doc_id, hkey) pairs enter the range
-    // exchange (payloads re-join by id); positions via orderBy +
-    // zipWithIndex — two narrow passes, never a one-partition row_number
-    // window. See [[TrainPrep.shuffled]].
+    // exchange (payloads re-join by id); positions via the cached range
+    // partitioning + columnar two-pass scalable key — never an RDD
+    // zipWithIndex detour or a one-partition row_number window. See
+    // [[TrainPrep.shuffled]].
     "q66_corpus_shuffle" -> Q(
       (s, dir) => TrainPrep.shuffled(docs(s, dir), "doc_id", shards = 8)
         .orderBy("pos"),

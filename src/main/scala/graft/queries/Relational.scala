@@ -2388,9 +2388,14 @@ object Relational {
         // opens one footer; at cluster scale add more distribution keys
         // alongside wk to keep write parallelism)
         wk.repartition(col("wk")).write.partitionBy("wk").parquet(staging)
-        val weeks = new java.io.File(staging).listFiles()
-          .filter(f => f.isDirectory && f.getName.startsWith("wk="))
-          .map(_.getName.stripPrefix("wk=")).sorted
+        // list the written partitions through the SAME Hadoop FS layer
+        // that wrote them (a java.io.File listing silently assumes a
+        // CWD-relative local warehouse — NPE on any other defaultFS)
+        val stagingPath = new org.apache.hadoop.fs.Path(staging)
+        val weeks = stagingPath.getFileSystem(s.sessionState.newHadoopConf())
+          .listStatus(stagingPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("wk="))
+          .map(_.getPath.getName.stripPrefix("wk=")).sorted
         weeks.zipWithIndex.foreach { case (w, i) =>
           graft.catalog.Rollup.appendBatch(s,
             s.read.parquet(s"$staging/wk=$w"), path, s"w$i", groupCols, counters)

@@ -347,9 +347,11 @@ class PlanShapeSpec extends SparkSpec {
     val probeLine = plan.linesIterator.indexWhere(_.contains("graft_bloom_contains"))
     assert(probeLine > joinLine && joinLine >= 0,
       s"bloom probe must sit below the join (join@$joinLine, probe@$probeLine):\n$plan")
-    // and the bloom build side is a broadcast of a single-row aggregate
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"bloom bitmap is not broadcast:\n$plan")
+    // and the bitmap is an embedded task-level literal, not a joined-in
+    // binary COLUMN: the old crossJoin(broadcast(bitmap)) shape re-read
+    // (= copied, via UnsafeRow.getBinary) the bitmap per fact row
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom bitmap must be a literal, not a per-row joined column:\n$plan")
   }
 
   test("q136 predicate + uniqueness checks all run in ONE table scan") {

@@ -29,6 +29,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == again)
   }
 
+  test("shuffled positions stay a dense permutation beyond range-sampling scale") {
+    // regression pin for the two-pass construction: repartitionByRange
+    // re-samples its boundaries per execution (rdd.id-seeded), so WITHOUT
+    // the cache pinning one layout, 200k rows produced ~193k distinct
+    // positions (and max > n-1) with no guard firing — small fixtures
+    // pass because sampling is exhaustive below ~10k rows
+    import spark.implicits._
+    val n = 200000L
+    val big = spark.range(n).toDF("doc_id").repartition(4)
+    val pos = TrainPrep.shuffled(big, "doc_id").select("pos").as[Long]
+    assert(pos.distinct().count() == n)
+    val (mn, mx) = pos.agg(min("pos"), max("pos")).as[(Long, Long)].head()
+    assert(mn == 0L && mx == n - 1)
+  }
+
   test("shuffled stays columnar: no RDD scan, broadcast offset join") {
     // the IngestSpec scalable-key gate extended over the shuffle operator:
     // positions must come from the two-pass DataFrame construction, never
