@@ -2,10 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
@@ -72,6 +72,35 @@ object Bloom {
   def mightContain(bloom: Column, key: Column): Column =
     GraftBridge.column(BloomMightContainLong(
       GraftBridge.expression(bloom), GraftBridge.expression(key)))
+
+  /** A constant bitmap as a plan-REDACTED binary constant (see
+    * [[BinaryBlob]]): `lit(bytes)` hex-prints 2 chars per byte into
+    * every rendered plan — explain dumps and plan-assertion failure
+    * messages grow by ~2 MB per default-sized bitmap. */
+  def bitmapLiteral(bytes: Array[Byte]): Column =
+    GraftBridge.column(BinaryBlob(bytes, "bloom_bitmap"))
+}
+
+/** A constant binary blob as a leaf expression whose plan rendering is
+  * redacted to a label + byte count. Semantically a non-null BinaryType
+  * constant: interpreted eval returns the array, codegen references it
+  * once per task (`addReferenceObj`) exactly like a `Literal` — but
+  * `toString`/`sql` never dump the payload, and `foldable = false` keeps
+  * constant folding from rewriting it back into a hex-printing Literal.
+  * (Deliberately NOT registered as a SQL function: a plan-only carrier
+  * for driver-materialized sketch bytes.) */
+case class BinaryBlob(bytes: Array[Byte], label: String) extends LeafExpression {
+  override def foldable: Boolean = false
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def eval(input: InternalRow): Any = bytes
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blob", bytes, "byte[]")
+    ExprCode.forNonNullValue(JavaCode.global(ref, BinaryType))
+  }
+  override def toString: String = s"binary_blob($label, ${bytes.length}B)"
+  override def sql: String = toString
+  override def prettyName: String = "binary_blob"
 }
 
 case class BloomLongAgg(

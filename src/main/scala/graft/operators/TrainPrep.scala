@@ -31,8 +31,22 @@ object TrainPrep {
     * [[graft.ingest.Ingest.withScalableKey]] — a count-only job plus a
     * broadcast offset join, all in the DataFrame API — never a
     * one-partition `row_number()` window or an RDD detour.
+    *
+    * Cache contract: the result is built on an internal MEMORY_AND_DISK
+    * cache of the narrowed (id, hkey) layout (see the comment inside —
+    * it pins ONE set of range boundaries). Callers that keep the session
+    * long-lived should `spark.catalog.clearCache()` between corpora, the
+    * same contract as the [[Dedup]] shingle caches; [[writeShards]],
+    * which fully materializes the result, releases it itself.
     */
-  def shuffled(df: DataFrame, idCol: String, shards: Int = 8): DataFrame = {
+  def shuffled(df: DataFrame, idCol: String, shards: Int = 8): DataFrame =
+    shuffledWithCache(df, idCol, shards)._1
+
+  /** [[shuffled]] plus the internal cache handle, for callers that fully
+    * materialize the result and can release the (id, hkey) layout cache
+    * afterwards. */
+  private def shuffledWithCache(df: DataFrame, idCol: String,
+                                shards: Int): (DataFrame, DataFrame) = {
     val keyed = df.select(
       col(idCol),
       Hashing.h60(concat(lit("shuf:"), col(idCol).cast("string"))).as("hkey"))
@@ -61,7 +75,7 @@ object TrainPrep {
     // every row. Key is 1-based; the shuffle position is 0-based.
     val positioned = graft.ingest.Ingest.withScalableKey(sorted, "pos")
       .withColumn("pos", col("pos") - lit(1L))
-    positioned.withColumn("shard", pmod(col("pos"), lit(shards.toLong)))
+    (positioned.withColumn("shard", pmod(col("pos"), lit(shards.toLong))), sorted)
   }
 
   /** Sliding token-window chunking: split each document into windows of
@@ -272,7 +286,9 @@ object TrainPrep {
     // persist: the parquet export AND the manifest aggregate both consume
     // `assigned` — without the cache the full md5 sort + position join
     // pipeline runs TWICE (a second full-corpus sort at 100 TB)
-    val assigned = shuffled(df.select(col(idCol), col(textCol)), idCol)
+    val (shuf, layoutCache) = shuffledWithCache(
+      df.select(col(idCol), col(textCol)), idCol, shards = 8)
+    val assigned = shuf
       .withColumn("shard", expr(s"pos DIV $docsPerShard"))
       .drop("hkey")
       .join(df.select(col(idCol), col(textCol)), idCol)
@@ -291,7 +307,12 @@ object TrainPrep {
         .localCheckpoint(true)
       manifest.coalesce(1).write.mode("overwrite").json(s"$dir/manifest")
       manifest
-    } finally assigned.unpersist()
+    } finally {
+      assigned.unpersist()
+      // the manifest is checkpointed and the data written: the (id, hkey)
+      // layout cache inside shuffled() has no further consumer
+      layoutCache.unpersist()
+    }
   }
 
   /** Read-back integrity check: recompute every shard's doc count and
