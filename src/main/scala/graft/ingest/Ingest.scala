@@ -255,8 +255,13 @@ object Ingest {
     * driver-collected literal:
     *
     *   pass 1  distinct tokens, range-sort-partitioned lexicographically
-    *           (sklearn order), 0-based ids by the zipWithIndex
-    *           construction — no single-partition window, no collect;
+    *           (sklearn order), 0-based ids by the columnar two-pass key
+    *           ([[withScalableKey]]) — no single-partition window, no
+    *           collect, no RDD detour; the sorted layout is pinned with a
+    *           vocab-sized cache so the count and key passes cannot see
+    *           different range boundaries (boundary sampling is
+    *           re-seeded per execution — the q66 lesson), released by
+    *           callers via clearCache between corpora;
     *   pass 2  explode → per-(key, term) counts → shuffle join against the
     *           vocab table for ids → sparse sorted (idx, cnt) list per row.
     *
@@ -277,16 +282,18 @@ object Ingest {
     val counts = df.select(col(keyCol), explode(toks).as("term"))
       .groupBy(keyCol, "term").count()
       .localCheckpoint(true)
-    val sorted = counts.select("term").distinct().orderBy("term")
-    // ids follow the global sort: orderBy range-partitions with sorted
-    // partitions in order, zipWithIndex numbers across them — two narrow
-    // passes (count job + map), no single-partition stage
-    val vocabSchema = new StructType()
-      .add("term", org.apache.spark.sql.types.StringType, nullable = false)
-      .add("id", LongType, nullable = false)
-    val vocab = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) },
-      vocabSchema)
+    // ids follow the global sort: explicit range partitioning + local
+    // sort (NOT orderBy — EliminateSorts drops a sort under the key
+    // pass's count aggregate), partition count pinned so AQE cannot
+    // coalesce the two passes differently, layout cached so both passes
+    // read ONE boundary sample
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = counts.select("term").distinct()
+      .repartitionByRange(nPart, col("term"))
+      .sortWithinPartitions("term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = withScalableKey(sorted, "id")
+      .select(col("term"), (col("id") - 1L).as("id"))
     val sparse = counts.join(vocab, "term")
       .groupBy(keyCol)
       .agg(sort_array(collect_list(struct(

@@ -161,6 +161,34 @@ class IngestSpec extends SparkSpec {
     assert(dense(1L) == Seq(1f, 1f, 1f, 0f, 1f, 1f))
     assert(dense(2L) == Seq(2f, 1f, 0f, 1f, 0f, 0f))
     assert(dense(3L) == Seq.fill(6)(0f))
+    // scale gate: vocab ids come from the columnar two-pass key — the
+    // broadcast offset join over the pinned in-memory layout, never a
+    // single-partition window. (A blanket no-ExistingRDD assert would
+    // false-positive on the upstream counts checkpoint's one-time scan.)
+    val plan = vocabDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab offset add must be a broadcast join:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"vocab key passes must read the pinned cached layout:\n$plan")
+    assert(!plan.contains("Window"), s"single-partition window in vocab plan:\n$plan")
+    spark.catalog.clearCache() // release the vocab layout cache
+  }
+
+  test("bag-of-words vocab ids stay dense beyond range-sampling scale") {
+    // the q66 lesson applied to P4: range boundaries are re-sampled per
+    // execution above the exhaustive-sampling size, so the two key
+    // passes must read one pinned layout — 60k distinct terms would
+    // yield duplicate/missing ids if the layouts decoupled
+    val n = 60000
+    val df = spark.range(n).selectExpr("id AS key",
+      "concat('term', lpad(CAST(id AS STRING), 6, '0')) AS text")
+    val (vocabDf, _) = Ingest.bagOfWords(df, "text")
+    val ids = vocabDf.select("id")
+    assert(ids.distinct().count() == n)
+    val (mn, mx) = ids.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).as[(Long, Long)].head()
+    assert(mn == 0L && mx == n - 1L)
+    spark.catalog.clearCache()
   }
 
   test("robust JSONL/CSV scans quarantine malformed lines, never fail the job") {
