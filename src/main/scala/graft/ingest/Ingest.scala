@@ -257,11 +257,15 @@ object Ingest {
     *   pass 1  distinct tokens, range-sort-partitioned lexicographically
     *           (sklearn order), 0-based ids by the columnar two-pass key
     *           ([[withScalableKey]]) — no single-partition window, no
-    *           collect, no RDD detour; the sorted layout is pinned with a
-    *           vocab-sized cache so the count and key passes cannot see
-    *           different range boundaries (boundary sampling is
-    *           re-seeded per execution — the q66 lesson), released by
-    *           callers via clearCache between corpora;
+    *           collect; the sorted layout is pinned with an eager
+    *           LOCAL CHECKPOINT (lineage cut), not a cache: range
+    *           boundaries are re-sampled per execution (the q66 lesson),
+    *           and a cache entry evicted while the returned frames are
+    *           still live would silently recompute a DIFFERENT layout
+    *           against the already-collected offsets — the checkpoint
+    *           makes every downstream action read the one materialized
+    *           layout, fails LOUDLY if its blocks are lost, and holds no
+    *           session-lifetime CacheManager pin;
     *   pass 2  explode → per-(key, term) counts → shuffle join against the
     *           vocab table for ids → sparse sorted (idx, cnt) list per row.
     *
@@ -285,13 +289,14 @@ object Ingest {
     // ids follow the global sort: explicit range partitioning + local
     // sort (NOT orderBy — EliminateSorts drops a sort under the key
     // pass's count aggregate), partition count pinned so AQE cannot
-    // coalesce the two passes differently, layout cached so both passes
-    // read ONE boundary sample
+    // coalesce the two passes differently, layout checkpoint-pinned so
+    // EVERY pass and every later caller action reads ONE boundary sample
+    // (see the scaladoc for why checkpoint, not cache)
     val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = counts.select("term").distinct()
       .repartitionByRange(nPart, col("term"))
       .sortWithinPartitions("term")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val vocab = withScalableKey(sorted, "id")
       .select(col("term"), (col("id") - 1L).as("id"))
     val sparse = counts.join(vocab, "term")

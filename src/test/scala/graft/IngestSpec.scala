@@ -162,16 +162,14 @@ class IngestSpec extends SparkSpec {
     assert(dense(2L) == Seq(2f, 1f, 0f, 1f, 0f, 0f))
     assert(dense(3L) == Seq.fill(6)(0f))
     // scale gate: vocab ids come from the columnar two-pass key — the
-    // broadcast offset join over the pinned in-memory layout, never a
-    // single-partition window. (A blanket no-ExistingRDD assert would
-    // false-positive on the upstream counts checkpoint's one-time scan.)
+    // broadcast offset join over the checkpoint-pinned layout, never a
+    // single-partition window. (The checkpoint scans render as
+    // ExistingRDD, so a blanket no-ExistingRDD assert does not apply
+    // here; the Window absence is the single-partition gate.)
     val plan = vocabDf.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab offset add must be a broadcast join:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      s"vocab key passes must read the pinned cached layout:\n$plan")
     assert(!plan.contains("Window"), s"single-partition window in vocab plan:\n$plan")
-    spark.catalog.clearCache() // release the vocab layout cache
   }
 
   test("bag-of-words vocab ids stay dense beyond range-sampling scale") {
@@ -188,7 +186,9 @@ class IngestSpec extends SparkSpec {
     val (mn, mx) = ids.agg(org.apache.spark.sql.functions.min("id"),
       org.apache.spark.sql.functions.max("id")).as[(Long, Long)].head()
     assert(mn == 0L && mx == n - 1L)
-    spark.catalog.clearCache()
+    // repeated actions on the SAME returned frame must see the same ids
+    // (the checkpoint pin: a re-sampled layout would shuffle them)
+    assert(ids.distinct().count() == n)
   }
 
   test("robust JSONL/CSV scans quarantine malformed lines, never fail the job") {
