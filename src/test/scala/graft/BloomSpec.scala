@@ -40,6 +40,33 @@ class BloomSpec extends SparkSpec {
     assert(Bloom.testBits(bloom, 42L) && Bloom.testBits(bloom, 43L))
   }
 
+  test("the bitmap constant is redacted from plan strings, not hex-dumped") {
+    // the whole point of BinaryBlob over lit(bytes): a Literal renders
+    // BinaryType as 0x<hex> — 2 chars/byte, megabyte-scale lines in every
+    // explain dump and plan-assertion failure message for MiB bitmaps.
+    // Pin redaction in BOTH the expression and a full filter plan, and
+    // pin that evaluation still returns the exact payload.
+    val bytes = Array.tabulate(4096)(i => (i % 251).toByte)
+    val blob = graft.expressions.BinaryBlob(bytes, "bloom_bitmap")
+    assert(blob.toString == "binary_blob(bloom_bitmap, 4096B)")
+    assert(blob.sql == blob.toString)
+    assert(blob.eval(null).asInstanceOf[Array[Byte]] sameElements bytes)
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // the deterministic filter at optimize time and leave a bare
+    // LocalTableScan with no filter (and no blob) in the plan at all
+    val fact = spark.range(100).selectExpr("id % 10 AS fk", "id AS payload")
+    val dim = Seq(0L, 30L).toDF("dk")
+    val pruned = Prune.bloomSemiFilter(fact, col("fk"), dim, col("dk"),
+      numBits = 1 << 15)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("binary_blob(bloom_bitmap"),
+      s"redacted blob missing from plan:\n$plan")
+    assert(!plan.contains("0x00010203"),
+      "bitmap hex payload leaked into the plan string")
+    // the redacted plan stays small even with a real-sized bitmap in it
+    assert(plan.length < 100000, s"plan unexpectedly large: ${plan.length}")
+  }
+
   test("bloomSemiFilter keeps every joining row (join result unchanged)") {
     val fact = (1L to 10000L).map(k => (k % 500, k)).toDF("fk", "payload")
     val dim = (0L to 49L).map(k => (k * 10, s"d$k")).toDF("dk", "name")
