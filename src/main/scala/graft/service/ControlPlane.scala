@@ -53,6 +53,7 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
     }
   /** Shapes reported by the last completed training hand-off. */
   @volatile private var lastShapes: Map[String, Seq[Int]] = Map.empty
+  @volatile private var lastReport: Option[graft.ml.MimoTrainer.Report] = None
   private var server: HttpServer = _
 
   private val zipPath = s"$workDir/datasets/dataset.zip"
@@ -63,6 +64,8 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
 
   def currentState: State = state
   def shapes: Map[String, Seq[Int]] = lastShapes
+  /** Loss curve of the last completed fit (M1). */
+  def trainReport: Option[graft.ml.MimoTrainer.Report] = lastReport
 
   /** True when a previous serialize's parquet sink is on disk. */
   private def sinkExists: Boolean =
@@ -154,13 +157,21 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           case JNothing | JNull => Some(32)
           case _ => None
         }
-        if (batchSize.isEmpty) respond(ex, "Please provide a valid command.")
+        // `options['epochs']` (keras_mimo.py:14) — validated up front for
+        // the same no-wedge reason as batch_size
+        val epochs = req \ "epochs" match {
+          case JInt(n) if n >= 1 && n <= Int.MaxValue => Some(n.toInt)
+          case JString(s) => s.toIntOption.filter(_ >= 1)
+          case JNothing | JNull => Some(1)
+          case _ => None
+        }
+        if (batchSize.isEmpty || epochs.isEmpty) respond(ex, "Please provide a valid command.")
         // a FAILED train may retry as long as the sink survives — the
         // serialized data is intact, re-downloading the archive to get
         // out of Failed would be pure waste
         else if (tryTransition(s => s == Serialized || s == Trained ||
             (s.isInstanceOf[Failed] && sinkExists), Training)) {
-          val job = new Thread(() => runTrainingHandOff(batchSize.get), "graft-train")
+          val job = new Thread(() => runTrainingHandOff(batchSize.get, epochs.get), "graft-train")
           job.setDaemon(true)
           job.start()
           respond(ex, "Started training. Sit back.")
@@ -337,11 +348,15 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
     }
   }
 
-  /** The deserialize job: D1 open + stats, D2 shapes, D3 batch stream.
-    * The reference trains a Keras model here (`server.py:207-210`); our
-    * contract ends at the shape-annotated batch iterator (SURVEY §2.1
-    * M1 ruling), so the hand-off drains one epoch to prove the stream. */
-  private def runTrainingHandOff(batchSize: Int): Unit =
+  /** The deserialize job: D1 open + stats, D2 shapes, D3 batch stream,
+    * then the M1 fit — the reference trains its Keras MIMO model here
+    * (`server.py:207-210` → `tests/keras_mimo.py:17-67`); ours is the
+    * deterministic JVM twin ([[graft.ml.MimoTrainer]]): same topology
+    * (flatten → concat → sigmoid Dense per output), same MSE/Adam loss,
+    * driven by the same `steps_per_epoch = n_samples // batch_size`
+    * generator contract. The epoch-drain count check runs first so a
+    * short stream fails loudly before any weight update. */
+  private def runTrainingHandOff(batchSize: Int, epochs: Int): Unit =
     try {
       val df = spark.read.parquet(s"$sinkDir/$sinkName.parquet")
       // S5 datasets carry their request-declared stream roles in the
@@ -358,6 +373,8 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
       export.epoch().foreach(_ => n += 1)
       if (n != export.nBatches)
         throw new IllegalStateException(s"epoch yielded $n of ${export.nBatches} batches")
+      val trainer = new graft.ml.MimoTrainer(inputCols, outputCols, epochs)
+      lastReport = Some(trainer.fit(export.batches(), export.nBatches))
       state = Trained
     } catch {
       case e: Exception => state = Failed(s"train: ${e.getMessage}")

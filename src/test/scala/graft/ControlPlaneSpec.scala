@@ -96,6 +96,13 @@ class ControlPlaneSpec extends SparkSpec {
         pollUntil(cp, ControlPlane.Trained)
         assert(get(ep) == "Training complete.\n")
         assert(cp.shapes.keySet == Set("path", "content", "slabel"))
+        // M1: a real fit ran — one epoch by default, finite loss, and the
+        // input dims are the decoded 3x2 RGB pixels (path contributes 0)
+        val report = cp.trainReport.get
+        assert(report.epochLosses.length == 1)
+        assert(report.epochLosses.forall(java.lang.Double.isFinite(_)))
+        assert(report.inDim == 3 * 2 * 3)
+        assert(report.outDims == Seq(1)) // slabel label head
       } finally cp.stop()
     }
   }
@@ -179,6 +186,11 @@ class ControlPlaneSpec extends SparkSpec {
           "Started training. Sit back.")
         pollUntil(cp, ControlPlane.Trained)
         assert(cp.shapes.keySet == Set("in0_content", "out0_content"))
+        // M1 MIMO: the output stream is an image head — Dense(h*w*3)
+        val report = cp.trainReport.get
+        assert(report.inDim == 3 * 2 * 3)
+        assert(report.outDims == Seq(3 * 2 * 3))
+        assert(report.epochLosses.forall(java.lang.Double.isFinite(_)))
       } finally cp.stop()
     }
   }
@@ -279,11 +291,18 @@ class ControlPlaneSpec extends SparkSpec {
           "Please provide a valid command.")
         assert(post(ep, """{"command":"deserialize","batch_size":0}""") ==
           "Please provide a valid command.")
+        // epochs gets the same up-front validation (keras_mimo.py:14)
+        assert(post(ep, """{"command":"deserialize","batch_size":1,"epochs":0}""") ==
+          "Please provide a valid command.")
+        assert(post(ep, """{"command":"deserialize","batch_size":1,"epochs":"x"}""") ==
+          "Please provide a valid command.")
         assert(cp.currentState == ControlPlane.Serialized)
-        // a valid request still goes through afterwards
-        assert(post(ep, """{"command":"deserialize","batch_size":1}""") ==
+        // a valid request still goes through afterwards; epochs drives
+        // the fit loop (one loss per epoch)
+        assert(post(ep, """{"command":"deserialize","batch_size":1,"epochs":3}""") ==
           "Started training. Sit back.")
         pollUntil(cp, ControlPlane.Trained)
+        assert(cp.trainReport.get.epochLosses.length == 3)
       } finally cp.stop()
     }
   }
