@@ -395,7 +395,14 @@ object Berry {
           s"berry: layer $nm concat inputs disagree on leading dims: ${ss.mkString(" vs ")}")
       lead :+ ss.map(_.last).sum
     }
-    def spatial(nm: String, in: Long, k: Long, s: Long, pad: Option[String]): Long =
+    def positive(nm: String, what: String, v: Long): Long = {
+      // uint32 wire values admit 0, which would div-by-zero the stride
+      // arithmetic or declare an empty kernel/head silently
+      if (v < 1) throw new IllegalArgumentException(s"berry: layer $nm $what must be >= 1, got $v")
+      v
+    }
+    def spatial(nm: String, in: Long, k: Long, s: Long, pad: Option[String]): Long = {
+      positive(nm, "kernel size", k); positive(nm, "stride", s)
       pad.map(_.toLowerCase) match {
         case Some("same") => (in + s - 1) / s
         case None | Some("valid") =>
@@ -405,6 +412,7 @@ object Berry {
         case Some(other) =>
           throw new IllegalArgumentException(s"berry: layer $nm unknown padding '$other'")
       }
+    }
 
     order.result().foreach { nm =>
       val l = byName(nm)
@@ -422,6 +430,7 @@ object Berry {
           if (in.length != 3) throw new IllegalArgumentException(
             s"berry: conv layer $nm needs rank-3 input (h,w,c), got rank ${in.length}")
           val Seq(h, w, c) = in
+          positive(nm, "num_filters", p.numFilters)
           val sx = p.strideX.getOrElse(1L); val sy = p.strideY.getOrElse(1L)
           val oh = spatial(nm, h, p.kernelSizeY, sy, p.pad)
           val ow = spatial(nm, w, p.kernelSizeX, sx, p.pad)
@@ -440,6 +449,7 @@ object Berry {
             spatial(nm, w, p.kernelSizeX, sx, p.pad), c), 0L)
         case "dense" =>
           val p = l.denseParam.getOrElse(throw missing("dense_param"))
+          positive(nm, "num_units", p.numUnits)
           val in = concatInputs(nm, l.input)
           // Keras Dense maps the LAST axis; leading dims pass through
           (in.dropRight(1) :+ p.numUnits, in.last * p.numUnits + p.numUnits)

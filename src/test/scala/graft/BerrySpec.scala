@@ -242,6 +242,22 @@ class BerrySpec extends AnyFunSuite {
         LayerParameter("dropout", Seq("d"), Some("dr"),
           dropoutParam = Some(DropoutParameter(Some(0f)))))))
     }.getMessage.contains("keep_prob"))
+    // zero stride (encodable as uint32) must not div-by-zero
+    assert(intercept[IllegalArgumentException] {
+      Berry.infer(Network(Seq(data("d"), conv("d", "c", 2, 1, stride = Some(0L)))))
+    }.getMessage.contains("stride"))
+    // zero filters / units / kernel are loud domain errors
+    assert(intercept[IllegalArgumentException] {
+      Berry.infer(Network(Seq(data("d"), conv("d", "c", 0, 1))))
+    }.getMessage.contains("num_filters"))
+    assert(intercept[IllegalArgumentException] {
+      Berry.infer(Network(Seq(data("d"),
+        LayerParameter("dense", Seq("d"), Some("fc"),
+          denseParam = Some(DenseParameter(0))))))
+    }.getMessage.contains("num_units"))
+    assert(intercept[IllegalArgumentException] {
+      Berry.infer(Network(Seq(data("d"), conv("d", "c", 2, 0))))
+    }.getMessage.contains("kernel size"))
   }
 
   test("declaration order need not be topological; inference follows the DAG") {
