@@ -368,14 +368,16 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           (df.columns.filter(c => c != "key" && c != "slabel").toSeq, Seq("slabel"))
       }
       val export = BatchExport(df, "key", inputCols, outputCols, batchSize)
-      lastShapes = export.shapes
-      var n = 0L
-      export.epoch().foreach(_ => n += 1)
-      if (n != export.nBatches)
-        throw new IllegalStateException(s"epoch yielded $n of ${export.nBatches} batches")
-      val trainer = new graft.ml.MimoTrainer(inputCols, outputCols, epochs)
-      lastReport = Some(trainer.fit(export.batches(), export.nBatches))
-      state = Trained
+      try {
+        lastShapes = export.shapes
+        var n = 0L
+        export.epoch().foreach(_ => n += 1)
+        if (n != export.nBatches)
+          throw new IllegalStateException(s"epoch yielded $n of ${export.nBatches} batches")
+        val trainer = new graft.ml.MimoTrainer(inputCols, outputCols, epochs)
+        lastReport = Some(trainer.fit(export.batches(), export.nBatches))
+        state = Trained
+      } finally export.release() // drop the pinned epoch layout
     } catch {
       case e: Exception => state = Failed(s"train: ${e.getMessage}")
     }

@@ -228,5 +228,16 @@ class IngestSpec extends SparkSpec {
     assert(batches.head._2("label").size == 5)
     val twoEpochs = be.batches(epochs = 2).toSeq
     assert(twoEpochs.size == 8)
+    // the epoch layout is pinned once: every epoch replays the SAME
+    // batch membership and order (one sort, N linear scans — the
+    // multi-epoch fit must not reshuffle 100 TB per epoch)
+    val (e1, e2) = twoEpochs.splitAt(4)
+    assert(e1.map(_._1("features").map(_.asInstanceOf[scala.collection.Seq[Float]].toList)) ==
+      e2.map(_._1("features").map(_.asInstanceOf[scala.collection.Seq[Float]].toList)))
+    be.release()
+    // release is idempotent and the export remains usable (re-pins)
+    be.release()
+    assert(be.epoch().size == 4)
+    be.release()
   }
 }
