@@ -2820,7 +2820,82 @@ object LlmOps {
         s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(bit_xor(node) AS BIGINT) AS xor_members
            FROM ($lbl) GROUP BY label ORDER BY label"""
-      })
+      }),
+
+    // ---- B1: berry.proto layer DSL — codec + inference gated in-plan -----
+    // Each part row derives a 4-layer network config (data → conv2d →
+    // maxpool → dense) whose every parameter is integer arithmetic on
+    // p_partkey. The network is ENCODED to proto2 wire bytes, DECODED
+    // back (round-trip asserted in-plan), and shape/param-inferred per
+    // row via [[graft.functions.Berry]] — mapPartitions, map-only, no
+    // shuffle, the same shape a config-validation sweep over millions of
+    // stored model configs has. The oracle recomputes the Keras shape
+    // formulas AND the exact wire byte length (proto2 varint + framing
+    // arithmetic) in SQL, so a wrong tag, field order, stride default,
+    // padding formula, or varint encoder moves a column and fails the
+    // hash gate — the q53 approach applied to the layer DSL.
+    "q301_layer_dsl" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Berry
+        import graft.functions.Berry._
+        Tables.load(s, dir, "part").select(col("p_partkey").cast("long")).as[Long]
+          .mapPartitions(_.map { pk =>
+            val h = 16 + pk % 48; val w = 16 + (pk / 7) % 48
+            val k = 1 + pk % 5; val st = 1 + pk % 3
+            val f = 4 + pk % 13; val u = 8 + pk % 200 // u crosses the 1/2-byte varint boundary
+            val pad = if (pk % 2 == 0) "same" else "valid"
+            val net = Network(Seq(
+              LayerParameter("data",
+                dataParam = Some(DataParameter(Size(Seq(h, w, 3L))))),
+              LayerParameter("convolution2d", input = Seq("data_0"),
+                convolution2dParam = Some(Convolution2DParameter(f, k, k,
+                  strideX = Some(st), strideY = Some(st), pad = Some(pad)))),
+              LayerParameter("maxpooling2d", input = Seq("convolution2d_1"),
+                maxpooling2dParam = Some(MaxPooling2DParameter(2, 2))),
+              LayerParameter("dense", input = Seq("maxpooling2d_2"),
+                denseParam = Some(DenseParameter(u)))))
+            val bytes = Berry.encodeNetwork(net)
+            val decoded = Berry.decodeNetwork(bytes)
+            require(decoded == net, s"berry wire round-trip drift for part $pk")
+            val inf = Berry.infer(decoded).map(l => l.name -> l).toMap
+            val conv = inf("convolution2d_1").outputShape
+            val pool = inf("maxpooling2d_2").outputShape
+            (pk, conv(0), conv(1), pool(0), pool(1),
+              inf("dense_3").outputShape.last,
+              inf.values.map(_.nParams).sum, bytes.length.toLong)
+          })
+          .toDF("p_partkey", "conv_h", "conv_w", "pool_h", "pool_w",
+            "out_units", "total_params", "wire_len")
+          .orderBy("p_partkey")
+      },
+      // wire_len pieces: 4 one-byte frames + data layer 17 (type 6 +
+      // field-100 hdr 3 + size submsg 8) + conv layer (type 15 — the
+      // 13-char "convolution2d" + tag + len — + input "data_0" 8 + hdr 3
+      // + five 2-byte varint fields + pad 2+|pad|) + pool layer (type 14
+      // + input 17 + hdr 3 + kx,ky 4) + dense layer (type 7 + input 16 +
+      // hdr 3 + units tag 1 + varint(u))
+      Some("""WITH cfg AS (SELECT p_partkey,
+            16 + p_partkey % 48 AS h, 16 + (p_partkey // 7) % 48 AS w,
+            1 + p_partkey % 5 AS k, 1 + p_partkey % 3 AS s,
+            4 + p_partkey % 13 AS f, 8 + p_partkey % 200 AS u,
+            (p_partkey % 2 = 0) AS same
+          FROM part),
+        shp AS (SELECT *,
+            CASE WHEN same THEN (h + s - 1) // s ELSE (h - k) // s + 1 END AS ch,
+            CASE WHEN same THEN (w + s - 1) // s ELSE (w - k) // s + 1 END AS cw
+          FROM cfg),
+        pool AS (SELECT *, (ch - 2) // 2 + 1 AS ph, (cw - 2) // 2 + 1 AS pw FROM shp)
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+          CAST(ch AS BIGINT) AS conv_h, CAST(cw AS BIGINT) AS conv_w,
+          CAST(ph AS BIGINT) AS pool_h, CAST(pw AS BIGINT) AS pool_w,
+          CAST(u AS BIGINT) AS out_units,
+          CAST(k*k*3*f + f + f*u + u AS BIGINT) AS total_params,
+          CAST(4 + 17
+             + 15 + 8 + 3 + 10 + 2 + CASE WHEN same THEN 4 ELSE 5 END
+             + 14 + 17 + 3 + 4
+             + 7 + 16 + 3 + 1 + CASE WHEN u < 128 THEN 1 ELSE 2 END AS BIGINT) AS wire_len
+        FROM pool ORDER BY p_partkey"""))
   )
 
   /** DuckDB list literal from a Scala string seq (no quotes in profiles). */
