@@ -174,10 +174,19 @@ object Berry {
       v
     }
     def readBytes(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException("berry: truncated field")
+      // n > end - pos (not pos + n > end): a hostile length near 2^31
+      // would overflow the sum and slip past the bound into a raw AIOOBE
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException("berry: truncated field")
       val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; r
     }
-    def readLenField(): Array[Byte] = readBytes(readVarint().toInt)
+    def readLenField(): Array[Byte] = {
+      val n = readVarint()
+      // a > 32-bit length varint must not truncate through toInt into a
+      // small positive span that silently mis-frames the rest of the buffer
+      if (n < 0 || n > Int.MaxValue)
+        throw new IllegalArgumentException(s"berry: invalid field length $n")
+      readBytes(n.toInt)
+    }
     def readFloat(): Float = {
       val b = readBytes(4)
       java.lang.Float.intBitsToFloat(

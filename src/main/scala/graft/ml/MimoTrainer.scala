@@ -356,6 +356,7 @@ final class MimoTrainer(inputCols: Seq[String], outputCols: Seq[String],
     }
     val probe = nextBatch()
     initFrom(probe)
+    t = 0L // a re-fit restarts the optimizer clock with the weights
     pending = Some(probe)
     val losses = Seq.newBuilder[Double]
     var e = 0

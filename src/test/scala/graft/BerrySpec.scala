@@ -132,6 +132,19 @@ class BerrySpec extends AnyFunSuite {
     }
   }
 
+  test("hostile length varints fail loudly (overflow-proof bounds)") {
+    // field 1 (type) with declared length 2^31 - 5: pos + n would
+    // overflow a naive sum check
+    intercept[IllegalArgumentException] {
+      Berry.decodeLayer(unhex("0a" + "fbffffff07"))
+    }
+    // declared length 2^32 + 4: toInt truncation must not silently
+    // re-frame it as a 4-byte field
+    intercept[IllegalArgumentException] {
+      Berry.decodeLayer(unhex("0a" + "8480808010" + "64617461"))
+    }
+  }
+
   // ---- typed graph: inference ------------------------------------------------
   private def conv(in: String, nm: String, filters: Long, k: Long,
                    pad: Option[String] = None, stride: Option[Long] = None) =
