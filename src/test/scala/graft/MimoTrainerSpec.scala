@@ -141,6 +141,38 @@ class MimoTrainerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new MimoTrainer(Nil, Seq("y"), epochs = 1) }
   }
 
+  test("forward/backward/Adam match the closed-form single-step math exactly") {
+    // 1-dim input, 1-dim output, batch of one row: after ONE Adam step
+    // every quantity is closed-form. Glorot init is seeded and public:
+    // limit = sqrt(6/(fanIn+fanOut)), w0 = (2u-1)*limit from
+    // java.util.Random(seed + head), b0 = 0. At t=1 Adam's bias
+    // correction makes m_hat = g and v_hat = g^2, so the update is
+    // exactly lr * g / (|g| + eps). A drift anywhere — sigmoid, the
+    // 2/(B*M) MSE scale, gradient accumulation, moment update, bias
+    // correction — moves the prediction.
+    val x = 0.75f; val y = 0.2f
+    val seed = 9L; val lr = 0.001; val eps = 1e-7
+    val batch: Batch = (
+      Map("x" -> IndexedSeq[Any](x)), Map("y" -> IndexedSeq[Any](y)))
+    val t = new MimoTrainer(Seq("x"), Seq("y"), epochs = 1, seed = seed,
+      lr = lr, eps = eps)
+    t.fit(Iterator.single(batch), 1L)
+
+    val limit = math.sqrt(6.0 / (1 + 1))
+    val rng = new java.util.Random(seed)
+    val w0 = (rng.nextDouble() * 2 - 1) * limit
+    val b0 = 0.0
+    val a0 = 1.0 / (1.0 + math.exp(-(w0 * x + b0)))
+    val dz = 2.0 * (a0 - y) * a0 * (1.0 - a0) // scale 2/(B*M) with B=M=1
+    val gW = dz * x; val gB = dz
+    val w1 = w0 - lr * gW / (math.abs(gW) + eps)
+    val b1 = b0 - lr * gB / (math.abs(gB) + eps)
+    val expected = 1.0 / (1.0 + math.exp(-(w1 * x + b1)))
+
+    val pred = t.predictRaw(t.featurizeInputs(batch._1, 0))(0)(0)
+    assert(math.abs(pred - expected) < 1e-12, s"pred $pred vs closed-form $expected")
+  }
+
   test("missing declared column fails loudly at the probe") {
     val ins: Map[String, IndexedSeq[Any]] = Map("x" -> IndexedSeq(1f))
     val outs: Map[String, IndexedSeq[Any]] = Map("y" -> IndexedSeq(1f))

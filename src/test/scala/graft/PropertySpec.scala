@@ -334,4 +334,53 @@ object WavPathPropertySpec extends Properties("graft.wav") {
         case Some((r, c, s)) => r > 0 && c > 0 && s != null
       }
     }
+
+  // ---- berry.proto layer DSL codec (B1) -----------------------------------
+  private val berryName = Gen.oneOf("a", "img", "layer_1", "x9", "long_layer_name")
+  private val berryOptF = Gen.option(Gen.choose(-8f, 8f))
+  private val berryOptU = Gen.option(Gen.choose(0L, 4294967295L)) // full uint32 domain
+  private val berryLayer: Gen[graft.functions.Berry.LayerParameter] = {
+    import graft.functions.Berry._
+    for {
+      tpe <- Gen.oneOf("data", "convolution2d", "dense", "dropout", "maxpooling2d", "custom_ext")
+      ins <- Gen.listOf(berryName)
+      name <- Gen.option(berryName)
+      data <- Gen.option(Gen.nonEmptyListOf(Gen.choose(0L, 4294967295L)).map(d =>
+        DataParameter(Size(d))))
+      conv <- Gen.option(for {
+        nf <- Gen.choose(0L, 4294967295L); kx <- Gen.choose(0L, 300L); ky <- Gen.choose(0L, 300L)
+        sx <- berryOptU; sy <- berryOptU
+        pad <- Gen.option(Gen.oneOf("same", "valid", "weird"))
+        act <- Gen.option(Gen.oneOf("relu", "sigmoid"))
+        init <- Gen.option(Gen.oneOf("uniform", "gaussian"))
+        w <- berryOptF; b <- berryOptF
+      } yield Convolution2DParameter(nf, kx, ky, sx, sy, pad, act, init, w, b))
+      dense <- Gen.option(for {
+        u <- Gen.choose(0L, 4294967295L)
+        act <- Gen.option(Gen.oneOf("relu", "sigmoid"))
+        init <- Gen.option(Gen.oneOf("uniform", "gaussian"))
+        w <- berryOptF; b <- berryOptF
+      } yield DenseParameter(u, act, init, w, b))
+      pool <- Gen.option(for {
+        kx <- Gen.choose(0L, 300L); ky <- Gen.choose(0L, 300L)
+        sx <- berryOptU; sy <- berryOptU
+        pad <- Gen.option(Gen.oneOf("same", "valid"))
+      } yield MaxPooling2DParameter(kx, ky, sx, sy, pad))
+      drop <- Gen.option(berryOptF.map(DropoutParameter(_)))
+    } yield LayerParameter(tpe, ins, name, data, conv, dense, pool, drop)
+  }
+
+  property("Berry layer/network encode∘decode = id over the full field domain") =
+    forAll(Gen.listOfN(6, berryLayer)) { layers =>
+      import graft.functions.Berry
+      val net = Berry.Network(layers)
+      Berry.decodeNetwork(Berry.encodeNetwork(net)) == net &&
+        layers.forall(l => Berry.decodeLayer(Berry.encodeLayer(l)) == l)
+    }
+
+  property("Berry decode is total on junk: loud IAE or a parsed layer, never a crash") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      try { graft.functions.Berry.decodeLayer(bs.toArray); true }
+      catch { case _: IllegalArgumentException => true }
+    }
 }
