@@ -274,6 +274,70 @@ object Tables {
       .parquet(s"$dir/$name.parquet")
   }
 
+  /** W2 successor: pre-flight sink capacity check. The reference reserves
+    * its LMDB `map_size` before writing — `du -s` of the input directory
+    * × 100 (`/root/reference/serialize.py:438-442`), because LMDB cannot
+    * grow dynamically. Parquet needs no reservation, but the question the
+    * reservation answered still matters at 100 TB: WILL THIS WRITE FIT
+    * THE TARGET VOLUME? Answered before the job, not six hours into it.
+    *
+    * Estimation: a bounded prefix sample is encoded at the sink's REAL
+    * codec (parquet + compression), measured on disk, and extrapolated
+    * by row count. Small samples over-estimate bytes/row (footer and
+    * dictionary overhead amortize with size), which errs in the SAFE
+    * direction, and the explicit safety factor replaces the reference's
+    * blunt ×100. `rowsHint` skips the count when the caller already
+    * knows the cardinality (e.g. one row per scanned file). */
+  final case class SinkEstimate(rows: Long, sampledRows: Long,
+                                bytesPerRow: Double, estBytes: Long,
+                                requiredBytes: Long, usableBytes: Long) {
+    def fits: Boolean = requiredBytes <= usableBytes
+  }
+
+  def preflightSink(df: DataFrame, dir: String, sampleRows: Int = 1024,
+                    safetyFactor: Double = 1.5, rowsHint: Option[Long] = None,
+                    usableBytesOverride: Option[Long] = None): SinkEstimate = {
+    require(sampleRows > 0, s"preflightSink: sampleRows must be positive, got $sampleRows")
+    require(safetyFactor >= 1.0, s"preflightSink: safetyFactor must be >= 1, got $safetyFactor")
+    val target = new java.io.File(dir)
+    target.mkdirs()
+    val rows = rowsHint.getOrElse(df.count())
+    val n = math.min(rows, sampleRows.toLong)
+    val bytesPerRow =
+      if (n <= 0) 0.0
+      else {
+        val tmp = new java.io.File(target, s".preflight-${java.util.UUID.randomUUID()}")
+        try {
+          df.limit(n.toInt).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val sampleBytes = Option(tmp.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .map(_.length()).sum
+          sampleBytes.toDouble / n
+        } finally deleteRecursively(tmp)
+      }
+    val est = math.ceil(bytesPerRow * rows).toLong
+    val required = math.ceil(est * safetyFactor).toLong
+    val usable = usableBytesOverride.getOrElse(target.getUsableSpace)
+    SinkEstimate(rows, n, bytesPerRow, est, required, usable)
+  }
+
+  /** Loud pre-flight: refuse to start a sink that cannot fit. */
+  def requireSinkFits(df: DataFrame, dir: String, sampleRows: Int = 1024,
+                      safetyFactor: Double = 1.5, rowsHint: Option[Long] = None,
+                      usableBytesOverride: Option[Long] = None): SinkEstimate = {
+    val e = preflightSink(df, dir, sampleRows, safetyFactor, rowsHint, usableBytesOverride)
+    if (!e.fits) throw new IllegalStateException(
+      f"sink preflight: estimated ${e.estBytes}%,d bytes (×$safetyFactor%.1f safety = " +
+        f"${e.requiredBytes}%,d) exceeds ${e.usableBytes}%,d usable at $dir " +
+        f"(${e.rows}%,d rows at ${e.bytesPerRow}%.1f B/row from a ${e.sampledRows}%,d-row sample)")
+    e
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Compact a parquet directory's small files into ~`targetBytes` ones.
     * Streaming sinks and per-batch index appends accumulate files far
     * below the HDFS-block/row-group sweet spot; at 100 TB the resulting

@@ -196,6 +196,10 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
       req \ "image_binding" match {
         case spec: JObject =>
           val (scanned, ins, outs) = readBindingLayout(req, spec)
+          // W2: the reference reserves LMDB map_size here (serialize.py:
+          // 438-442, du×100); the parquet successor asks the same
+          // question as a loud pre-flight instead of a reservation
+          Tables.requireSinkFits(scanned, sinkDir)
           Tables.save(scanned, sinkDir, sinkName)
           // roles AFTER the sink: a failed save must not leave a
           // streams.json describing a parquet that was never written
@@ -210,6 +214,7 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           val scanned =
             if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
             else Ingest.readImageDir(spark, dataDir)
+          Tables.requireSinkFits(scanned, sinkDir) // W2 pre-flight (see above)
           Tables.save(scanned, sinkDir, sinkName)
       }
       state = Serialized

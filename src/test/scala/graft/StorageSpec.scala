@@ -182,4 +182,38 @@ class StorageSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<id:bigint,v:double>"),
       s"column pruning missing:\n$scan")
   }
+
+  test("sink preflight (W2): real-codec estimate, loud refusal, safe edge cases") {
+    val dir = java.nio.file.Files.createTempDirectory("preflight").toString
+    val df = (1 to 500).map(i => (i.toLong, s"row-$i-payload", i * 1.5))
+      .toDF("id", "s", "v")
+
+    // estimate from a real parquet sample: positive bytes/row, linear
+    // extrapolation, sample dir cleaned up
+    val e = Tables.preflightSink(df, dir, sampleRows = 100)
+    assert(e.rows == 500 && e.sampledRows == 100)
+    assert(e.bytesPerRow > 0 && e.estBytes == math.ceil(e.bytesPerRow * 500).toLong)
+    assert(e.requiredBytes >= e.estBytes)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".preflight-")),
+      "sample dir leaked")
+    assert(e.fits) // a temp dir on this host fits half a kilobyte-scale sink
+
+    // loud refusal when the volume cannot hold the write
+    val err = intercept[IllegalStateException] {
+      Tables.requireSinkFits(df, dir, usableBytesOverride = Some(10L))
+    }
+    assert(err.getMessage.contains("preflight") && err.getMessage.contains("usable"))
+
+    // rowsHint skips the count but drives the same arithmetic
+    val hinted = Tables.preflightSink(df, dir, sampleRows = 100, rowsHint = Some(1000000L))
+    assert(hinted.rows == 1000000L && hinted.estBytes > e.estBytes)
+
+    // zero-row sink: nothing to write always fits
+    val empty = Tables.preflightSink(df.limit(0), dir)
+    assert(empty.rows == 0 && empty.estBytes == 0 && empty.fits)
+
+    // domain guards
+    intercept[IllegalArgumentException] { Tables.preflightSink(df, dir, sampleRows = 0) }
+    intercept[IllegalArgumentException] { Tables.preflightSink(df, dir, safetyFactor = 0.5) }
+  }
 }
