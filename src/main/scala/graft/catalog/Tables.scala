@@ -333,6 +333,48 @@ object Tables {
     e
   }
 
+  /** W2 pre-flight from the INPUT footprint — the reference's exact
+    * measurement (`du -s` of the extracted data dir,
+    * `serialize.py:438-440`): a filesystem-metadata walk, ZERO Spark
+    * jobs, no extra scan of the source. For the binary-dominant
+    * serialize sinks (image/audio payload columns) the parquet output is
+    * bounded by input bytes × a small re-encoding factor, which the
+    * explicit safety factor absorbs — where the reference multiplied by
+    * a blunt 100. Use [[preflightSink]] instead when the frame is
+    * derived (joins/aggregates) and no input directory bounds it; that
+    * path pays a count + sample write for its precision.
+    * `rows`/`sampledRows`/`bytesPerRow` are not applicable here and
+    * report -1 / 0 / 0. */
+  def preflightSinkFromInput(inputDir: String, sinkDir: String,
+                             safetyFactor: Double = 1.5,
+                             usableBytesOverride: Option[Long] = None): SinkEstimate = {
+    require(safetyFactor >= 1.0,
+      s"preflightSinkFromInput: safetyFactor must be >= 1, got $safetyFactor")
+    val target = new java.io.File(sinkDir)
+    target.mkdirs()
+    val inputBytes = directoryBytes(new java.io.File(inputDir))
+    val required = math.ceil(inputBytes * safetyFactor).toLong
+    val usable = usableBytesOverride.getOrElse(target.getUsableSpace)
+    SinkEstimate(rows = -1L, sampledRows = 0L, bytesPerRow = 0.0,
+      estBytes = inputBytes, requiredBytes = required, usableBytes = usable)
+  }
+
+  /** Loud input-footprint pre-flight (serialize path). */
+  def requireSinkFitsFromInput(inputDir: String, sinkDir: String,
+                               safetyFactor: Double = 1.5,
+                               usableBytesOverride: Option[Long] = None): SinkEstimate = {
+    val e = preflightSinkFromInput(inputDir, sinkDir, safetyFactor, usableBytesOverride)
+    if (!e.fits) throw new IllegalStateException(
+      f"sink preflight: input footprint ${e.estBytes}%,d bytes at $inputDir " +
+        f"(×$safetyFactor%.1f safety = ${e.requiredBytes}%,d) exceeds " +
+        f"${e.usableBytes}%,d usable at $sinkDir")
+    e
+  }
+
+  private def directoryBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).toSeq.flatten.map(directoryBytes).sum
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()

@@ -64,27 +64,8 @@ object Berry {
     * for a file of concatenated messages: each layer length-prefixed. */
   final case class Network(layers: Seq[LayerParameter])
 
-  // ---- wire-format primitives (shared shape with ProtoDatum) --------------
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
-  private def tag(field: Int, wire: Int): Int = (field << 3) | wire
-  private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
-    writeVarint(out, tag(field, 2)); writeVarint(out, bytes.length); out.write(bytes)
-  }
-  private def writeString(out: ByteArrayOutputStream, field: Int, s: String): Unit =
-    writeLen(out, field, s.getBytes("UTF-8"))
-  private def writeVarintField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
-    writeVarint(out, tag(field, 0)); writeVarint(out, v)
-  }
-  private def writeFloatField(out: ByteArrayOutputStream, field: Int, f: Float): Unit = {
-    writeVarint(out, tag(field, 5))
-    val bits = java.lang.Float.floatToIntBits(f)
-    out.write(bits & 0xff); out.write((bits >> 8) & 0xff)
-    out.write((bits >> 16) & 0xff); out.write((bits >> 24) & 0xff)
-  }
+  // ---- wire-format primitives: shared writer layer ([[ProtoWire]]) --------
+  import ProtoWire.{writeVarint, writeLen, writeString, writeVarintField, writeFloatField}
 
   // ---- encoders (fields in number order) ----------------------------------
   private def encodeSize(m: Size): Array[Byte] = {
@@ -205,7 +186,14 @@ object Berry {
     val r = new Reader(bytes, 0, bytes.length)
     while (r.hasMore) {
       val key = r.readVarint()
-      val field = (key >>> 3).toInt; val wire = (key & 7).toInt
+      val fieldL = key >>> 3
+      // proto2 field numbers are 1..2^29-1; without the range check a
+      // corrupt tag like ((2^32+1)<<3)|2 truncates through toInt to
+      // field 1 and its payload is ACCEPTED as the required type string
+      // instead of rejected — a fabricated layer, not a loud failure
+      if (fieldL < 1 || fieldL > 536870911L)
+        throw new IllegalArgumentException(s"berry: invalid field number $fieldL")
+      val field = fieldL.toInt; val wire = (key & 7).toInt
       if (!f(field, wire, r)) r.skip(wire)
     }
   }
@@ -432,6 +420,7 @@ object Berry {
           val p = l.dataParam.getOrElse(throw missing("data_param"))
           if (p.size.dim.isEmpty)
             throw new IllegalArgumentException(s"berry: data layer $nm has empty size")
+          p.size.dim.foreach(positive(nm, "size dim", _)) // 0-extent data is degenerate
           (p.size.dim, 0L)
         case "convolution2d" =>
           val p = l.convolution2dParam.getOrElse(throw missing("convolution2d_param"))

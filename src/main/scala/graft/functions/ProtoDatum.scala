@@ -42,25 +42,8 @@ object ProtoDatum {
                          imgdata: Option[ImgData] = None,
                          classs: Option[ClassMsg] = None)
 
-  // ---- wire-format primitives ------------------------------------------
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
-  }
-  private def tag(field: Int, wire: Int): Int = (field << 3) | wire
-  private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
-    writeVarint(out, tag(field, 2)); writeVarint(out, bytes.length); out.write(bytes)
-  }
-  private def writeVarintField(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
-    writeVarint(out, tag(field, 0)); writeVarint(out, v)
-  }
-  private def writeFloatField(out: ByteArrayOutputStream, field: Int, f: Float): Unit = {
-    writeVarint(out, tag(field, 5))
-    val bits = java.lang.Float.floatToIntBits(f)
-    out.write(bits & 0xff); out.write((bits >> 8) & 0xff)
-    out.write((bits >> 16) & 0xff); out.write((bits >> 24) & 0xff)
-  }
+  // ---- wire-format primitives: shared writer layer ([[ProtoWire]]) ------
+  import ProtoWire.{writeVarintField, writeFloatField, writeLen}
 
   /** float32 little-endian array bytes — `np.float32(...).tobytes()`. */
   def floatBytes(fs: Seq[Float]): Array[Byte] = {

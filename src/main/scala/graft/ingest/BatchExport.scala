@@ -83,6 +83,11 @@ final case class BatchExport(df: DataFrame, keyCol: String,
     sortedViewRef = None
   }
 
+  /** Distributed row count of the pinned epoch view (pins it if needed)
+    * — the cheap integrity guard; counting by draining an epoch through
+    * the driver would ship every row once for nothing. */
+  def epochRows: Long = sortedView.count()
+
   /** One epoch: `nBatches` batches of `(inputs, outputs)` column-major
     * row groups, in numeric key order. */
   def epoch(): Iterator[(Map[String, IndexedSeq[Any]], Map[String, IndexedSeq[Any]])] = {

@@ -213,6 +213,9 @@ final class MimoTrainer(inputCols: Seq[String], outputCols: Seq[String],
   private var w: Array[Array[Double]] = _
   private var b: Array[Array[Double]] = _
   private var mW, vW, mB, vB: Array[Array[Double]] = _
+  // gradient scratch, allocated once: a fresh m·inDim buffer per step
+  // would churn up to ~100 MB/step through the allocator at maxParams
+  private var gW, gB: Array[Array[Double]] = _
   private var t: Long = 0L
 
   private def initFrom(probe: Batch): Unit = {
@@ -241,6 +244,8 @@ final class MimoTrainer(inputCols: Seq[String], outputCols: Seq[String],
     vW = new Array[Array[Double]](outDims.length)
     mB = outDims.map(d => new Array[Double](d)).toArray
     vB = outDims.map(d => new Array[Double](d)).toArray
+    gW = new Array[Array[Double]](outDims.length)
+    gB = outDims.map(d => new Array[Double](d)).toArray
     var k = 0
     while (k < outDims.length) {
       val n = outDims(k) * inDim
@@ -249,6 +254,7 @@ final class MimoTrainer(inputCols: Seq[String], outputCols: Seq[String],
       w(k) = Array.fill(n)((rng.nextDouble() * 2 - 1) * limit)
       mW(k) = new Array[Double](n)
       vW(k) = new Array[Double](n)
+      gW(k) = new Array[Double](n)
       k += 1
     }
   }
@@ -288,8 +294,8 @@ final class MimoTrainer(inputCols: Seq[String], outputCols: Seq[String],
     while (k < outDims.length) {
       val m = outDims(k)
       val wk = w(k); val bk = b(k)
-      val gradW = new Array[Double](m * inDim)
-      val gradB = new Array[Double](m)
+      val gradW = gW(k); java.util.Arrays.fill(gradW, 0.0)
+      val gradB = gB(k); java.util.Arrays.fill(gradB, 0.0)
       val yRow = new Array[Float](m)
       val scale = 2.0 / (bSize.toDouble * m)
       var loss = 0.0

@@ -95,6 +95,16 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
+  /** A positive-int request option: absent → default, present-and-valid
+    * → value, anything else → None (the caller's invalid-command path). */
+  private def posIntField(req: JValue, name: String, default: Int): Option[Int] =
+    req \ name match {
+      case JInt(n) if n >= 1 && n <= Int.MaxValue => Some(n.toInt)
+      case JString(s) => s.toIntOption.filter(_ >= 1)
+      case JNothing | JNull => Some(default)
+      case _ => None
+    }
+
   private def handle(ex: HttpExchange): Unit =
     try {
       ex.getRequestMethod match {
@@ -149,22 +159,11 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
         }
       case Some("deserialize") =>
         // parse + validate BEFORE the state transition: a bad batch_size
-        // after moving to Training would wedge the machine there forever
-        // (the job thread that could transition out is never created)
-        val batchSize = req \ "batch_size" match {
-          case JInt(n) if n >= 1 && n <= Int.MaxValue => Some(n.toInt)
-          case JString(s) => s.toIntOption.filter(_ >= 1)
-          case JNothing | JNull => Some(32)
-          case _ => None
-        }
-        // `options['epochs']` (keras_mimo.py:14) — validated up front for
-        // the same no-wedge reason as batch_size
-        val epochs = req \ "epochs" match {
-          case JInt(n) if n >= 1 && n <= Int.MaxValue => Some(n.toInt)
-          case JString(s) => s.toIntOption.filter(_ >= 1)
-          case JNothing | JNull => Some(1)
-          case _ => None
-        }
+        // or epochs after moving to Training would wedge the machine
+        // there forever (the job thread that could transition out is
+        // never created)
+        val batchSize = posIntField(req, "batch_size", default = 32)
+        val epochs = posIntField(req, "epochs", default = 1) // keras_mimo.py:14
         if (batchSize.isEmpty || epochs.isEmpty) respond(ex, "Please provide a valid command.")
         // a FAILED train may retry as long as the sink survives — the
         // serialized data is intact, re-downloading the archive to get
@@ -198,8 +197,9 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           val (scanned, ins, outs) = readBindingLayout(req, spec)
           // W2: the reference reserves LMDB map_size here (serialize.py:
           // 438-442, du×100); the parquet successor asks the same
-          // question as a loud pre-flight instead of a reservation
-          Tables.requireSinkFits(scanned, sinkDir)
+          // question as a loud pre-flight instead of a reservation —
+          // from the INPUT footprint, so no extra scan of the source
+          Tables.requireSinkFitsFromInput(dataDir, sinkDir)
           Tables.save(scanned, sinkDir, sinkName)
           // roles AFTER the sink: a failed save must not leave a
           // streams.json describing a parquet that was never written
@@ -214,7 +214,7 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           val scanned =
             if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
             else Ingest.readImageDir(spark, dataDir)
-          Tables.requireSinkFits(scanned, sinkDir) // W2 pre-flight (see above)
+          Tables.requireSinkFitsFromInput(dataDir, sinkDir) // W2 pre-flight (see above)
           Tables.save(scanned, sinkDir, sinkName)
       }
       state = Serialized
@@ -374,11 +374,15 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
       }
       val export = BatchExport(df, "key", inputCols, outputCols, batchSize)
       try {
+        lastReport = None // a stale curve must not describe this run
         lastShapes = export.shapes
-        var n = 0L
-        export.epoch().foreach(_ => n += 1)
-        if (n != export.nBatches)
-          throw new IllegalStateException(s"epoch yielded $n of ${export.nBatches} batches")
+        // distributed row-count guard on the pinned epoch view — NOT a
+        // driver drain: shipping every row through toLocalIterator just
+        // to count it doubled time-to-first-weight-update
+        val n = export.epochRows
+        if (n != export.nBatches * batchSize)
+          throw new IllegalStateException(
+            s"epoch view holds $n of ${export.nBatches * batchSize} rows")
         val trainer = new graft.ml.MimoTrainer(inputCols, outputCols, epochs)
         lastReport = Some(trainer.fit(export.batches(), export.nBatches))
         state = Trained

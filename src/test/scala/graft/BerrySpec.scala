@@ -101,8 +101,8 @@ class BerrySpec extends AnyFunSuite {
   }
 
   test("packed repeated Size.dim is accepted on read") {
-    // Size with PACKED dims: 0a 04 e0 01 e0 01 03 — wait, packed payload of
-    // [224,224,3] is e0 01 e0 01 03 (5 bytes): field 1 wire 2.
+    // packed payload of [224,224,3] is e0 01 e0 01 03 (5 bytes), carried
+    // as field 1 wire 2: header 0a 05
     val packedSize = "0a05" + "e001e00103"
     val dataParam = "0a07" + packedSize // field 1, len 7
     val layer = "0a0464617461" + "a20609" + dataParam
@@ -130,6 +130,28 @@ class BerrySpec extends AnyFunSuite {
         Berry.decodeLayer(java.util.Arrays.copyOfRange(full, 0, cut))
       }
     }
+  }
+
+  test("zero data dims are rejected; truncating field numbers cannot fabricate fields") {
+    intercept[IllegalArgumentException] {
+      Berry.infer(Network(Seq(LayerParameter("data", name = Some("d"),
+        dataParam = Some(DataParameter(Size(Seq(0L, 4L, 3L))))))))
+    }
+    // tag varint ((2^32+1)<<3)|2 = 34359738378: without the field-range
+    // check it truncates through toInt to field 1 wire 2 and the
+    // following bytes are ACCEPTED as the required type string
+    val buf = {
+      val out = new java.io.ByteArrayOutputStream()
+      var v = 34359738378L
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+      out.write(4); out.write('f'); out.write('a'); out.write('k'); out.write('e')
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException] { Berry.decodeLayer(buf) }
+    assert(e.getMessage.contains("invalid field number"))
+    // field 0 is equally illegal in proto2
+    intercept[IllegalArgumentException] { Berry.decodeLayer(unhex("020461626364")) }
   }
 
   test("hostile length varints fail loudly (overflow-proof bounds)") {

@@ -238,6 +238,8 @@ class IngestSpec extends SparkSpec {
     // release is idempotent and the export remains usable (re-pins)
     be.release()
     assert(be.epoch().size == 4)
+    // distributed integrity count of the pinned view (no driver drain)
+    assert(be.epochRows == 20)
     be.release()
   }
 }

@@ -216,4 +216,29 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tables.preflightSink(df, dir, sampleRows = 0) }
     intercept[IllegalArgumentException] { Tables.preflightSink(df, dir, safetyFactor = 0.5) }
   }
+
+  test("input-footprint preflight (W2, serialize path): du-style walk, zero Spark jobs") {
+    val in = java.nio.file.Files.createTempDirectory("pf-in")
+    val sub = in.resolve("sub"); java.nio.file.Files.createDirectory(sub)
+    java.nio.file.Files.write(in.resolve("a.bin"), new Array[Byte](1000))
+    java.nio.file.Files.write(sub.resolve("b.bin"), new Array[Byte](500))
+    val sink = java.nio.file.Files.createTempDirectory("pf-sink").toString
+
+    val e = Tables.preflightSinkFromInput(in.toString, sink, safetyFactor = 2.0)
+    assert(e.estBytes == 1500L && e.requiredBytes == 3000L)
+    assert(e.rows == -1L && e.sampledRows == 0L)
+    assert(e.fits)
+
+    val err = intercept[IllegalStateException] {
+      Tables.requireSinkFitsFromInput(in.toString, sink,
+        usableBytesOverride = Some(1000L))
+    }
+    assert(err.getMessage.contains("input footprint") && err.getMessage.contains("1,500"))
+
+    // empty / missing input dir: nothing to write always fits
+    val none = Tables.preflightSinkFromInput(
+      in.resolve("ghost").toString, sink)
+    assert(none.estBytes == 0L && none.fits)
+  }
+
 }
