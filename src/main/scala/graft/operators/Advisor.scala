@@ -113,16 +113,41 @@ object Advisor {
   /** The lazy twin of [[keyCounts]] for MANY-consumer plans: no
     * materialization — instead every consumer embeds the IDENTICAL
     * aggregate subtree, and AQE's exchange/stage reuse computes the
-    * scan+shuffle once per profile inside the single final job. This
-    * beats both measured alternatives for a discovery sweep: per-profile
-    * eager checkpoints serialize one driver job per profile, and a
-    * tagged-union checkpoint makes every consumer rescan ALL profiles'
-    * blocks. Reuse requires consumers to share THIS DataFrame reference
-    * (canonically equal plans) — re-deriving the profile per edge is
-    * what breaks dedup. */
+    * scan+shuffle once per profile inside the single final job. Reuse
+    * requires consumers to share THIS DataFrame reference (canonically
+    * equal plans) — re-deriving the profile per edge is what breaks
+    * dedup. NOTE: for a multi-profile discovery sweep, [[keyCountsAll]]
+    * measured faster — the single fused AQE job saves scans but
+    * serializes the profile stages it shares, losing the overlap that
+    * independent jobs get for free. */
   def keyCountsLazy(df: DataFrame, key: Column): DataFrame =
     df.filter(key.isNotNull).groupBy(key.as("k"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Materialize MANY key profiles CONCURRENTLY: one eager
+    * localCheckpoint job per (table, column) profile, all submitted at
+    * once, so the profile scans+shuffles OVERLAP across executors
+    * instead of running serially. The A/B history behind this shape:
+    * serial per-profile checkpoints lost to a fused lazy AQE-reuse plan
+    * (one driver job per profile, back to back), but the fused plan in
+    * turn serialized the shared stages inside its single job and never
+    * beat the naive formulation on wall clock — concurrent submission
+    * keeps the scan-once property AND the overlap. The pool is bounded
+    * by the profile count (≤ a few dozen in any schema-discovery sweep;
+    * each job is a tiny two-long-column aggregate), and each returned
+    * profile is a materialized local-checkpoint scanned — never
+    * recomputed — by however many downstream edges consume it. */
+  def keyCountsAll(profiles: Seq[(DataFrame, Column)]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(profiles.size, 16)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(profiles.map { case (df, key) => Future(keyCounts(df, key)) }),
+      Duration.Inf)
+    finally pool.shutdown()
+  }
 
   /** [[fkScore]] over pre-built [[keyCounts]] profiles: both sides'
     * distinct sets, the containment semi join, and parent uniqueness all

@@ -1949,25 +1949,28 @@ object Analytics {
     // only; verdicts are pure integer comparisons.
     "q237_fk_discovery" -> Q(
       (s, dir) => {
-        import graft.operators.Advisor.{keyCountsLazy, fkScoreShared}
+        import graft.operators.Advisor.{keyCountsAll, fkScoreShared}
         val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
         val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
         val su = t(s, dir, "supplier"); val p = t(s, dir, "part")
-        // One key profile per distinct (table, column), SHARED by
-        // reference across the 7 edges and the 2-3 aggregates inside
-        // each edge: identical subtrees let AQE's stage reuse compute
-        // each scan+shuffle once inside the single job (the naive
-        // per-edge formulation re-derived the distinct sets, scanning
-        // lineitem/orders/customer 2-4x each; plan-gated below).
-        val liOrder = keyCountsLazy(li, col("l_orderkey"))
-        val liPart = keyCountsLazy(li, col("l_partkey"))
-        val oOrder = keyCountsLazy(o, col("o_orderkey"))
-        val oCust = keyCountsLazy(o, col("o_custkey"))
-        val cCust = keyCountsLazy(c, col("c_custkey"))
-        val cNation = keyCountsLazy(c, col("c_nationkey"))
-        val nNation = keyCountsLazy(n, col("n_nationkey"))
-        val sNation = keyCountsLazy(su, col("s_nationkey"))
-        val pPart = keyCountsLazy(p, col("p_partkey"))
+        // One key profile per distinct (table, column), materialized
+        // CONCURRENTLY up front (9 overlapping tiny jobs), then SHARED
+        // by the 7 edges' 17 side-aggregates — each base table is
+        // scanned once per profiled column and the edge verdicts read
+        // only the tiny checkpointed (k, cnt) tables (zero file scans
+        // in the final job; plan-gated below). Two prior shapes were
+        // A/B-rejected: serial per-profile checkpoints (jobs back to
+        // back) and a fused lazy plan with AQE stage reuse (scans
+        // shared but stages serialized inside one job — r7's wall-time
+        // regression).
+        val profiles = keyCountsAll(Seq(
+          li -> col("l_orderkey"), li -> col("l_partkey"),
+          o -> col("o_orderkey"), o -> col("o_custkey"),
+          c -> col("c_custkey"), c -> col("c_nationkey"),
+          n -> col("n_nationkey"), su -> col("s_nationkey"),
+          p -> col("p_partkey")))
+        val Seq(liOrder, liPart, oOrder, oCust, cCust, cNation,
+          nNation, sNation, pPart) = profiles: @unchecked
         Seq(
           fkScoreShared("li.orderkey->o", liOrder, oOrder),
           fkScoreShared("li.partkey->p", liPart, pPart),
