@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "driver parses the LAST bytes of stdout
+// as JSON". sbt's default LoggedOutput strategy re-logs the forked
+// JVM's stdout line-by-line with an "[info] " prefix and collapses the
+// newline padding (BENCH_r07.json preserves the mangled tail), and then
+// appends its own "[success] Total time..." line AFTER the JSON.
+// StdoutOutput hands the forked process the real stdout fd (raw
+// passthrough), and showSuccess := false drops the epilogue, so the
+// bench's shutdown-hook summary is the literal last stdout content.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

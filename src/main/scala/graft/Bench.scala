@@ -65,14 +65,32 @@ object Bench {
     }
     val calTimes = scala.collection.mutable.ArrayBuffer[Double](calibrate())
     val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // Heavy-tail reps: best-of-2 whipsaws multi-second queries by
+    // 1.3-2x between same-day windows on this shared host (r7: q237
+    // 4.2->5.6s, q218 8.5->6.3s between two runs with identical ~0.1s
+    // calibration), poisoning every round-over-round diff. Queries
+    // whose fastest rep still exceeds `heavyCutoff` get topped up to
+    // >=4 reps and report the MEDIAN (robust to one stall window);
+    // sub-second queries keep best-of-2 min (their noise is additive
+    // scheduler jitter, which min removes).
+    val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF").map(_.toDouble).getOrElse(2.0)
+    val heavyReps = math.max(reps, 4)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val firstPass = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn))
+      var times = (1 to reps).map(_ => runOnce(name, fn))
+      if (times.forall(_ > 0) && times.min > heavyCutoff)
+        times = times ++ (times.size until heavyReps).map(_ => runOnce(name, fn))
       repTimes(name) = times
       calTimes += calibrate()
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(f"[bench] $name reps ${times.map(t => f"$t%.2f").mkString(" ")}")
       // any failed rep poisons the query: -1 can't read as a fast success
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0
+               else if (times.min > heavyCutoff) median(times)
+               else times.min)
     }
     // Outlier recovery: this box (shared host) shows intermittent multi-
     // second stall windows that can swallow ALL reps of whichever query is
@@ -84,9 +102,12 @@ object Bench {
     val results =
       if (okMins.isEmpty) firstPass
       else {
-        val median = okMins(okMins.size / 2)
+        val runMedian = okMins(okMins.size / 2)
         firstPass.map { case (name, t) =>
-          if (t > math.max(3 * median, 1.5)) {
+          // heavy queries already ran >=4 reps and report a median — one
+          // more rep can't improve robustness, and min-merging would
+          // undo the median; only light queries get the stall-recovery rep
+          if (t > math.max(3 * runMedian, 1.5) && repTimes(name).size < heavyReps) {
             val again = runOnce(name, selected(name))
             repTimes(name) = repTimes(name) :+ again
             if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
@@ -121,13 +142,24 @@ object Bench {
     println(line)
     // The driver keeps only the LAST 2000 bytes of stdout and parses the
     // tail as JSON. The full line above exceeds that, so every prior
-    // round's artifact came back "parsed": null. Emit a final compact
-    // summary line, preceded by enough newline padding that the captured
-    // tail contains ONLY (whitespace +) this one complete JSON object —
-    // robust whether the driver json-parses the raw tail blob (leading
-    // whitespace is valid JSON lexically) or scans it line-by-line.
+    // round's artifact came back "parsed": null. Round 7's newline-padded
+    // println ALSO failed: under in-process `sbt runMain` stdout goes
+    // through sbt's logger, which collapsed the padding, prefixed the
+    // summary with "[info] ", and appended its own "[success] Total
+    // time..." line AFTER it (the exact tail is preserved in
+    // BENCH_r07.json). So: (a) write the padded summary to RAW file
+    // descriptor 1 — FileDescriptor.out bypasses sbt's System.out
+    // redirect entirely, so the padding and the bare JSON bytes reach
+    // the real stdout untouched; (b) do it from a JVM shutdown hook so
+    // it lands after everything else the JVM prints; (c) build.sbt sets
+    // `Global / showSuccess := false` so sbt's "[success]" epilogue is
+    // suppressed and the hook's JSON is the literal last stdout content.
     val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"calibration_median":${fmt(calSorted(calSorted.size / 2))},"calibration_max":${fmt(calSorted.last)}}"""
-    println("\n" * 2000 + summary)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      raw.write(("\n" * 2000 + summary + "\n").getBytes("UTF-8"))
+      raw.flush()
+    }))
     // The driver keeps only the tail of stdout; persist the full line so
     // per-query medians survive for tools/bench_diff.py round-over-round.
     try java.nio.file.Files.writeString(
