@@ -65,21 +65,41 @@ final case class BatchExport(df: DataFrame, keyCol: String,
     * membership between epochs. Call [[release]] when the consumer is
     * done (the repo's caller-release convention for pinned layouts). */
   private var sortedViewRef: Option[DataFrame] = None
+  private var pinnedRdd: Option[org.apache.spark.rdd.RDD[_]] = None
   private def sortedView: DataFrame = synchronized {
     sortedViewRef.getOrElse {
       val takeN = nBatches * batchSize
       require(takeN <= Int.MaxValue,
         s"epoch of $takeN rows exceeds a single driver-side iteration; " +
           "export epochs this large should be written to storage per-batch instead")
+      // Recovery trade-off (deliberate): localCheckpoint truncates
+      // lineage WITHOUT reliable storage — if an executor dies mid-fit,
+      // later epochs cannot recompute the lost blocks and the train run
+      // fails and restarts (ControlPlane lands it in Failed; the
+      // reference's posture, which re-reads its whole LMDB per restart).
+      // On a preemptible 100 TB cluster the alternative is a reliable
+      // checkpoint to distributed storage — one extra full write, worth
+      // it only when epochs x preemption-rate makes restarts common.
       val v = df.orderBy(col(keyCol)).limit(takeN.toInt).localCheckpoint()
+      // capture the checkpoint's backing RDD (the LogicalRDD the
+      // checkpointed Dataset scans): localCheckpoint persists OUTSIDE
+      // the SQL cache manager, so Dataset.unpersist() would be a no-op
+      // and release() would leave the MEMORY_AND_DISK blocks pinned
+      // until a driver GC let ContextCleaner find them
+      pinnedRdd = v.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
       sortedViewRef = Some(v)
       v
     }
   }
 
-  /** Drop the pinned epoch layout (no-op before the first epoch). */
+  /** Drop the pinned epoch layout (no-op before the first epoch):
+    * unpersists the checkpointed RDD's blocks directly — promptly, not
+    * GC-eventually (see pin-time comment). */
   def release(): Unit = synchronized {
-    sortedViewRef.foreach(_.unpersist())
+    pinnedRdd.foreach(_.unpersist(blocking = false))
+    pinnedRdd = None
     sortedViewRef = None
   }
 

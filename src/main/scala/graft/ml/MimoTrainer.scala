@@ -102,13 +102,28 @@ object MimoTrainer {
   /** Categorical label → dense first-seen index (deterministic: the
     * batch stream is key-ordered). The reference feeds labels through
     * the Class message's nlabel/slabel the same way — as a number the
-    * sigmoid head regresses onto. */
+    * sigmoid head regresses onto. Design weakness inherited ON PURPOSE
+    * (parity with the reference's model, `tests/keras_mimo.py`), but
+    * made LOUD here: a sigmoid head is bounded to (0, 1), so label
+    * indices ≥ 2 are unreachable targets — with 3+ classes the MSE loss
+    * plateaus at a floor and per-class information collapses. We warn
+    * once when the dictionary grows past 2 entries rather than silently
+    * training a model that cannot fit its own targets. */
   private[ml] final class LabelFeat extends Feat {
     val dim = 1
     private val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    private var warned = false
     def write(v: Any, out: Array[Float], off: Int): Unit = {
       val s = String.valueOf(v)
       out(off) = dict.getOrElseUpdate(s, dict.size).toFloat
+      if (dict.size > 2 && !warned) {
+        warned = true
+        System.err.println(
+          s"[MimoTrainer] WARNING: label column has ${dict.size}+ distinct classes but " +
+            "the reference-parity head is a single sigmoid unit regressing the class " +
+            "index — targets >= 2 are unreachable (loss will floor). Use a one-hot " +
+            "output encoding upstream if per-class fidelity matters.")
+      }
     }
     def size: Int = dict.size
   }

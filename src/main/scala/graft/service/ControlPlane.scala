@@ -199,7 +199,7 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           // 438-442, du×100); the parquet successor asks the same
           // question as a loud pre-flight instead of a reservation —
           // from the INPUT footprint, so no extra scan of the source
-          Tables.requireSinkFitsFromInput(dataDir, sinkDir)
+          preflightSinkOrRefuse(req, scanned)
           Tables.save(scanned, sinkDir, sinkName)
           // roles AFTER the sink: a failed save must not leave a
           // streams.json describing a parquet that was never written
@@ -214,13 +214,43 @@ final class ControlPlane(spark: SparkSession, workDir: String, port: Int = 0) {
           val scanned =
             if (nInputPerRecord > 1) Ingest.readImageStreams(spark, dataDir)
             else Ingest.readImageDir(spark, dataDir)
-          Tables.requireSinkFitsFromInput(dataDir, sinkDir) // W2 pre-flight (see above)
+          preflightSinkOrRefuse(req, scanned) // W2 pre-flight (see above)
           Tables.save(scanned, sinkDir, sinkName)
       }
       state = Serialized
     } catch {
       case e: Exception => state = Failed(s"serialize: ${e.getMessage}")
     }
+
+  /** W2 sink pre-flight with a request knob and a precision fallback.
+    * The input-footprint check is scan-free but OVER-states compressible
+    * sinks (numeric/text streams compress several-fold in parquet), so a
+    * volume with 1.0–1.5× the input's free space would refuse a
+    * serialize that succeeds. Two escape hatches: the request may set
+    * `sink_safety_factor` (default 1.5, must be ≥ 1), and when the
+    * cheap input-footprint check refuses, we re-judge with the sampled
+    * REAL-codec estimate ([[Tables.requireSinkFits]]) before refusing —
+    * the count + sample write is paid only in the borderline case. */
+  private def preflightSinkOrRefuse(req: JValue,
+                                    scanned: org.apache.spark.sql.DataFrame): Unit = {
+    val sf = req \ "sink_safety_factor" match {
+      case JDouble(v) => v
+      case JDecimal(v) => v.toDouble
+      case JInt(v) => v.toDouble
+      case _ => 1.5
+    }
+    try { Tables.requireSinkFitsFromInput(dataDir, sinkDir, safetyFactor = sf); () }
+    catch {
+      case footprint: IllegalStateException =>
+        try { Tables.requireSinkFits(scanned, sinkDir, safetyFactor = sf); () }
+        catch {
+          case _: IllegalStateException =>
+            // both estimates refuse: report the footprint one — it names
+            // the input dir, which is what the operator can act on
+            throw footprint
+        }
+    }
+  }
 
   import ControlPlane.SideStream
 

@@ -234,7 +234,15 @@ class IngestSpec extends SparkSpec {
     val (e1, e2) = twoEpochs.splitAt(4)
     assert(e1.map(_._1("features").map(_.asInstanceOf[scala.collection.Seq[Float]].toList)) ==
       e2.map(_._1("features").map(_.asInstanceOf[scala.collection.Seq[Float]].toList)))
+    // release must drop the checkpointed blocks PROMPTLY (Dataset
+    // .unpersist is a no-op on a localCheckpoint — the fix unpersists
+    // the backing RDD): the pinned RDD disappears from the context's
+    // persistent-RDD registry, not just at some later driver GC
+    val pinnedIds = spark.sparkContext.getPersistentRDDs.keySet
     be.release()
+    val afterIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert((pinnedIds -- afterIds).nonEmpty,
+      "release() did not unpersist the pinned epoch layout's RDD")
     // release is idempotent and the export remains usable (re-pins)
     be.release()
     assert(be.epoch().size == 4)
