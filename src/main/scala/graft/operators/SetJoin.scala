@@ -115,20 +115,55 @@ object SetJoin {
     val sz = el.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfc = el.groupBy("tokh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy("df", "tokh", "tok")
+    // prefix is materialized (third checkpoint): it feeds the candidate
+    // join TWICE (self-join sides) plus the candidate-volume pre-flight,
+    // and it is small by construction (≤ the element table, usually a
+    // fraction); leaving it lazy re-runs the df-join + window per
+    // consumer or leans on AQE subtree reuse
     val prefix = el.join(dfc, "tokh").join(sz, "id")
       .withColumn("pos", row_number().over(wDoc))
       .filter(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col("id"), col("tokh"))
+      .localCheckpoint(true)
     (el, sz, prefix)
   }
+
+  /** Candidate-volume pre-flight (the W2 discipline applied to join
+    * work): before running the candidate join, bound its output from
+    * per-token df counts — Σ over prefix tokens of (pairs it can emit).
+    * An UPPER bound (pairs sharing several prefix tokens are counted
+    * once per token), computed by one tiny aggregate over the already-
+    * materialized prefix table, so it costs nothing next to the join it
+    * guards. Exact-recall joins have NO work cap by contract — on a
+    * vocabulary-bounded corpus (templated/synthetic text) candidate
+    * volume grows ~quadratically with corpus size (measured: 10× docs →
+    * ~150× candidates on the bounded-vocab fixture family, SCALE.md
+    * round 8) — so the guard REFUSES loudly instead of launching a job
+    * that cannot finish, and names the bounded alternatives. */
+  private def requireCandidateBudget(joinName: String, estPairs: Long,
+                                     maxCandidatePairs: Long): Unit =
+    if (estPairs > maxCandidatePairs) throw new IllegalStateException(
+      f"$joinName: prefix filtering bounds candidate volume at ~$estPairs%,d pairs, " +
+        f"over the $maxCandidatePairs%,d budget. This corpus's token space is too " +
+        "collision-heavy for an EXACT set-similarity join (bounded/templated " +
+        "vocabulary). Use the banded MinHash tier (Dedup.nearDupPairs — per-band " +
+        "bucket caps bound work) or serve the build side from the capped posting " +
+        "index (InvertedIndex) and verify exactly on its candidates; or raise " +
+        "maxCandidatePairs deliberately.")
 
   /** All pairs (a < b) of `elRaw` (columns `id`, `tok` — distinct set
     * elements per id) with Jaccard ≥ tNum/tDen. Output: a, b, inter,
     * sz_a, sz_b. */
   def jaccardJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
-                  broadcastMaxPairs: Long = 4000000L): DataFrame = {
+                  broadcastMaxPairs: Long = 4000000L,
+                  maxCandidatePairs: Long = 500000000L): DataFrame = {
     val (el, sz, prefix) = prefixTables(elRaw, tNum, tDen)
+    val est = prefix.groupBy("tokh").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("est"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    requireCandidateBudget("jaccardJoin", est, maxCandidatePairs)
     val cand = prefix.select(col("id").as("a"), col("tokh"))
       .join(prefix.select(col("id").as("b"), col("tokh")), "tokh")
       .filter(col("a") < col("b"))
@@ -156,8 +191,17 @@ object SetJoin {
     * index with an exact fallback verify for capped terms. Integer ceil
     * arithmetic and string-level verification as in [[jaccardJoin]]. */
   def containmentJoin(elRaw: DataFrame, tNum: Int, tDen: Int,
-                      broadcastMaxPairs: Long = 4000000L): DataFrame = {
+                      broadcastMaxPairs: Long = 4000000L,
+                      maxCandidatePairs: Long = 500000000L): DataFrame = {
     val (el, sz, prefix) = prefixTables(elRaw, tNum, tDen)
+    // candidate bound: prefix-side df × full-side df per token (the
+    // probe-prefix ⋈ full-postings shape has no B-side pruning)
+    val est = prefix.groupBy("tokh").agg(count(lit(1)).as("cp"))
+      .join(el.groupBy("tokh").agg(count(lit(1)).as("cf")), "tokh")
+      .agg(sum(col("cp") * col("cf")).cast("long").as("est"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    requireCandidateBudget("containmentJoin", est, maxCandidatePairs)
     val cand = prefix.select(col("id").as("a"), col("tokh"))
       .join(el.select(col("id").as("b"), col("tokh")), "tokh")
       .filter(col("a") =!= col("b"))

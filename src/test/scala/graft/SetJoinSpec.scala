@@ -78,6 +78,26 @@ class SetJoinSpec extends SparkSpec {
     assert(!gatedPlan.contains("ResolvedHint"))
   }
 
+  test("candidate-volume pre-flight refuses a collision-heavy corpus loudly") {
+    // bounded-vocabulary corpora make EXACT set-sim candidate volume
+    // ~quadratic in corpus size (measured 10x docs -> ~150x candidates,
+    // SCALE.md round 8); the budget guard must refuse BEFORE launching
+    // the candidate join, and name the bounded alternatives
+    val el = Seq(1L -> "x", 1L -> "y", 2L -> "x", 2L -> "y",
+      3L -> "x", 3L -> "y", 4L -> "x", 4L -> "y")
+      .toDF("id", "tok")
+    val eJ = intercept[IllegalStateException] {
+      SetJoin.jaccardJoin(el, 1, 2, maxCandidatePairs = 1L)
+    }
+    assert(eJ.getMessage.contains("MinHash") && eJ.getMessage.contains("budget"))
+    val eC = intercept[IllegalStateException] {
+      SetJoin.containmentJoin(el, 1, 2, maxCandidatePairs = 1L)
+    }
+    assert(eC.getMessage.contains("MinHash"))
+    // the default budget admits normal corpora: same input runs clean
+    assert(SetJoin.jaccardJoin(el, 1, 2).count() == 6)
+  }
+
   test("containment join finds the inclusion that Jaccard misses") {
     // A = {a,b,c} fully inside B = {a..j}: containment(A,B) = 1 but
     // Jaccard = 3/10 — the symmetric join must NOT report it, the
