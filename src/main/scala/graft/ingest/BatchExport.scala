@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   */
 final case class BatchExport(df: DataFrame, keyCol: String,
                              inputCols: Seq[String], outputCols: Seq[String],
-                             batchSize: Int) {
+                             batchSize: Int,
+                             spillDir: Option[String] = None) {
 
   // reject at construction: batchSize 0 surfaced later as an opaque
   // ArithmeticException from nBatches, negatives as an AnalysisException
@@ -66,28 +67,51 @@ final case class BatchExport(df: DataFrame, keyCol: String,
     * done (the repo's caller-release convention for pinned layouts). */
   private var sortedViewRef: Option[DataFrame] = None
   private var pinnedRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+  private var spillFiles: Option[Seq[String]] = None
   private def sortedView: DataFrame = synchronized {
     sortedViewRef.getOrElse {
       val takeN = nBatches * batchSize
       require(takeN <= Int.MaxValue,
         s"epoch of $takeN rows exceeds a single driver-side iteration; " +
           "export epochs this large should be written to storage per-batch instead")
-      // Recovery trade-off (deliberate): localCheckpoint truncates
-      // lineage WITHOUT reliable storage — if an executor dies mid-fit,
-      // later epochs cannot recompute the lost blocks and the train run
-      // fails and restarts (ControlPlane lands it in Failed; the
-      // reference's posture, which re-reads its whole LMDB per restart).
-      // On a preemptible 100 TB cluster the alternative is a reliable
-      // checkpoint to distributed storage — one extra full write, worth
-      // it only when epochs x preemption-rate makes restarts common.
-      val v = df.orderBy(col(keyCol)).limit(takeN.toInt).localCheckpoint()
-      // capture the checkpoint's backing RDD (the LogicalRDD the
-      // checkpointed Dataset scans): localCheckpoint persists OUTSIDE
-      // the SQL cache manager, so Dataset.unpersist() would be a no-op
-      // and release() would leave the MEMORY_AND_DISK blocks pinned
-      // until a driver GC let ContextCleaner find them
-      pinnedRdd = v.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      // Recovery trade-off (caller's choice via `spillDir`):
+      //  - default (None): localCheckpoint — fastest pin, but it
+      //    truncates lineage WITHOUT reliable storage; if an executor
+      //    dies mid-fit, later epochs cannot recompute the lost blocks
+      //    and the train run fails and restarts (ControlPlane lands it
+      //    in Failed; the reference's posture, which re-reads its whole
+      //    LMDB per restart). Right for short fits on stable executors.
+      //  - Some(dir): the sorted view is written ONCE to reliable
+      //    storage and every epoch scans the written range-ordered part
+      //    files SEQUENTIALLY (see [[epoch]]) — one extra full write
+      //    buys executor-loss survival, the right trade on preemptible
+      //    clusters × many epochs. Pinning semantics are identical:
+      //    one sort total, frozen batch membership.
+      val sorted = df.orderBy(col(keyCol)).limit(takeN.toInt)
+      val v = spillDir match {
+        case Some(dir) =>
+          val path = s"$dir/epoch-layout.parquet"
+          sorted.write.mode("overwrite").parquet(path)
+          // a global sort writes one part file per range partition, in
+          // partition order — lexicographic part-file order IS key order
+          // (part-00000 < part-00001 < ...), and parquet preserves row
+          // order within a file; record the ordered file list once
+          val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .map(_.getAbsolutePath).sorted
+          spillFiles = Some(parts)
+          df.sparkSession.read.parquet(path)
+        case None =>
+          val ckpt = sorted.localCheckpoint()
+          // capture the checkpoint's backing RDD (the LogicalRDD the
+          // checkpointed Dataset scans): localCheckpoint persists
+          // OUTSIDE the SQL cache manager, so Dataset.unpersist() would
+          // be a no-op and release() would leave the MEMORY_AND_DISK
+          // blocks pinned until a driver GC let ContextCleaner find them
+          pinnedRdd = ckpt.queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }
+          ckpt
       }
       sortedViewRef = Some(v)
       v
@@ -96,11 +120,13 @@ final case class BatchExport(df: DataFrame, keyCol: String,
 
   /** Drop the pinned epoch layout (no-op before the first epoch):
     * unpersists the checkpointed RDD's blocks directly — promptly, not
-    * GC-eventually (see pin-time comment). */
+    * GC-eventually (see pin-time comment). A spilled layout stays on
+    * disk (the spill dir is caller-owned storage). */
   def release(): Unit = synchronized {
     pinnedRdd.foreach(_.unpersist(blocking = false))
     pinnedRdd = None
     sortedViewRef = None
+    spillFiles = None
   }
 
   /** Distributed row count of the pinned epoch view (pins it if needed)
@@ -109,10 +135,26 @@ final case class BatchExport(df: DataFrame, keyCol: String,
   def epochRows: Long = sortedView.count()
 
   /** One epoch: `nBatches` batches of `(inputs, outputs)` column-major
-    * row groups, in numeric key order. */
+    * row groups, in numeric key order.
+    *
+    * Spill mode reads the range-ordered part files ONE AT A TIME in
+    * file order — the reference's sequential LMDB read re-expressed:
+    * linear scans, no shuffle, and crucially NO re-sort per epoch (a
+    * whole-directory read would need an `orderBy` to guarantee global
+    * order, re-shuffling the corpus every epoch — the exact pattern the
+    * pin exists to avoid). Each file is a separate tiny job; batches
+    * span file boundaries through the flat iterator. */
   def epoch(): Iterator[(Map[String, IndexedSeq[Any]], Map[String, IndexedSeq[Any]])] = {
     import scala.jdk.CollectionConverters._
-    sortedView.toLocalIterator().asScala.grouped(batchSize).map { rows =>
+    val view = sortedView // pin first (also populates spillFiles in spill mode)
+    val rowIter: Iterator[Row] = spillFiles match {
+      case Some(parts) =>
+        parts.iterator.flatMap(p =>
+          df.sparkSession.read.schema(view.schema).parquet(p)
+            .toLocalIterator().asScala)
+      case None => view.toLocalIterator().asScala
+    }
+    rowIter.grouped(batchSize).map { rows =>
         val batch = rows.toIndexedSeq
         def cols(cs: Seq[String]) = cs.map(c => c -> batch.map(_.getAs[Any](c))).toMap
         (cols(inputCols), cols(outputCols))

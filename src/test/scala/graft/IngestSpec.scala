@@ -250,4 +250,53 @@ class IngestSpec extends SparkSpec {
     assert(be.epochRows == 20)
     be.release()
   }
+
+  test("batch export spill mode: reliable layout, same batches, no per-epoch sort") {
+    // spillDir writes the sorted layout ONCE to parquet and epochs read
+    // the range-ordered part files sequentially — executor-loss-safe
+    // (preemptible-cluster trade) with IDENTICAL batch semantics to the
+    // localCheckpoint pin, and still one sort total
+    val df = (1L to 23L).map(k => (k, Array.fill(4)(k.toFloat), k % 2))
+      .toDF("key", "features", "label")
+    val spill = java.nio.file.Files.createTempDirectory("graft-spill").toString
+    val local = BatchExport(df, "key", Seq("features"), Seq("label"), batchSize = 5)
+    val spilled = BatchExport(df, "key", Seq("features"), Seq("label"), batchSize = 5,
+      spillDir = Some(spill))
+    def labels(be: BatchExport) =
+      be.epoch().map(_._2("label").map(String.valueOf).toList).toList
+    assert(labels(spilled) == labels(local))
+    assert(spilled.epochRows == 20)
+    // the layout is real reliable storage: the parquet dir exists and a
+    // second epoch replays the same membership from disk
+    assert(new java.io.File(s"$spill/epoch-layout.parquet").exists())
+    assert(labels(spilled) == labels(local))
+    // one sort total: epochs in spill mode never re-sort — gate by
+    // counting sort-bearing executions across two further epochs
+    val sortQEs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("Sort ") || p.contains("TakeOrderedAndProject"))
+          sortQEs.incrementAndGet()
+        ()
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      spilled.epoch().size; spilled.epoch().size
+      // listener dispatch is async; settle before asserting
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        val now = sortQEs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+      }
+      assert(sortQEs.get() == 0,
+        s"spill-mode epochs must read part files linearly, saw ${sortQEs.get()} sorts")
+    } finally spark.listenerManager.unregister(l)
+    local.release(); spilled.release()
+  }
 }
