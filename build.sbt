@@ -43,4 +43,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the JDK default 240m code cache fills mid-run and the JIT silently
   // stops compiling — late queries then run interpreted at 5-20x cost
   "-XX:ReservedCodeCacheSize=1g",
-) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:file=$f").toSeq ++
+  // dev knob: extra JVM flags for forked runs (JIT/GC experiments)
+  sys.env.get("SPARK_GRAFT_XOPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

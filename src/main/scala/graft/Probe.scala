@@ -23,18 +23,25 @@ object Probe {
     })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.prepare(spark, sfDir)
-    Thread.sleep(500) // drain the listener bus before clearing
-    stages.synchronized(stages.clear())
-    val t0 = System.nanoTime()
-    SparkEntry.queries(qname)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    val snap = stages.synchronized(stages.toList)
-    println(f"== $qname wall $wall%.2f s, ${snap.size} stages ==")
-    snap.sortBy(-_._3).foreach { case (id, name, ms, n) =>
-      println(f"stage $id%4d  $ms%6d ms  $n%4d tasks  $name")
+    val repsN = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.toInt).getOrElse(1)
+    (1 to repsN).foreach { rep =>
+      Thread.sleep(500) // drain the listener bus before clearing
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      SparkEntry.queries(qname)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val snap = stages.synchronized(stages.toList)
+      println(f"== $qname rep $rep wall $wall%.2f s, ${snap.size} stages ==")
+      snap.sortBy(-_._3).take(15).foreach { case (id, name, ms, n) =>
+        println(f"stage $id%4d  $ms%6d ms  $n%4d tasks  $name")
+      }
+      println(f"sum of stage times: ${snap.map(_._3).sum} ms")
+      spark.catalog.clearCache()
+      if (!sys.env.contains("SPARK_GRAFT_PROBE_NOCLEAN"))
+        spark.sparkContext.getPersistentRDDs.values.foreach(
+          _.unpersist(blocking = sys.env.contains("SPARK_GRAFT_PROBE_BLOCKING")))
     }
-    println(f"sum of stage times: ${snap.map(_._3).sum} ms")
     spark.stop()
   }
 }

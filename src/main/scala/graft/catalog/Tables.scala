@@ -149,8 +149,10 @@ object Tables {
       bucketedFor((dir, name)) = tbl
     }
 
-  /** Forget bucketed registrations (queries fall back to raw parquet). */
-  def clearBucketed(): Unit = bucketedFor.clear()
+  /** Forget bucketed registrations (queries fall back to raw parquet)
+    * and cached source schemas (a test that regenerates a fixture dir
+    * in-process must re-infer). */
+  def clearBucketed(): Unit = { bucketedFor.clear(); schemaCache.clear() }
 
   /** Load one table — from the bucketed catalog layout when
     * [[ensureBucketed]] has been run for this dir, else from
@@ -170,9 +172,22 @@ object Tables {
     * timestamp with integer division (`div`, not `/`: ns-since-epoch
     * ≈ 1.7e18 exceeds a double's 2^53 mantissa, so float division would
     * corrupt low bits). */
+  /** (dir, name) → inferred parquet schema. Schema inference is a Spark
+    * JOB (a one-task footer read, "parquet at Tables.scala" in the stage
+    * log) paid on EVERY load() call without it — a bench of 300 queries
+    * re-infers the same seven immutable fixture schemas thousands of
+    * times. Source tables never change within a session (derived
+    * artifacts live elsewhere and carry their own schemas); regenerated
+    * fixtures arrive with a new JVM. Cleared by [[clearBucketed]] for
+    * tests that swap fixture dirs in-process. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def loadPlain(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(s"$dir/$name.parquet").schema)
+    val raw = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
     if (name == "events") raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) footer, read as a nanos Long
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

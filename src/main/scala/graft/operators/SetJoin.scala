@@ -32,12 +32,14 @@ import org.apache.spark.sql.functions._
   *  - The ascending-df order puts the corpus-RAREST tokens in the
   *    prefix, so hot-token buckets (the n² failure of a naive token
   *    join) are structurally avoided.
-  *  - Verification joins full token lists on the REAL strings, but only
-  *    after a semi-join on the candidate id set — the corpus-wide
-  *    element list is never reshuffled for verification. The candidate
-  *    set is broadcast only while it stays under `broadcastMaxPairs`
-  *    (count-gated; it is data-dependent, so an adversarial corpus must
-  *    degrade to shuffle joins, not fail the driver's broadcast limit).
+  *  - Verification joins full token lists on the REAL strings; the
+  *    candidate-pair join itself filters the A side (a semi-join there
+  *    would be redundant work — see verifiedPairs), and the B side is
+  *    semi-pruned to candidate ids so the heavy (b, tok) side never
+  *    carries the whole corpus. The candidate set is broadcast only
+  *    while it stays under `broadcastMaxPairs` (bound- or count-gated;
+  *    it is data-dependent, so an adversarial corpus must degrade to
+  *    shuffle joins, not fail the driver's broadcast limit).
   *  - The element list feeds five consumers; it is materialized once
   *    (eager localCheckpoint), not re-tokenized per consumer.
   *  - Why TWO materializations (el + cand) and not one: el is consumed
@@ -65,14 +67,19 @@ object SetJoin {
     * broadcast degrades to a plain shuffle join (same output, bounded
     * memory; the [[Dedup.dupClusters]] driverThreshold precedent). */
   private def verifiedPairs(el: DataFrame, sz: DataFrame, cand: DataFrame,
-                            broadcastMaxPairs: Long,
+                            useBroadcast: Boolean,
                             pruneBTokens: Boolean = false,
                             broadcastMaxToks: Long = 1000000L): DataFrame = {
-    val gate: DataFrame => DataFrame =
-      if (cand.count() <= broadcastMaxPairs) broadcast else identity
-    val elA = el.join(gate(cand.select(col("a").as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select(col("id").as("a"), col("tok"))
+    val gate: DataFrame => DataFrame = if (useBroadcast) broadcast else identity
+    // A side: NO semi-join prefilter. The inner join on `a` against the
+    // candidate pairs below filters to exactly the same rows a semi-join
+    // on distinct a-ids would keep, so the semi bought nothing in either
+    // mode (broadcast: one extra hash probe per row plus a distinct
+    // aggregate + broadcast build; shuffle: a full extra exchange of el
+    // on the same key the inner join shuffles it on anyway) — two
+    // exchanges and one broadcast build removed from the verification
+    // plan, output provably identical.
+    val elA = el.select(col("id").as("a"), col("tok"))
     val elBAll = el.join(gate(cand.select(col("b").as("id")).distinct()),
         Seq("id"), "left_semi")
       .select(col("id").as("b"), col("tok"))
@@ -89,7 +96,12 @@ object SetJoin {
     // corpus, so A's vocabulary approaches the full token set and the
     // prune removes nothing.)
     val elB = if (pruneBTokens) {
-      val aToks = elA.select("tok").distinct().localCheckpoint(true)
+      // candidate-A vocabulary only (the semi-join lives HERE, off the
+      // hot fan-out path, computed once into the checkpoint): tokens of
+      // docs that appear as a candidate's A side
+      val aToks = el.join(gate(cand.select(col("a").as("id")).distinct()),
+          Seq("id"), "left_semi")
+        .select("tok").distinct().localCheckpoint(true)
       if (aToks.count() <= broadcastMaxToks)
         elBAll.join(broadcast(aToks), Seq("tok"), "left_semi")
       else elBAll
@@ -169,9 +181,14 @@ object SetJoin {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
       .localCheckpoint(true)
+    // broadcast gate: est upper-bounds |cand| (the distinct can only
+    // shrink the per-token pair expansion est sums), so est within the
+    // budget proves broadcastability without a separate count job; only
+    // an est OVER the budget pays the exact count to get a second chance
+    val useBroadcast = est <= broadcastMaxPairs || cand.count() <= broadcastMaxPairs
     // verification: exact string-level intersection counts, over the
     // candidate ids only (count-gated broadcast — no corpus reshuffle)
-    verifiedPairs(el, sz, cand, broadcastMaxPairs)
+    verifiedPairs(el, sz, cand, useBroadcast)
       .filter(col("inter") * tDen >=
         lit(tNum) * (col("sz_a") + col("sz_b") - col("inter")))
       .select("a", "b", "inter", "sz_a", "sz_b")
@@ -207,7 +224,10 @@ object SetJoin {
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
       .localCheckpoint(true)
-    verifiedPairs(el, sz, cand, broadcastMaxPairs, pruneBTokens = true)
+    // est >= |cand| (same argument as jaccardJoin): skip the count job
+    // when the pre-flight bound already fits the broadcast budget
+    val useBroadcast = est <= broadcastMaxPairs || cand.count() <= broadcastMaxPairs
+    verifiedPairs(el, sz, cand, useBroadcast, pruneBTokens = true)
       .filter(col("inter") * tDen >= lit(tNum) * col("sz_a"))
       .select("a", "b", "inter", "sz_a", "sz_b")
   }
