@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Repartition, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
 import graft.expressions._
 
 /** Spark-native deployment hook: register the engine's custom Catalyst
@@ -17,14 +19,65 @@ import graft.expressions._
   * call. [[graft.expressions.Sketches.registerSql]] remains the
   * live-session equivalent for notebooks/tests.
   *
-  * Only `injectFunction` is used deliberately: the engine's operators are
-  * declarative compositions Catalyst already plans well, so there is no
-  * custom Rule/Strategy to inject — the extension point carries exactly
-  * the pieces Spark cannot express natively (the sketch expressions). */
+  * Two extension points are used:
+  *  - `injectFunction` for the sketch expressions Spark cannot express
+  *    natively;
+  *  - `injectRuntimeOptimizerRule` for [[SmallResultSortRule]], the
+  *    stats-gated final-sort rewrite (see its doc for the scale story).
+  * Everything else stays declarative — Catalyst already plans the
+  * engine's operators well. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectRuntimeOptimizerRule(_ => SmallResultSortRule)
+  }
+}
+
+/** AQE-runtime rewrite of a query's FINAL global sort when the sorted
+  * input is measured (runtime shuffle statistics, not estimates) to be
+  * small: `Sort(global)` → `coalesce(1) + Sort(local)`.
+  *
+  * Why: a global sort range-partitions its input — one extra Exchange
+  * plus a driver-side bounds-sampling pass — purely to parallelize the
+  * sort. For a small final result (grouped reports, top-k summaries —
+  * most declared queries) that machinery costs far more than sorting the
+  * rows in one task, and single-partition output is exactly what a result
+  * consumer wants. Identical rows in the identical order come out — only
+  * the partitioning of the last stage changes.
+  *
+  * Scale safety is BY CONSTRUCTION, not by tuning: the rule runs inside
+  * AQE's logical re-optimization, where `stats.sizeInBytes` for
+  * materialized stages is the true runtime size, and fires only below
+  * `spark.graft.sort.coalesceThreshold` (default 64 MiB — one healthy
+  * AQE-advisory partition). A 100 TB result keeps the parallel range
+  * sort; a dashboard-sized one skips the exchange. Root-only: interior
+  * sorts (window prep, sort-merge inputs, TakeOrderedAndProject limits)
+  * are never touched. */
+object SmallResultSortRule extends Rule[LogicalPlan] {
+
+  private val ThresholdKey = "spark.graft.sort.coalesceThreshold"
+  private val DefaultThreshold = 64L * 1024 * 1024
+
+  private def small(child: LogicalPlan): Boolean = {
+    val t = try conf.getConfString(ThresholdKey, DefaultThreshold.toString).toLong
+    catch { case _: NumberFormatException => DefaultThreshold }
+    t > 0 && child.stats.sizeInBytes <= t
+  }
+
+  private def rewrite(s: Sort): Sort =
+    s.copy(global = false, child = Repartition(1, shuffle = false, s.child))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // the ROOT sort only: its output feeds the result sink, nothing in
+    // the plan depends on its partitioning
+    case s @ Sort(_, true, child, _) if small(child) => rewrite(s)
+    // root projection over the final sort (column pruning can leave the
+    // Project on top): Project preserves order and partitioning
+    case p @ Project(_, s @ Sort(_, true, child, _)) if small(child) =>
+      p.copy(child = rewrite(s))
+    case _ => plan
+  }
 }
 
 object GraftExtensions {

@@ -22,6 +22,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft-engine")
+      // engine extensions: graft_* SQL functions + the stats-gated
+      // final-sort rewrite (SmallResultSortRule). withExtensions applies
+      // to freshly-built sessions; spark-submit users get the same via
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
