@@ -71,6 +71,46 @@ object SetJoin {
                             pruneBTokens: Boolean = false,
                             broadcastMaxToks: Long = 1000000L): DataFrame = {
     val gate: DataFrame => DataFrame = if (useBroadcast) broadcast else identity
+    // ARRAY-VERIFICATION TIER: when the candidate set broadcasts AND the
+    // element table is itself broadcast-sized (measured: one cheap count
+    // over the checkpoint), verify by joining the candidate pairs to the
+    // per-id token ARRAYS and counting the intersection per pair —
+    // size(array_intersect) over distinct-element arrays equals the
+    // exploded path's per-token match count. This removes the heaviest
+    // verification stages outright: the candidate×token fan-out, its
+    // (b, tok) string-keyed exchange, the (a, b) re-aggregation exchange,
+    // the two size-table joins, AND the whole aToks B-token prune (there
+    // is no token exchange left to shrink). One exchange remains: the
+    // groupBy(id) that builds the arrays. A candidate pair created only
+    // by a tokh collision yields inter=0 here where the exploded path's
+    // inner join dropped the row — both die at the callers' inter ≥
+    // ceil(t·|s|) ≥ 1 threshold, so outputs are identical (spec-gated in
+    // SetJoinSpec both tiers). Above either broadcast budget the exploded
+    // path below remains THE scale path — at 100 TB the corpus never
+    // rides a broadcast, exactly as before.
+    if (useBroadcast && el.count() <= broadcastMaxToks) {
+      // one materialization feeds both broadcast builds (aliased Projects
+      // canonicalize differently, so the exchange would not be reused)
+      val toks = el.groupBy("id").agg(collect_list(col("tok")).as("ts"),
+        count(lit(1)).as("tsz"))
+        .localCheckpoint(true)
+      // STREAM the pairs, BROADCAST the arrays — and spread the pairs
+      // over every core first: the per-pair array_intersect is the dense
+      // compute here, and AQE coalesces by BYTES (a 16-byte-per-row pair
+      // table reads as one healthy partition), which would serialize the
+      // whole verification onto a handful of tasks (measured: q173 3.7 →
+      // 5.2 s with the bytes-coalesced layout). Same bytes-are-the-wrong-
+      // proxy reasoning as Tables.widened.
+      val probe = cand.repartition(el.sparkSession.sparkContext.defaultParallelism)
+      return probe
+        .join(broadcast(toks.select(col("id").as("a"), col("ts").as("ta"),
+          col("tsz").as("sz_a"))), "a")
+        .join(broadcast(toks.select(col("id").as("b"), col("ts").as("tb"),
+          col("tsz").as("sz_b"))), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          col("sz_a"), col("sz_b"))
+    }
     // A side: NO semi-join prefilter. The inner join on `a` against the
     // candidate pairs below filters to exactly the same rows a semi-join
     // on distinct a-ids would keep, so the semi bought nothing in either
