@@ -51,6 +51,14 @@ object Sketches {
   def simhash60(hashes60: Column): Column =
     GraftBridge.column(Simhash60Expr(GraftBridge.expression(hashes60)))
 
+  /** Distinct word n-grams of a token array — identical values (content
+    * AND first-occurrence order) to the declarative
+    * `array_distinct(transform(sequence(...), i -> concat_ws(" ", ...)))`
+    * in [[graft.functions.TextAnalysis.wordNgrams]], in one primitive
+    * pass (spec-gated equality in TextAnalysisSpec). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    GraftBridge.column(WordNgramsExpr(GraftBridge.expression(toks), n))
+
   def srpSketch(vec: Column, signs: Array[Array[Int]]): Column =
     GraftBridge.column(SrpSketchExpr(GraftBridge.expression(vec),
       signs.map(_.toIndexedSeq).toIndexedSeq))
@@ -171,6 +179,66 @@ case class Md5PrefixArrayExpr(child: Expression, hexChars: Int)
       Object r = $ref.nullSafeEval($c);
       if (r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams over a token array: out[j] = toks[j] + " " + ... +
+  * toks[j+n-1], first occurrence kept, in position order — the fused form
+  * of `array_distinct(transform(sequence(1, size-(n-1)), i ->
+  * concat_ws(" ", element_at(toks, i), ...)))`. One pass, one hash-set,
+  * no per-gram closure dispatch or sequence materialization. Matches the
+  * declarative form on every edge: null or sub-n input → EMPTY array (the
+  * `when(...).otherwise(empty)` guard's value), null elements skipped by
+  * the join exactly as concat_ws skips them. */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(input: Any): ArrayData = {
+    if (input == null) return Empty
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return Empty
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](cnt * 2)
+    val win = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { win(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j); j += 1 }
+      // concatWs skips null inputs — same null semantics as the
+      // declarative concat_ws(" ", ...)
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, win: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    compute(child.eval(input))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("ngrams", this, classOf[WordNgramsExpr].getName)
+    val c = child.genCode(ctx)
+    val value = ctx.freshName("ngramsOut")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData $value =
+        $ref.compute(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(
+        value, dataType))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

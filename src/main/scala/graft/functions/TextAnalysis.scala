@@ -34,12 +34,25 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** Distinct word n-gram shingles ("w1 w2 ... wn"), from an ordered
-    * token array. TOTAL: a sub-n document yields the empty set — without
-    * the guard, sequence(1, size-(n-1)) DESCENDS through 0 and
-    * element_at(toks, 0) throws INVALID_INDEX_OF_ZERO, killing the whole
-    * query on one short document (the DuckDB twins' `len(toks) >= n`
-    * guards produce the same empty set). */
+    * token array. TOTAL: a sub-n (or null) document yields the empty set.
+    * Fused single-pass expression ([[graft.expressions.WordNgramsExpr]]):
+    * the declarative transform/sequence/concat_ws chain below allocated a
+    * sequence array plus per-gram closure dispatches per row and ran
+    * array_distinct as a second pass — the shingle pass is the front of
+    * every dedup/set-join query, so it pays to be one loop. Values are
+    * IDENTICAL (content and first-occurrence order; equality spec-gated
+    * against [[wordNgramsDeclarative]] in TextAnalysisSpec). */
   def wordNgrams(toks: Column, n: Int): Column =
+    graft.expressions.Sketches.wordNgrams(toks, n)
+
+  /** The declarative reference formulation of [[wordNgrams]], kept for
+    * cross-checking the fused expression (the [[graft.operators.Dedup
+    * .simhashDeclarative]] precedent). A sub-n document yields the empty
+    * set — without the guard, sequence(1, size-(n-1)) DESCENDS through 0
+    * and element_at(toks, 0) throws INVALID_INDEX_OF_ZERO, killing the
+    * whole query on one short document (the DuckDB twins' `len(toks) >= n`
+    * guards produce the same empty set). */
+  def wordNgramsDeclarative(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(off => element_at(toks, i + off)): _*))))

@@ -20,6 +20,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row._4 == 6)      // all tokens <= 4 chars -> 1 unit each
   }
 
+  test("fused wordNgrams equals the declarative formulation on every edge") {
+    // edges: normal text, duplicate grams (distinct order), exactly n
+    // tokens, sub-n tokens, empty, single token, unicode, repeated words
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "a", "b", "a", "b")), // duplicate grams
+      (3L, Seq("x", "y")),                      // exactly n for n=2
+      (4L, Seq("only")),                        // sub-n
+      (5L, Seq.empty[String]),
+      (6L, Seq("\u00fcber", "stra\u00dfe", "caf\u00e9")),
+      (7L, Seq("w", "w", "w", "w"))).toDF("id", "toks")
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.select(col("id"),
+        TextAnalysis.wordNgrams(col("toks"), n).as("g")).orderBy("id")
+        .as[(Long, Seq[String])].collect()
+      val want = df.select(col("id"),
+        TextAnalysis.wordNgramsDeclarative(col("toks"), n).as("g")).orderBy("id")
+        .as[(Long, Seq[String])].collect()
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+    // null input: the declarative when-guard yields the EMPTY array
+    val nullDf = Seq((1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val g = nullDf.select(TextAnalysis.wordNgrams(col("toks"), 2))
+      .as[Seq[String]].collect().head
+    val w = nullDf.select(TextAnalysis.wordNgramsDeclarative(col("toks"), 2))
+      .as[Seq[String]].collect().head
+    assert(g == Seq.empty && w == Seq.empty)
+  }
+
   test("BPE pre-tokenizer: contractions, space-prefixed runs, punctuation") {
     val df = Seq((1L, "I'll say: don't touch GPT2's 42 tokens!!")).toDF("id", "text")
     val segs = df.select(TextAnalysis.bpePreTokens(col("text")))
