@@ -63,7 +63,11 @@ object JoinView {
   }
 
   private def writePart(df: DataFrame, dir: String, batchId: String): Unit =
+    // one batch_id per write: cluster first so the delta lands as ONE
+    // file, not one per upstream task (q139 staging-write pattern — every
+    // later view read opens one footer per batch instead of dozens)
     df.withColumn("batch_id", lit(batchId))
+      .repartition(col("batch_id"))
       .write.option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("batch_id").parquet(dir)
 

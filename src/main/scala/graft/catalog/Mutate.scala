@@ -111,7 +111,17 @@ object Mutate {
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir + ".mutate.tmp")
     val oldRoot = new Path(dir + ".mutate.old")
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    // cluster by the partition column before the partitioned write: the
+    // merged frame arrives as scan-tasks × |affected| fragments, and an
+    // unclustered write opens a parquet writer per (task, partition) —
+    // measured ~80 ms of per-task overhead writing confetti files that
+    // every later read of the partition then pays to open again. One
+    // shuffle of only the affected partitions' rows yields one file per
+    // partition (the q139 staging-write pattern; at cluster scale add
+    // more distribution keys alongside partitionCol for write
+    // parallelism within huge partitions).
+    merged.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
     fs.mkdirs(oldRoot)
     val (rewritten, created) = affected.partition { v =>
       fs.exists(new Path(dir, partDirName(partitionCol, v)))

@@ -294,7 +294,11 @@ object TrainPrep {
       .join(df.select(col(idCol), col(textCol)), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      assigned.write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+      // clustered by shard: one file per shard instead of one per
+      // (upstream task, shard) — the export contract is "a shard is a
+      // unit a trainer maps", and confetti files break that economy
+      assigned.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
       val manifest = assigned.withColumn("digest", docDigest(idCol, textCol))
         .groupBy("shard").agg(
         count(lit(1)).as("n_docs"),

@@ -1797,7 +1797,11 @@ object Relational {
         val work = Tables.derivedDir("graft_mutate", s"$dir|orders_v1")
         Tables.derivedClear(work) // mutation is the thing under test: rebuild
         val table = s"$work/orders.parquet"
-        orders.write.partitionBy("o_orderstatus").parquet(table)
+        // clustered before the partitioned write (q139 pattern): one file
+        // per status instead of scan-tasks × |statuses| confetti — both
+        // this write and every pruned re-read of the table get cheaper
+        orders.repartition(col("o_orderstatus"))
+          .write.partitionBy("o_orderstatus").parquet(table)
         val updates = orders
           .filter(col("o_orderkey") % 97 === 0 &&
             col("o_orderstatus").isin("F", "O"))
