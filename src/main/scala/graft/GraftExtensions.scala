@@ -36,15 +36,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** AQE-runtime rewrite of a query's FINAL global sort when the sorted
   * input is measured (runtime shuffle statistics, not estimates) to be
-  * small: `Sort(global)` → `coalesce(1) + Sort(local)`.
+  * small: `Sort(global)` → `repartition(1) + Sort(local)`.
   *
-  * Why: a global sort range-partitions its input — one extra Exchange
-  * plus a driver-side bounds-sampling pass — purely to parallelize the
-  * sort. For a small final result (grouped reports, top-k summaries —
-  * most declared queries) that machinery costs far more than sorting the
-  * rows in one task, and single-partition output is exactly what a result
-  * consumer wants. Identical rows in the identical order come out — only
-  * the partitioning of the last stage changes.
+  * Why: a global sort range-partitions its input — an Exchange whose
+  * bounds come from a driver-side sampling pass over the child (when the
+  * sort is the plan's only exchange, that pass re-executes the child
+  * outright) — purely to parallelize the sort. For a small final result
+  * (grouped reports, top-k summaries — most declared queries) that
+  * machinery costs far more than sorting the rows in one task, and
+  * single-partition output is exactly what a result consumer wants.
+  * Identical rows in the identical order come out — only the partitioning
+  * of the last stage changes.
   *
   * Scale safety is BY CONSTRUCTION, not by tuning: the rule runs inside
   * AQE's logical re-optimization, where `stats.sizeInBytes` for
@@ -66,7 +68,15 @@ object SmallResultSortRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(s: Sort): Sort =
-    s.copy(global = false, child = Repartition(1, shuffle = false, s.child))
+    // shuffle=true, NOT coalesce: a coalesce(1) merges the CHILD's
+    // partitions, so a map-only child (scan -> expression-heavy project
+    // -> sort, no interior exchange) would compute single-task (measured:
+    // q30's per-char fingerprint pass 1.0 -> 2.5 s when coalesced). A
+    // single-partition shuffle keeps the child's parallelism and still
+    // removes the range partitioner and its bounds-sampling pass - which,
+    // when the sort is the plan's only exchange, re-executed the entire
+    // child once just to sample it.
+    s.copy(global = false, child = Repartition(1, shuffle = true, s.child))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     // the ROOT sort only: its output feeds the result sink, nothing in
