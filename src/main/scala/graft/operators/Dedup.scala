@@ -189,7 +189,11 @@ object Dedup {
     val bnd = bands(sk, b, r)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bnd, maxBucket)
-    verifyJaccard(cand, sk).filter(col("jac") >= theta).orderBy("a", "b")
+    // pair order unspecified: most consumers aggregate or cluster the
+    // pairs, and an interior global sort is a wasted range exchange +
+    // bounds-sampling pass there; presentation queries sort at their root
+    // (where the small-result rewrite makes it one cheap local sort)
+    verifyJaccard(cand, sk).filter(col("jac") >= theta)
   }
 
   /** ONE-PASS drop pairs for an ingest batch: batch docs near-duplicating
@@ -308,7 +312,7 @@ object Dedup {
       .withColumn("jac", col("n_inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
       .select("a", "b", "jac")
-      .filter(col("jac") >= theta).orderBy("a", "b")
+      .filter(col("jac") >= theta) // pair order unspecified (see nearDupsFromSketch)
   }
 
   /** Ingest-time near-dup index for a corpus: the (id, shingles, sig)
@@ -476,8 +480,7 @@ object Dedup {
     // themselves
     e.select(col("u").as("id"), col("v").as("cluster"))
       .union(e.select(col("v").as("id"), col("v").as("cluster")).distinct())
-      .distinct()
-      .orderBy("id")
+      .distinct() // label order unspecified (see nearDupsFromSketch)
   }
 
   /** Near-dup pairs by SimHash: Hamming(a,b) <= maxHam, found via banded
@@ -501,8 +504,7 @@ object Dedup {
       .select(col("a"), col("b"),
         expr("bit_count(fa ^ fb)").cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHam)
-      .orderBy("a", "b")
+      .filter(col("hamming") <= maxHam) // pair order unspecified (see nearDupsFromSketch)
   }
 
   // ---- content-defined chunk dedup (exact-substring, shift-invariant) ----

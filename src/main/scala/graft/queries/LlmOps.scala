@@ -255,7 +255,8 @@ object LlmOps {
     // ---- SimHash near-dup pairs via banded join (pigeonhole recall) ------
     "q42_simhash_dups" -> Q(
       (s, dir) => Dedup.simhashPairs(
-        Dedup.simhash(docs(s, dir), "doc_id", "text"), maxHam = 5, nBands = 6),
+        Dedup.simhash(docs(s, dir), "doc_id", "text"), maxHam = 5, nBands = 6)
+        .orderBy("a", "b"),
       Some(s"""WITH $SqlGrams,
         t AS (SELECT doc_id, unnest(grams) AS gram FROM g),
         h AS (SELECT doc_id, ${H.sqlH60("gram")} AS h FROM t),
@@ -276,7 +277,7 @@ object LlmOps {
     // ---- MinHash + LSH near-duplicate pairs ------------------------------
     "q26_minhash_neardups" -> Q(
       (s, dir) => Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
-        ngram = 2, k = 32, b = 8, r = 4, theta = 0.5),
+        ngram = 2, k = 32, b = 8, r = 4, theta = 0.5).orderBy("a", "b"),
       Some(s"""WITH $SqlGrams,
         $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
@@ -294,7 +295,8 @@ object LlmOps {
     "q56_incremental_dedup" -> Q(
       (s, dir) => Dedup.crossCorpusNearDupsIndexed(
         dedupIndex(s, dir), docs(s, dir).filter(col("doc_id") >= IncrSplit),
-        "doc_id", "text", ngram = 2, k = 32, b = 8, r = 4, theta = 0.5),
+        "doc_id", "text", ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)
+        .orderBy("a", "b"),
       Some(s"""WITH $SqlGrams,
         $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
@@ -307,7 +309,7 @@ object LlmOps {
     "q43_dup_clusters" -> Q(
       (s, dir) => Dedup.dupClusters(
         Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
-          ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)),
+          ngram = 2, k = 32, b = 8, r = 4, theta = 0.5)).orderBy("id"),
       Some(s"""WITH RECURSIVE $SqlGrams,
         $SqlMinhashCand,
         p AS (SELECT c.a, c.b, $SqlJac AS jac
@@ -772,6 +774,7 @@ object LlmOps {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy()
         Dedup.minhashNearDupsFast(docs(s, dir), "doc_id", "text")
+          .orderBy("a", "b")
           .withColumn("smry_pairs", count(lit(1)).over(w))
           .withColumn("smry_min_a", min(col("a")).over(w))
           .withColumn("smry_max_b", max(col("b")).over(w))
