@@ -111,9 +111,15 @@ object Behavior {
     * segment, rk, term, n_in_segment, chi2. */
   def chi2Keywords(occurrences: DataFrame, k: Int, minDf: Long,
       segCol: String = "segment", termCol: String = "term"): DataFrame = {
+    // pinned: st feeds FOUR subplans (term totals, segment totals, the
+    // grand total, and the scored join) and Catalyst plans each from its
+    // own subtree copy — unpinned, the occurrence explode + count ran
+    // four times per execution (measured: 4 × ~1.5 s 32-task stages at
+    // sf0.1 → 1). |segments × vocabulary| rows, the reduced table.
     val st = occurrences
       .select(col(segCol).as("segment"), col(termCol).as("term"))
       .groupBy("segment", "term").agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
     val termTot = st.groupBy("term").agg(sum(col("a")).as("tt"))
     val segTot = st.groupBy("segment").agg(sum(col("a")).as("stot"))
     val total = st.agg(sum(col("a")).as("n"))
