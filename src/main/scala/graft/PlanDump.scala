@@ -16,15 +16,27 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     if (!sys.env.contains("SPARK_GRAFT_NO_BUCKET")) SparkEntry.prepare(spark, sfDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // SPARK_GRAFT_PLAN_EXEC=1 additionally EXECUTES each query (noop
+    // sink) and appends the final adaptive plan — the only way to show
+    // AQE-runtime rewrites (SmallResultSortRule, SMJ→SHJ) in a file.
+    val exec = sys.env.contains("SPARK_GRAFT_PLAN_EXEC")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_.exists(name.startsWith))) {
         try {
-          val plan = fn(spark, sfDir).queryExecution.explainString(
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
+          val full = if (exec) {
+            df.collect()
+            plan + "\n\n== Executed (final adaptive) plan ==\n" +
+              df.queryExecution.executedPlan.toString
+          } else plan
           java.nio.file.Files.write(
             java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
-            plan.getBytes("UTF-8"))
+            full.getBytes("UTF-8"))
           System.err.println(s"[plandump] wrote $name")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         } catch {
           case e: Throwable =>
             System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
